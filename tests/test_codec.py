@@ -1,0 +1,108 @@
+"""Codec + phash + datagen unit tests (no Ray)."""
+
+import numpy as np
+import pytest
+
+from stac_catalog_builder_ray.codec.phash import hamming64, phash64
+from stac_catalog_builder_ray.codec.raster import FORMATS, decode_image, encode_image, psnr
+from stac_catalog_builder_ray.datagen import (
+    caption_for,
+    generate_aois,
+    gradient_pixels,
+    parse_tile_id,
+    smoke_row_ids,
+    tile_geo,
+    tile_name,
+)
+
+
+class TestRasterCodec:
+    @pytest.mark.parametrize("fmt", FORMATS)
+    def test_lossless_round_trip(self, fmt):
+        px = gradient_pixels(64, 48)
+        data = encode_image(px, fmt)
+        back = decode_image(data, fmt)
+        np.testing.assert_array_equal(back, px)
+        assert psnr(back, px) == float("inf")
+
+    def test_format_sniffing(self):
+        px = gradient_pixels(32, 16)
+        # wrong fmt hint must not matter — container is sniffed
+        back = decode_image(encode_image(px, "png"), "raw")
+        np.testing.assert_array_equal(back, px)
+
+    def test_png_is_real_png(self):
+        data = encode_image(gradient_pixels(16, 8), "png")
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert b"IHDR" in data[:30] and data[-8:-4] == b"IEND"
+
+    def test_psnr_sensitivity(self):
+        px = gradient_pixels(64, 48)
+        noisy = px.astype(np.int64) + 100
+        assert 40 < psnr(np.clip(noisy, 0, 65535).astype(np.uint16), px) < 80
+
+
+class TestPhash:
+    def test_deterministic_and_distinct(self):
+        a = phash64(gradient_pixels(64, 48, 0.5, 0.5, -0.5, -0.5))
+        b = phash64(gradient_pixels(64, 48, 0.5, 0.5, -0.5, -0.5))
+        c = phash64(gradient_pixels(64, 48, -0.9, 0.9, 0.1, 0.3))
+        assert a == b
+        assert hamming64(a, b) == 0
+        assert hamming64(a, c) > 4  # visually different -> far in Hamming space
+
+    def test_robust_to_small_noise(self):
+        px = gradient_pixels(64, 48)
+        noisy = np.clip(px.astype(np.int64) + 30, 0, 65535).astype(np.uint16)
+        assert hamming64(phash64(px), phash64(noisy)) <= 4
+
+    def test_int64_range(self):
+        v = phash64(gradient_pixels(32, 32))
+        assert -(2**63) <= v < 2**63
+
+
+class TestDatagen:
+    def test_smoke_ids_match_reference_corpus(self):
+        ids = smoke_row_ids()
+        assert len(ids) == 12
+        assert ids[0] == "2000/observations_2m-temp-monthly_2000-01-01.tif"
+        assert "2001/observations_tot-precip-monthly_2001-03-01.tif" in ids
+
+    def test_tile_round_trip(self):
+        assert parse_tile_id(tile_name(9, 27)) == (9, 27)
+        with pytest.raises(ValueError):
+            parse_tile_id("X09N27")
+
+    def test_tile_geo(self):
+        g = tile_geo("E01N12")
+        assert g["epsg"] == 4326
+        assert g["east"] - g["west"] == pytest.approx(1.5)
+        g_utm = tile_geo("E05N12")  # easting % 5 == 0 -> UTM
+        assert 32601 <= g_utm["epsg"] <= 32660
+        a, b, c, d, e, f = g_utm["transform"]
+        assert e < 0  # north-up raster
+
+    def test_caption_template(self):
+        assert (
+            caption_for("2m-temp-monthly", "E07N12", 2000, 1)
+            == "2m temperature over tile E07N12 on 2000-01-01"
+        )
+
+    def test_aois(self):
+        aois = generate_aois(8)
+        assert aois[0]["west"] == -180.0 and aois[0]["east"] == 180.0
+        assert len(aois) == 8
+        assert len({a["aoi_id"] for a in aois}) == 8
+
+    def test_images_table(self, smoke_images_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(smoke_images_dir)
+        assert t.num_rows == 12
+        assert t.column_names == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        row = t.slice(0, 1).to_pylist()[0]
+        px = decode_image(row["bytes"], row["fmt"])
+        assert px.shape == (180, 240)
+        # per-row invariant: pixels regenerate exactly, caption matches template
+        np.testing.assert_array_equal(px, gradient_pixels(240, 180))
+        assert phash64(px) == row["phash"]

@@ -1,0 +1,171 @@
+"""Unit tests for the pure-numpy geo kernel (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from stac_catalog_builder_ray.geo.bbox import BoundingBox, bbox_dict_to_list, bbox_list_to_dict
+from stac_catalog_builder_ray.geo.cell import (
+    cell_decode,
+    cell_encode,
+    cell_children,
+    cell_parent,
+    cell_ring,
+    cell_to_bbox,
+    cells_covering_bbox,
+)
+from stac_catalog_builder_ray.geo.crs import project_points, reproject_bbox
+from stac_catalog_builder_ray.geo.geometry import (
+    PolygonSet,
+    STRtree,
+    points_in_ring,
+    ring_to_wkb,
+    wkb_to_ring,
+)
+
+
+class TestBoundingBox:
+    def test_round_trips(self):
+        bb = BoundingBox.from_list([4.0, 51.0, 5.0, 52.0], epsg=4326)
+        assert bb.to_list() == [4.0, 51.0, 5.0, 52.0]
+        assert BoundingBox.from_dict(bb.to_dict()) == bb
+        assert bbox_dict_to_list(bbox_list_to_dict([1, 2, 3, 4])) == [1, 2, 3, 4]
+        assert bb.min_x == 4.0 and bb.max_y == 52.0
+
+    def test_wkt_matches_shapely_box_order(self):
+        # expected WKT from the reference's tests/test_metadata.py:280-282
+        bb = BoundingBox.from_list([4.0, 51.0, 5.0, 52.0], epsg=4326)
+        assert bb.as_wkt() == "POLYGON ((5 51, 5 52, 4 52, 4 51, 5 51))"
+
+    def test_geometry_dict_ring_matches_golden(self):
+        # golden item proj:geometry ring (identity-transform quirk):
+        # box(0, 180, 240, 0) -> [[240,180],[240,0],[0,0],[0,180],[240,180]]
+        bb = BoundingBox(west=0.0, south=180.0, east=240.0, north=0.0, epsg=4326)
+        ring = bb.as_geometry_dict()["coordinates"][0]
+        assert ring == [[240.0, 180.0], [240.0, 0.0], [0.0, 0.0], [0.0, 180.0], [240.0, 180.0]]
+
+    def test_union_and_intersects(self):
+        a = BoundingBox.from_list([0, 0, 2, 2], 4326)
+        b = BoundingBox.from_list([1, 1, 3, 3], 4326)
+        assert a.union(b).to_list() == [0, 0, 3, 3]
+        assert a.intersects(b)
+        assert not a.intersects(BoundingBox.from_list([5, 5, 6, 6], 4326))
+
+
+class TestCellIndex:
+    def test_encode_decode(self):
+        cells = cell_encode([-180.0, 0.0, 179.9], [-90.0, 0.0, 89.9], res=6)
+        res, x, y = cell_decode(cells)
+        assert np.all(res == 6)
+        assert x[0] == 0 and y[0] == 0
+        n = 1 << 6
+        assert x[1] == n // 2 and y[1] == n // 2
+
+    def test_edge_clipping(self):
+        c = cell_encode(180.0, 90.0, res=4)
+        res, x, y = cell_decode(c)
+        assert x == (1 << 4) - 1 and y == (1 << 4) - 1
+
+    def test_parent_child(self):
+        c = int(cell_encode(10.0, 20.0, res=8))
+        p = int(cell_parent(c))
+        kids = cell_children(p)
+        assert c in kids.tolist()
+        assert int(cell_parent(c, 4)) == int(cell_encode(10.0, 20.0, res=4))
+
+    def test_ring(self):
+        c = int(cell_encode(0.0, 0.0, res=5))
+        ring = cell_ring(c, 1)
+        assert len(ring) == 9 and c in ring.tolist()
+        # pole clamp: y=0 cell has only 6 neighbours
+        c_pole = int(cell_encode(0.0, -90.0, res=5))
+        assert len(cell_ring(c_pole, 1)) == 6
+
+    def test_lon_wrap(self):
+        c = int(cell_encode(-180.0, 0.0, res=5))
+        ring = cell_ring(c, 1)
+        east_wrap = int(cell_encode(179.9, 0.0, res=5))
+        assert east_wrap in ring.tolist()
+
+    def test_cell_bbox_covers_point(self):
+        lon, lat = 4.4, 51.2
+        c = cell_encode(lon, lat, res=10)
+        w, s, e, n = cell_to_bbox(c).ravel()
+        assert w <= lon < e and s <= lat < n
+
+    def test_covering_bbox(self):
+        cells = cells_covering_bbox(-1.0, -1.0, 1.0, 1.0, res=7)
+        # every cell containing a corner of the bbox must be in the cover
+        for lon, lat in [(-1, -1), (1, 1), (0, 0), (-1, 1)]:
+            assert int(cell_encode(lon, lat, 7)) in cells.tolist()
+
+
+class TestCRS:
+    @pytest.mark.parametrize("epsg", [32631, 32733, 3035])
+    def test_round_trip(self, epsg):
+        lon = np.array([3.2, 4.9, 5.5])
+        lat = np.array([50.1, 51.06, 51.9]) if epsg != 32733 else np.array([-20.0, -15.0, -33.0])
+        x, y = project_points(lon, lat, 4326, epsg)
+        lon2, lat2 = project_points(x, y, epsg, 4326)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_identity(self):
+        x, y = project_points([4.0], [51.0], 4326, 4326)
+        assert x[0] == 4.0 and y[0] == 51.0
+
+    def test_utm_plausible(self):
+        # UTM 31N: central meridian 3E, so lon=3 -> x ~= 500 000
+        x, y = project_points([3.0], [51.0], 4326, 32631)
+        assert abs(x[0] - 500000.0) < 1.0
+        assert 5.5e6 < y[0] < 5.8e6  # ~51 deg north of equator
+
+    def test_bbox_reproject_consistency(self):
+        # projecting then inverse-projecting a bbox must contain the original
+        w, s, e, n = reproject_bbox(4.0, 51.0, 5.0, 52.0, 4326, 32631)
+        w2, s2, e2, n2 = reproject_bbox(w, s, e, n, 32631, 4326)
+        assert w2 <= 4.0 + 1e-6 and s2 <= 51.0 + 1e-6
+        assert e2 >= 5.0 - 1e-6 and n2 >= 52.0 - 1e-6
+
+
+class TestGeometry:
+    def test_wkb_round_trip(self):
+        ring = np.array([(5.0, 51.0), (5.0, 52.0), (4.0, 52.0), (4.0, 51.0), (5.0, 51.0)])
+        back = wkb_to_ring(ring_to_wkb(ring))
+        np.testing.assert_array_equal(back, ring)
+
+    def test_point_in_ring(self):
+        ring = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype=float)
+        px = np.array([2.0, 5.0, 0.0, 4.0, -0.1])
+        py = np.array([2.0, 5.0, 2.0, 4.0, 2.0])
+        got = points_in_ring(px, py, ring)
+        assert got.tolist() == [True, False, True, True, False]
+
+    def test_point_in_triangle(self):
+        tri = np.array([(0, 0), (10, 0), (5, 10), (0, 0)], dtype=float)
+        assert points_in_ring(np.array([5.0]), np.array([3.0]), tri)[0]
+        assert not points_in_ring(np.array([0.5]), np.array([9.0]), tri)[0]
+
+    def test_strtree_matches_bruteforce(self):
+        rng = np.random.default_rng(42)
+        lo = rng.uniform(0, 90, size=(200, 2))
+        bounds = np.hstack([lo, lo + rng.uniform(0.5, 5, size=(200, 2))])
+        tree = STRtree(bounds)
+        q = np.array([[10.0, 10.0, 30.0, 30.0], [80.0, 80.0, 81.0, 81.0]])
+        qi, ti = tree.query(q)
+        got = {(int(a), int(b)) for a, b in zip(qi, ti)}
+        want = set()
+        for iq in range(len(q)):
+            for it in range(len(bounds)):
+                b = bounds[it]
+                if q[iq, 0] <= b[2] and q[iq, 2] >= b[0] and q[iq, 1] <= b[3] and q[iq, 3] >= b[1]:
+                    want.add((iq, it))
+        assert got == want
+
+    def test_polygonset(self):
+        rings = [
+            np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], dtype=float),
+            np.array([(20, 20), (30, 20), (30, 30), (20, 30), (20, 20)], dtype=float),
+        ]
+        ps = PolygonSet(rings)
+        pi, gi = ps.contains_points(np.array([5.0, 25.0, 50.0]), np.array([5.0, 25.0, 50.0]))
+        assert list(zip(pi.tolist(), gi.tolist())) == [(0, 0), (1, 1)]
