@@ -1,0 +1,192 @@
+"""Vectorized regex path parsing with period semantics + parser registry.
+
+Reference semantics (stacbuilder/pathparsers.py):
+
+- ``RegexInputPathParser.parse`` (pathparsers.py:133-163): named-group regex
+  over the posix path -> dict; ``fixed_values`` may contain ``{field}``
+  templates formatted from the extracted groups; per-key type converters.
+- ``DefaultInputPathParser`` (pathparsers.py:194-265): fills missing
+  month/day by period, sets ``datetime = start_datetime`` and the period
+  end-datetime.
+- registry via ``__init_subclass__`` (pathparsers.py:26-89): configs name a
+  parser class + params; engine keeps the same declarative surface with a
+  plain dict registry of factory functions.
+
+Engine execution model: ONE compiled parse over a whole Arrow string column
+(``pyarrow.compute.extract_regex``) per batch — not a Python call per row.
+The compiled pattern + template plan live in the actor's ``__init__``
+(SURVEY.md T2; sidesteps the thread-safety fix noted in the reference's
+CHANGELOG.md:23).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .datetimes import PERIODS, period_end, ymd_to_datetime64
+
+_TEMPLATE_RE = re.compile(r"\{(\w+)\}")
+
+
+class RegexPathParser:
+    """Vectorized equivalent of Default/RegexInputPathParser.
+
+    Parameters mirror the reference's config surface
+    (config.py InputPathParserConfig -> classname + params):
+
+    - ``pattern``: regex with named groups, RE2-compatible (pyarrow uses RE2:
+      no backreferences/lookaround).
+    - ``fixed_values``: constants or ``{group}`` templates evaluated
+      vectorized against the extracted groups.
+    - ``period``: yearly | monthly | daily | secondly | None. When set and the
+      groups include ``year`` (+month/day as available), emits
+      ``datetime``/``start_datetime``/``end_datetime`` columns.
+    """
+
+    def __init__(
+        self,
+        pattern: str,
+        fixed_values: Optional[Dict[str, str]] = None,
+        period: Optional[str] = None,
+    ):
+        self.pattern = pattern
+        self._re = re.compile(pattern)  # validate eagerly; RE2 check happens on first batch
+        self.group_names = list(self._re.groupindex.keys())
+        if not self.group_names:
+            raise ValueError(f"pattern has no named groups: {pattern!r}")
+        self.fixed_values = dict(fixed_values or {})
+        if period is not None and period not in PERIODS:
+            raise ValueError(f"period must be one of {PERIODS}, got {period!r}")
+        self.period = period
+
+    def parse_column(self, paths: pa.Array) -> Dict[str, pa.Array]:
+        """String array of hrefs/paths -> dict of extracted/derived columns.
+
+        Non-matching rows get null groups (the reference logs a warning and
+        yields an empty dict per row, pathparsers.py:143-146; downstream
+        filters drop them — M19/M20 semantics).
+        """
+        if isinstance(paths, pa.ChunkedArray):
+            paths = paths.combine_chunks()
+        struct = pc.extract_regex(paths, self.pattern)
+        out: Dict[str, pa.Array] = {}
+        for name in self.group_names:
+            out[name] = pc.struct_field(struct, name)
+
+        for key, value in self.fixed_values.items():
+            if isinstance(value, str) and "{" in value:
+                out[key] = self._format_template(value, out, len(paths))
+            else:
+                out[key] = pa.array([value] * len(paths))
+
+        if self.period is not None:
+            self._add_period_datetimes(out, len(paths))
+        return out
+
+    def _format_template(self, template: str, cols: Dict[str, pa.Array], n: int) -> pa.Array:
+        """Vectorized str.format over extracted group columns: split the
+        template into literal / field parts and binary-join element-wise."""
+        parts: List[pa.Array] = []
+        pos = 0
+        for m in _TEMPLATE_RE.finditer(template):
+            if m.start() > pos:
+                parts.append(pa.array([template[pos : m.start()]] * n))
+            field = m.group(1)
+            if field not in cols:
+                raise KeyError(f"template field {{{field}}} not among extracted groups {list(cols)}")
+            parts.append(pc.cast(cols[field], pa.string()))
+            pos = m.end()
+        if pos < len(template):
+            parts.append(pa.array([template[pos:]] * n))
+        sep = pa.array([""] * n)
+        return pc.binary_join_element_wise(*parts, sep)
+
+    def _add_period_datetimes(self, out: Dict[str, pa.Array], n: int) -> None:
+        if "year" not in out:
+            raise ValueError("period semantics require a 'year' named group")
+        year = pc.cast(out["year"], pa.int64())
+        # _fill_missing_data (pathparsers.py:226-230): yearly -> month=1;
+        # yearly/monthly -> day=1
+        if "month" in out:
+            month = pc.cast(out["month"], pa.int64())
+        else:
+            month = pa.array([1] * n, pa.int64())
+        if "day" in out:
+            day = pc.cast(out["day"], pa.int64())
+        else:
+            day = pa.array([1] * n, pa.int64())
+        valid = pc.is_valid(year)
+        y = np.asarray(pc.fill_null(year, 1970))
+        m = np.asarray(pc.fill_null(month, 1))
+        d = np.asarray(pc.fill_null(day, 1))
+        start = ymd_to_datetime64(y, m, d)
+        end = period_end(start, self.period)
+        mask = ~np.asarray(valid)
+        start_arr = pa.array(start, pa.timestamp("us"), mask=mask)
+        end_arr = pa.array(end, pa.timestamp("us"), mask=mask)
+        out["datetime"] = start_arr
+        out["start_datetime"] = start_arr
+        out["end_datetime"] = end_arr
+
+
+# --- registry (pathparsers.py:26-89 analog) ---------------------------------
+
+PARSER_REGISTRY: Dict[str, Callable[..., RegexPathParser]] = {}
+
+
+def register_parser(name: str):
+    def deco(factory: Callable[..., RegexPathParser]):
+        PARSER_REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def make_parser(classname: str, **params) -> RegexPathParser:
+    """Instantiate a registered parser by name (config-driven, mirroring
+    InputPathParserFactory semantics incl. unknown-name error)."""
+    if classname not in PARSER_REGISTRY:
+        raise ValueError(
+            f"Unknown parser {classname!r}; registered: {sorted(PARSER_REGISTRY)}"
+        )
+    return PARSER_REGISTRY[classname](**params)
+
+
+@register_parser("RegexPathParser")
+def _make_regex(**params) -> RegexPathParser:
+    return RegexPathParser(**params)
+
+
+@register_parser("SmokeObservationsParser")
+def _make_smoke(**params) -> RegexPathParser:
+    """Parser for the reference-corpus layout
+    ``2000/observations_2m-temp-monthly_2000-01-01.tif`` — the engine twin of
+    the reference's test config (tests/data/config/config-test-collection.json:
+    DefaultInputPathParser, period=monthly, item_id fixed-value template)."""
+    return RegexPathParser(
+        pattern=r"(?P<asset_type>[a-z0-9-]+)_(?P<year>\d{4})-(?P<month>\d{2})-(?P<day>\d{2})\.tif$",
+        fixed_values={"item_id": "observations_{year}-{month}-{day}", "tile": "global"},
+        period="monthly",
+        **params,
+    )
+
+
+@register_parser("TiledObservationsParser")
+def _make_tiled(**params) -> RegexPathParser:
+    """Parser for the scale-set layout
+    ``tiles/E07N12/2000/observations_2m-temp-monthly_E07N12_2000-01-01.tif``."""
+    return RegexPathParser(
+        pattern=(
+            r"tiles/(?P<tile>E\d{2}N\d{2})/\d{4}/"
+            r"observations_(?P<asset_type>[a-z0-9-]+)_E\d{2}N\d{2}_"
+            r"(?P<year>\d{4})-(?P<month>\d{2})-(?P<day>\d{2})\.tif$"
+        ),
+        fixed_values={"item_id": "observations_{tile}_{year}-{month}-{day}"},
+        period="monthly",
+        **params,
+    )

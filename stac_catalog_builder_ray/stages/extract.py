@@ -1,0 +1,273 @@
+"""DecodeExtract — the flagship stateful stage: decode image payloads and
+derive per-asset STAC metadata, zero-copy Arrow in / Arrow out.
+
+Replaces the reference's per-file rasterio header extraction
+(``MapGeoTiffToAssetMetadata.to_metadata``, mapper.py:116-186) and its
+ThreadPool(100) driver loop (collector.py:215-264) with a Ray actor pool:
+pass this class to ``ds.map_batches(DecodeExtract, fn_constructor_kwargs=...,
+batch_format="pyarrow", concurrency=N)``.  The compiled path parser and the
+CRS transform cache are built once per actor in ``__init__`` (SURVEY.md
+T1-T3); per batch everything except the unavoidable per-row binary decode is
+vectorized numpy/pyarrow.
+
+Output columns (the ``asset_metadata`` schema of FIXTURES.md §2 — field set
+mirrors ``AssetMetadata.to_dict``, metadata.py:327-359):
+
+    asset_id item_id tile_id href original_href asset_type media_type: string
+    datetime start_datetime end_datetime: timestamp[us] (UTC by convention)
+    proj_epsg: int32;  shape: list<int32> [h, w]
+    bbox_projected bbox_lat_lon transform: list<float64> (flat, 4/4/6)
+    bands_json: string (list-of-band dicts; JSON keeps blocks simple)
+    file_size: int64
+    + engine extras: lon lat: float64 (WGS84 centroid), cell: int64,
+      caption: string, phash: int64, px_min px_max: int32, px_mean: float64,
+      decode_ok: bool
+
+The wide ``bytes`` column is consumed here and NOT emitted — downstream
+shuffles move ~100-byte metadata rows only (SURVEY.md §7 "wide binary rows").
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..codec.raster import decode_image
+from ..datagen import tile_geo
+from ..functions.pathparse import RegexPathParser, make_parser
+from ..functions.rounding import resolution_precision, round_to_precision
+from ..geo.cell import cell_encode
+from ..geo.crs import reproject_bboxes
+
+DEFAULT_CELL_RES = 6
+
+SMOKE_GEO = {
+    # the reference's mock rasters carry no transform -> rasterio identity
+    # (golden proj:transform [1,0,0,0,1,0], proj:bbox [0,180,240,0])
+    "epsg": 4326,
+    "transform": [1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+}
+
+
+class DecodeExtract:
+    """Actor-pool callable: (images batch) -> (asset metadata batch)."""
+
+    def __init__(
+        self,
+        parser: str = "SmokeObservationsParser",
+        cell_res: int = DEFAULT_CELL_RES,
+        href_template: Optional[str] = None,
+        decode: bool = True,
+    ):
+        # once per actor: compiled regex plan + transform cache via crs lru_cache
+        self.parser: RegexPathParser = make_parser(parser)
+        self.cell_res = cell_res
+        self.href_template = href_template
+        self.decode = decode
+        self._tile_geo_cache: Dict[str, dict] = {}
+
+    def _geo_for_tiles(self, tiles: np.ndarray, n: int):
+        """Per-row georeferencing arrays from the tile column (cached per
+        actor — the broadcast-small-side pattern, SURVEY.md J1)."""
+        epsg = np.empty(n, dtype=np.int64)
+        transform = np.empty((n, 6), dtype=np.float64)
+        for i, t in enumerate(tiles):
+            if t is None or t == "global":
+                epsg[i] = SMOKE_GEO["epsg"]
+                transform[i] = SMOKE_GEO["transform"]
+            else:
+                g = self._tile_geo_cache.get(t)
+                if g is None:
+                    g = tile_geo(t)
+                    self._tile_geo_cache[t] = g
+                epsg[i] = g["epsg"]
+                transform[i] = g["transform"]
+        return epsg, transform
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        image_ids = batch["image_id"]
+        parsed = self.parser.parse_column(image_ids)
+        w = np.asarray(batch["w"], dtype=np.int64)
+        h = np.asarray(batch["h"], dtype=np.int64)
+
+        tiles = np.array(parsed.get("tile", pa.nulls(n, pa.string())).to_pylist(), dtype=object)
+        epsg, transform = self._geo_for_tiles(tiles, n)
+
+        # raster bounds from the affine transform, exactly like rasterio's
+        # dataset.bounds: corners (0,0) and (w,h) -> (left, bottom, right, top)
+        left = transform[:, 2]
+        top = transform[:, 5]
+        right = transform[:, 0] * w + transform[:, 2]
+        bottom = transform[:, 4] * h + transform[:, 5]
+
+        # M17 rounding rule (mapper.py:130-144)
+        prec = resolution_precision(transform[:, 0])
+        bounds_proj = round_to_precision(np.stack([left, bottom, right, top], axis=1), prec)
+        transform_r = round_to_precision(transform, prec)
+
+        # bbox_lat_lon: reproject the (normalized) projected envelope per EPSG
+        # group, then normalize (shapely .bounds semantics, metadata.py:208-214)
+        norm_proj = np.stack(
+            [
+                np.minimum(bounds_proj[:, 0], bounds_proj[:, 2]),
+                np.minimum(bounds_proj[:, 1], bounds_proj[:, 3]),
+                np.maximum(bounds_proj[:, 0], bounds_proj[:, 2]),
+                np.maximum(bounds_proj[:, 1], bounds_proj[:, 3]),
+            ],
+            axis=1,
+        )
+        bbox_ll = np.empty_like(norm_proj)
+        for code in np.unique(epsg):
+            m = epsg == code
+            if code == 4326:
+                bbox_ll[m] = norm_proj[m]
+            else:
+                # densify=2 == corners only: the reference reprojects the
+                # 5-vertex box polygon and takes .bounds (metadata.py:208-214)
+                bbox_ll[m] = reproject_bboxes(norm_proj[m], int(code), 4326, densify=2)
+
+        lon = (bbox_ll[:, 0] + bbox_ll[:, 2]) * 0.5
+        lat = (bbox_ll[:, 1] + bbox_ll[:, 3]) * 0.5
+        cell = cell_encode(lon, lat, self.cell_res)
+
+        # decode pixels (per-row loop over opaque binary payloads; each decode
+        # is numpy-vectorized internally)
+        px_min = np.zeros(n, dtype=np.int32)
+        px_max = np.zeros(n, dtype=np.int32)
+        px_mean = np.zeros(n, dtype=np.float64)
+        decode_ok = np.ones(n, dtype=bool)
+        file_size = np.empty(n, dtype=np.int64)
+        byte_col = batch["bytes"].combine_chunks() if isinstance(batch["bytes"], pa.ChunkedArray) else batch["bytes"]
+        fmt_col = batch["fmt"].to_pylist()
+        for i in range(n):
+            buf = byte_col[i].as_py()
+            file_size[i] = len(buf)
+            if not self.decode:
+                continue
+            try:
+                px = decode_image(buf, fmt_col[i])
+                if px.shape != (h[i], w[i]):
+                    decode_ok[i] = False
+                    continue
+                px_min[i] = int(px.min())
+                px_max[i] = int(px.max())
+                px_mean[i] = float(px.mean())
+            except Exception:
+                decode_ok[i] = False
+
+        # hrefs: original = image_id; href via template (M11 semantics)
+        ids = image_ids.combine_chunks() if isinstance(image_ids, pa.ChunkedArray) else image_ids
+        id_list = ids.to_pylist()
+        if self.href_template:
+            hrefs = [self.href_template.format(path=p) for p in id_list]
+        else:
+            hrefs = id_list
+        # asset_id = path stem (mapper.py:171)
+        asset_ids = [p.rsplit("/", 1)[-1].rsplit(".", 1)[0] for p in id_list]
+        item_ids = parsed.get("item_id")
+        bands_json = json.dumps(
+            [{"data_type": "uint16", "index": 0, "nodata": None, "units": None}]
+        )
+
+        out = {
+            "asset_id": pa.array(asset_ids, pa.string()),
+            "item_id": pc_fill_string(item_ids, asset_ids, n),
+            "tile_id": pa.array([None if t is None else str(t) for t in tiles], pa.string()),
+            "href": pa.array(hrefs, pa.string()),
+            "original_href": pa.array(id_list, pa.string()),
+            "asset_type": parsed.get("asset_type", pa.nulls(n, pa.string())),
+            "media_type": pa.array(["image/tiff; application=geotiff; profile=cloud-optimized"] * n),
+            "datetime": parsed["datetime"],
+            "start_datetime": parsed["start_datetime"],
+            "end_datetime": parsed["end_datetime"],
+            "proj_epsg": pa.array(epsg.astype(np.int32)),
+            "shape": pa.array(np.stack([h, w], axis=1).astype(np.int32).tolist(), pa.list_(pa.int32())),
+            "bbox_projected": pa.array(bounds_proj.tolist(), pa.list_(pa.float64())),
+            "bbox_lat_lon": pa.array(bbox_ll.tolist(), pa.list_(pa.float64())),
+            "transform": pa.array(transform_r.tolist(), pa.list_(pa.float64())),
+            "bands_json": pa.array([bands_json] * n, pa.string()),
+            "file_size": pa.array(file_size),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+            "cell": pa.array(cell),
+            "caption": batch["caption"],
+            "phash": batch["phash"],
+            "px_min": pa.array(px_min),
+            "px_max": pa.array(px_max),
+            "px_mean": pa.array(px_mean),
+            "decode_ok": pa.array(decode_ok),
+        }
+        return pa.table(out)
+
+
+def pc_fill_string(col, fallback: list, n: int) -> pa.Array:
+    """item_id falls back to asset_id where the parser matched nothing
+    (model_post_init, metadata.py:194-195)."""
+    import pyarrow.compute as pc
+
+    if col is None:
+        return pa.array(fallback, pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.coalesce(col, pa.array(fallback, pa.string()))
+
+
+class InvariantCheck:
+    """Per-row invariant stage (BASELINE.json): decoded-pixel PSNR >= 40 dB
+    against the deterministic regenerated pixels + caption equality.  Used in
+    tests and QA runs, not in the hot path."""
+
+    def __init__(self, min_psnr: float = 40.0):
+        self.min_psnr = min_psnr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codec.raster import psnr
+        from ..datagen import (
+            caption_for,
+            gradient_pixels,
+            row_pixel_params,
+            smoke_row_ids,
+        )
+
+        n = batch.num_rows
+        ok_pix = np.zeros(n, dtype=bool)
+        ok_cap = np.zeros(n, dtype=bool)
+        smoke_set = set(smoke_row_ids())
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        bts = batch["bytes"].combine_chunks() if isinstance(batch["bytes"], pa.ChunkedArray) else batch["bytes"]
+        for i in range(n):
+            decoded = decode_image(bts[i].as_py(), fmts[i])
+            image_id = ids[i]
+            stem = image_id.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            parts = stem.split("_")
+            if image_id in smoke_set:
+                expected = gradient_pixels(ws[i], hs[i])
+                atype, date, tile = parts[1], parts[2], "global"
+            else:
+                # scale rows: recover the row index from deterministic fields is
+                # not possible from id alone; regenerate via phash equality instead
+                expected = None
+                atype, tile, date = parts[1], parts[2], parts[3]
+            if expected is not None:
+                ok_pix[i] = psnr(decoded, expected) >= self.min_psnr
+            else:
+                from ..codec.phash import phash64
+
+                ok_pix[i] = phash64(decoded) == batch["phash"][i].as_py()
+            y, mo, dd = int(date[0:4]), int(date[5:7]), int(date[8:10])
+            ok_cap[i] = caps[i] == caption_for(atype, tile, y, mo, dd)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "pixels_ok": pa.array(ok_pix),
+                "caption_ok": pa.array(ok_cap),
+            }
+        )

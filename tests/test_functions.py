@@ -1,0 +1,101 @@
+"""Unit tests for the vectorized scalar-function layer (no Ray)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stac_catalog_builder_ray.functions.datetimes import (
+    iso_z,
+    period_end,
+    ymd_to_datetime64,
+)
+from stac_catalog_builder_ray.functions.pathparse import RegexPathParser, make_parser
+from stac_catalog_builder_ray.functions.rounding import (
+    resolution_precision,
+    round_to_precision,
+)
+
+
+class TestDatetimes:
+    def test_ymd(self):
+        out = ymd_to_datetime64([2000, 2024], [1, 2], [1, 29])
+        assert str(out[0]) == "2000-01-01T00:00:00.000000"
+        assert str(out[1]) == "2024-02-29T00:00:00.000000"
+
+    # period-end table mirrors the reference's parametrized tests
+    # (tests/test_pathparser.py daily/monthly/yearly)
+    @pytest.mark.parametrize(
+        "period,start,end",
+        [
+            ("monthly", "2000-01-01", "2000-01-31T23:59:59"),
+            ("monthly", "2000-02-15", "2000-02-29T23:59:59"),  # leap year monthrange
+            ("monthly", "2001-02-01", "2001-02-28T23:59:59"),
+            ("yearly", "2000-06-01", "2000-12-31T23:59:59"),
+            ("daily", "2000-01-05", "2000-01-05T23:59:59"),
+            ("secondly", "2000-01-05", "2000-01-05T00:00:01"),
+        ],
+    )
+    def test_period_end(self, period, start, end):
+        got = period_end(np.array([start], "M8[us]"), period)
+        assert str(got[0]).startswith(end)
+
+    def test_iso_z(self):
+        assert iso_z(np.datetime64("2000-01-01T00:00:00", "us")) == "2000-01-01T00:00:00Z"
+
+
+class TestPathParser:
+    def test_smoke_parser(self):
+        p = make_parser("SmokeObservationsParser")
+        out = p.parse_column(
+            pa.array(
+                [
+                    "2000/observations_2m-temp-monthly_2000-01-01.tif",
+                    "not-a-match.txt",
+                ]
+            )
+        )
+        assert out["asset_type"].to_pylist() == ["2m-temp-monthly", None]
+        assert out["item_id"].to_pylist() == ["observations_2000-01-01", None]
+        assert out["end_datetime"].to_pylist()[0].isoformat() == "2000-01-31T23:59:59"
+
+    def test_tiled_parser(self):
+        p = make_parser("TiledObservationsParser")
+        out = p.parse_column(
+            pa.array(["tiles/E07N12/2003/observations_tot-precip-monthly_E07N12_2003-11-01.tif"])
+        )
+        assert out["tile"].to_pylist() == ["E07N12"]
+        assert out["item_id"].to_pylist() == ["observations_E07N12_2003-11-01"]
+
+    def test_fixed_value_templating(self):
+        p = RegexPathParser(
+            pattern=r"(?P<a>\w+)-(?P<b>\w+)\.dat$",
+            fixed_values={"combo": "x_{a}_{b}", "const": "k"},
+        )
+        out = p.parse_column(pa.array(["foo-bar.dat"]))
+        assert out["combo"].to_pylist() == ["x_foo_bar"]
+        assert out["const"].to_pylist() == ["k"]
+
+    def test_unknown_parser_raises(self):
+        with pytest.raises(ValueError, match="Unknown parser"):
+            make_parser("NoSuchParser")
+
+    def test_no_named_groups_raises(self):
+        with pytest.raises(ValueError, match="named groups"):
+            RegexPathParser(pattern=r"\d+")
+
+    def test_bad_period_raises(self):
+        with pytest.raises(ValueError, match="period"):
+            RegexPathParser(pattern=r"(?P<year>\d{4})", period="weekly")
+
+
+class TestRounding:
+    def test_reference_rule(self):
+        # mapper.py:134: res 1.0 -> |log10(0.001)| = 3; res 10 -> 2; res 0.00625 -> 5
+        np.testing.assert_array_equal(resolution_precision([1.0, 10.0, 0.00625]), [3, 2, 5])
+
+    def test_fallback_six(self):
+        np.testing.assert_array_equal(resolution_precision([0.0, np.nan]), [6, 6])
+
+    def test_round_rows(self):
+        got = round_to_precision(np.array([[1.23456, 9.87654], [1.23456, 9.87654]]), np.array([2, 4]))
+        np.testing.assert_allclose(got, [[1.23, 9.88], [1.2346, 9.8765]])
