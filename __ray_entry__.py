@@ -1,44 +1,206 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship spatial-catalog pipeline (decode -> metadata ->
+item assembly -> PIP join -> tile assignment -> extent aggregate) over an
+images table deterministically derived from the sf0.001 testdata.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` cover the operator inventory of SURVEY.md §2
+plus the training-data operators (dedup, text analysis, ANN); each oracle is
+ANSI SQL DuckDB runs on the same parquet tables.  Rows-only entries (no
+oracle) are the genuinely non-SQL-expressible ops (MinHash-LSH, SimHash,
+catalog JSON assembly).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stac_catalog_builder_ray.geo.cell import cell_encode_sql  # noqa: E402
+from stac_catalog_builder_ray.pipelines import geospatial as G  # noqa: E402
+from stac_catalog_builder_ray.pipelines import relational as R  # noqa: E402
+from stac_catalog_builder_ray.pipelines import text as T  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; returns the item Dataset."""
+    from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+        images_from_documents,
+        index_and_join,
+    )
+
+    images = images_from_documents("/root/testdata/sf0.001", "/tmp/scbr-cache")
+    res = index_and_join(images, out_root=None, checkpoint=False)
+    return res["items"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # scans / projections / scalar functions
+        "filter_project": R.q_filter_project,
+        "string_ops": R.q_string_ops,
+        "month_end": R.q_month_end,
+        # aggregates
+        "pricing_summary": R.q_pricing_summary,
+        "minmax_by_year": R.q_minmax_by_year,
+        "count_by_type": R.q_count_by_type,
+        "duplicate_ids": R.q_duplicate_ids,
+        # joins
+        "join_broadcast": R.q_join_broadcast,
+        "join_hash": R.q_join_hash,
+        "anti_join": R.q_anti_join,
+        "semi_join": R.q_semi_join,
+        # dedup / sort / union
+        "dedup_first": R.q_dedup_first,
+        "top_orders": R.q_top_orders,
+        "union_names": R.q_union_names,
+        # windows / streaming-shaped
+        "running_sum": R.q_running_sum,
+        "hourly_window": R.q_hourly_window,
+        # geospatial (north rule)
+        "cell_index": G.q_cell_index,
+        "pip_join": G.q_pip_join,
+        "knn": G.q_knn,
+        "tile_assign": G.q_tile_assign,
+        "cell_extents": G.q_cell_extents,
+        # text analysis / dedup / similarity (training-data ops)
+        "token_count": T.q_token_count,
+        "quality_score": T.q_quality_score,
+        "dedup_exact_text": T.q_dedup_exact_text,
+        "ngram_jaccard_pairs": T.q_ngram_jaccard_pairs,
+        "langid": T.q_langid,
+        "minhash_dedup": T.q_minhash_dedup,
+        "simhash": T.q_simhash,
+        "fingerprint": T.q_fingerprint,
+        "ann_cosine": T.q_ann_cosine,
+        "embedding_dedup": T.q_embedding_dedup,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LON, _LAT = G.lonlat_sql("event_id")
+_PTS = f"SELECT event_id, {_LON} AS lon, {_LAT} AS lat FROM events"
+_CELL6 = cell_encode_sql("lon", "lat", 6)
+_CELL4 = cell_encode_sql("lon", "lat", 4)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue "
+            "FROM lineitem WHERE l_quantity > 45"
+        ),
+        "string_ops": (
+            "SELECT p_partkey, 's3://bucket/parts/' || CAST(p_partkey AS VARCHAR) || '.dat' AS href, "
+            "upper(p_name) AS name_upper, "
+            "CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num FROM part"
+        ),
+        "month_end": (
+            "SELECT o_orderkey, CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) "
+            "+ INTERVAL 86399 SECOND AS month_end FROM orders"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents, "
+            "ROUND(AVG(l_quantity), 2) AS avg_qty, COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "minmax_by_year": (
+            "SELECT year(o_orderdate) AS o_year, MIN(o_totalprice) AS min_price, "
+            "MAX(o_totalprice) AS max_price, COUNT(*) AS n_orders FROM orders GROUP BY 1"
+        ),
+        "count_by_type": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+        "duplicate_ids": (
+            "SELECT user_id, event_type, COUNT(*) AS n FROM events "
+            "GROUP BY 1, 2 HAVING COUNT(*) > 5"
+        ),
+        "join_broadcast": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "join_hash": (
+            "SELECT year(o_orderdate) AS o_year, o_orderpriority, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS revenue_cents, COUNT(*) AS n_lines "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2"
+        ),
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+        ),
+        "semi_join": (
+            "SELECT p_partkey, p_name FROM part "
+            "WHERE p_partkey IN (SELECT l_partkey FROM lineitem)"
+        ),
+        "dedup_first": (
+            "SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "union_names": (
+            "SELECT r_name AS name, 'region' AS src FROM region "
+            "UNION ALL SELECT n_name AS name, 'nation' AS src FROM nation"
+        ),
+        "running_sum": (
+            "SELECT event_id, user_id, CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS running_value_e4 FROM events"
+        ),
+        "hourly_window": (
+            "SELECT user_id, date_trunc('hour', ts) AS window_start, "
+            "CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_value_e4, "
+            "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
+        "pip_join": (
+            f"WITH pts AS ({_PTS}) SELECT event_id, a.aoi_id FROM pts, (VALUES "
+            "('aoi_world', -180.0, -90.0, 180.0, 90.0), "
+            "('aoi_mid', -30.0, -20.0, 30.0, 20.0), "
+            "('aoi_ne', 100.0, 40.0, 170.0, 85.0)) AS a(aoi_id, w, s, e, n) "
+            "WHERE lon BETWEEN a.w AND a.e AND lat BETWEEN a.s AND a.n"
+        ),
+        "knn": (
+            f"WITH pts AS ({_PTS}) SELECT event_id, neighbor_id FROM ("
+            "SELECT q.event_id, c.event_id AS neighbor_id, row_number() OVER ("
+            "PARTITION BY q.event_id ORDER BY "
+            "((q.lon - c.lon) * (q.lon - c.lon) + (q.lat - c.lat) * (q.lat - c.lat)), c.event_id) AS rn "
+            "FROM pts q JOIN pts c ON c.event_id <> q.event_id "
+            f"WHERE q.event_id % {G.KNN_QUERY_MOD} = 0) WHERE rn <= {G.KNN_K}"
+        ),
+        "tile_assign": (
+            f"WITH pts AS ({_PTS}), boxes AS (SELECT event_id, "
+            f"GREATEST(0, LEAST(CAST(floor((lon - {G.FOOT_DLON} + 180.0) / 360.0 * 64) AS BIGINT), 63)) AS x0, "
+            f"GREATEST(0, LEAST(CAST(floor((lon + {G.FOOT_DLON} + 180.0) / 360.0 * 64) AS BIGINT), 63)) AS x1, "
+            f"GREATEST(0, LEAST(CAST(floor((lat - {G.FOOT_DLAT} + 90.0) / 180.0 * 64) AS BIGINT), 63)) AS y0, "
+            f"GREATEST(0, LEAST(CAST(floor((lat + {G.FOOT_DLAT} + 90.0) / 180.0 * 64) AS BIGINT), 63)) AS y1 "
+            "FROM pts), "
+            "xs AS (SELECT event_id, unnest(generate_series(x0, x1)) AS x, y0, y1 FROM boxes), "
+            "xy AS (SELECT event_id, x, unnest(generate_series(y0, y1)) AS y FROM xs) "
+            "SELECT event_id, ((CAST(6 AS BIGINT) << 58) | (x << 29) | y) AS tile_cell FROM xy"
+        ),
+        "cell_extents": (
+            f"WITH pts AS ({_PTS}) SELECT {_CELL4} AS cell, COUNT(*) AS n_points, "
+            "MIN(lon) AS west, MIN(lat) AS south, MAX(lon) AS east, MAX(lat) AS north "
+            "FROM pts GROUP BY 1"
+        ),
+        "token_count": T.SQL_TOKEN_COUNT,
+        "quality_score": T.SQL_QUALITY_SCORE,
+        "dedup_exact_text": T.SQL_DEDUP_EXACT,
+        "ngram_jaccard_pairs": T.SQL_NGRAM_JACCARD,
+        "langid": T.SQL_LANGID,
+        # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
+        # genuinely non-SQL-expressible (hash permutations / bit ops on binary
+        # sketches / float matmul) -> rows-only checks
+    }

@@ -24,6 +24,15 @@ def resolution_precision(res_x) -> np.ndarray:
     return p
 
 
+def round_half_away(values, decimals: int = 0):
+    """Round half away from zero — matching SQL ROUND (DuckDB), unlike
+    numpy/python banker's rounding.  Used by every query whose oracle does
+    ``ROUND(x, d)`` so 0.03125 -> 0.0313 on both sides."""
+    v = np.asarray(values, dtype=np.float64)
+    scale = 10.0**decimals
+    return np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
+
+
 def round_to_precision(values: np.ndarray, precision: np.ndarray) -> np.ndarray:
     """Row-wise round-half-even to per-row decimal counts, vectorized:
     multiply by 10^p, round, divide.  Matches Python ``round(v, p)`` (both

@@ -1,0 +1,140 @@
+"""Geospatial operator suite with SQL-expressible oracles.
+
+The driver's DuckDB oracle can only see the testdata tables, so these
+queries derive deterministic points from ``events`` by pure arithmetic
+(identical in SQL) and run the engine's spatial operators on them:
+
+    lon = (event_id % 3600) / 10.0 - 180.0 + 0.05
+    lat = ((event_id * 7) % 1800) / 10.0 - 90.0 + 0.05
+
+The cell encoding is the engine's SQL-expressible quadtree (geo/cell.py);
+PIP uses inclusive rectangle AOIs (matching SQL BETWEEN); kNN uses Euclidean
+distance on degrees with (dist, id) tie-break; tile assignment explodes a
+±(0.8, 0.6)-degree footprint.  The same operator implementations back the
+flagship catalog pipeline — these entries exist so the driver can
+hash-verify them against SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+from ..geo.cell import cell_encode
+from ..stages.spatial import assign_tiles, knn_join, pip_join
+
+CELL_RES = 6
+KNN_K = 3
+KNN_QUERY_MOD = 97
+FOOT_DLON = 0.8
+FOOT_DLAT = 0.6
+
+# the 3 fixed AOI rectangles (inclusive bounds), mirrored literally in SQL
+AOIS = [
+    {"aoi_id": "aoi_world", "west": -180.0, "south": -90.0, "east": 180.0, "north": 90.0},
+    {"aoi_id": "aoi_mid", "west": -30.0, "south": -20.0, "east": 30.0, "north": 20.0},
+    {"aoi_id": "aoi_ne", "west": 100.0, "south": 40.0, "east": 170.0, "north": 85.0},
+]
+
+
+def lonlat_sql(event_col: str = "event_id"):
+    lon = f"(({event_col} % 3600) / 10.0 - 180.0 + 0.05)"
+    lat = f"((({event_col} * 7) % 1800) / 10.0 - 90.0 + 0.05)"
+    return lon, lat
+
+
+def events_points(sf_dir: str):
+    """events -> (event_id, lon, lat) Dataset (column-pruned read)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        return pa.table({"event_id": t["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_cell_index(sf_dir: str):
+    """lon/lat -> quadtree cell id at res 6 (the partition key of every
+    spatial shuffle)."""
+    pts = events_points(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cells = cell_encode(
+            t["lon"].to_numpy(zero_copy_only=False), t["lat"].to_numpy(zero_copy_only=False), CELL_RES
+        )
+        return pa.table({"event_id": t["event_id"], "cell": pa.array(cells)})
+
+    return pts.map_batches(fn, batch_format="pyarrow")
+
+
+def q_pip_join(sf_dir: str):
+    """J4 point-in-polygon broadcast join -> (event_id, aoi_id) rows."""
+    return pip_join(events_points(sf_dir), AOIS, id_col="event_id", concurrency=(1, 4))
+
+
+def q_knn(sf_dir: str):
+    """J5 kNN: for every query point (event_id % 97 == 0) its 3 nearest
+    other points -> (event_id, neighbor_id).  The engine computes kNN for
+    all points via the cell-ring shuffle; queries are filtered after (the
+    oracle's QUALIFY does the same restriction)."""
+    got = knn_join(events_points(sf_dir), k=KNN_K, res=4, id_col="event_id")
+
+    def keep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(eid % KNN_QUERY_MOD == 0))
+        return pa.table({"event_id": t["event_id"], "neighbor_id": t["neighbor_id"]})
+
+    return got.map_batches(keep, batch_format="pyarrow")
+
+
+def q_tile_assign(sf_dir: str):
+    """J6 raster->vector: ±(0.8, 0.6) deg footprints exploded to covering
+    res-6 cells -> (event_id, tile_cell)."""
+    pts = events_points(sf_dir)
+
+    def foot(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "west": pa.array(lon - FOOT_DLON),
+                "south": pa.array(lat - FOOT_DLAT),
+                "east": pa.array(lon + FOOT_DLON),
+                "north": pa.array(lat + FOOT_DLAT),
+            }
+        )
+
+    return assign_tiles(pts.map_batches(foot, batch_format="pyarrow"), res=CELL_RES, id_col="event_id")
+
+
+def q_cell_extents(sf_dir: str):
+    """A1 per-cell extent aggregate: count + lon/lat envelope per res-4 cell
+    (the grouped-collection extent fold over the spatial partition key)."""
+    pts = events_points(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cells = cell_encode(
+            t["lon"].to_numpy(zero_copy_only=False), t["lat"].to_numpy(zero_copy_only=False), 4
+        )
+        return t.append_column("cell", pa.array(cells))
+
+    return (
+        pts.map_batches(fn, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            Count(alias_name="n_points"),
+            Min("lon", alias_name="west"),
+            Min("lat", alias_name="south"),
+            Max("lon", alias_name="east"),
+            Max("lat", alias_name="north"),
+        )
+    )

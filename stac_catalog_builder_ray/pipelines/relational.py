@@ -1,0 +1,388 @@
+"""Relational operator suite over the driver's TPC-H-ish parquet tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame / Arrow
+table; ``__ray_entry__.oracle_sql`` carries the matching DuckDB SQL.  These
+exercise the generic operator surface of SURVEY.md §2 (filters M19,
+projections M11-M17, joins J1-J3, aggregates A1-A6, dedup O5, sort/top-k
+O1-O3, union O6, windows §2.8) on neutral data so the driver can
+hash-compare against SQL.
+
+Column names are chosen to match the oracle SQL exactly (the driver sorts
+columns by name before hashing).  Float aggregates that SUM many doubles are
+rounded to 2 decimals ON BOTH SIDES (summation order differs between
+engines); per-row float arithmetic is left exact (IEEE-identical).
+
+Scale notes (100 TB discipline): every read passes ``columns=``; joins
+declare which side is broadcast vs hash-partitioned; aggregates that can
+pre-combine per batch do so.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _t(sf_dir: str, name: str, columns: Optional[list] = None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _round2(tbl: pa.Table, cols) -> pa.Table:
+    from ..functions.rounding import round_half_away
+
+    for c in cols:
+        vals = round_half_away(tbl[c].to_numpy(zero_copy_only=False), 2)
+        tbl = tbl.set_column(tbl.schema.get_field_index(c), c, pa.array(vals))
+    return tbl
+
+
+# --- scans / filters / projections ------------------------------------------
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized filter + computed projection (per-row float math is exact
+    in both engines)."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"], "revenue": rev}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_string_ops(sf_dir: str):
+    """String projections (M11/M12 href building + M1 regex extract)."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        href = pc.binary_join_element_wise(
+            pa.array(["s3://bucket/parts/"] * t.num_rows),
+            pc.cast(t["p_partkey"], pa.string()),
+            pa.array([".dat"] * t.num_rows),
+            pa.array([""] * t.num_rows),
+        )
+        brand_num = pc.struct_field(pc.extract_regex(t["p_brand"], r"Brand#(?P<num>\d+)"), "num")
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "href": href,
+                "name_upper": pc.utf8_upper(t["p_name"]),
+                "brand_num": pc.cast(brand_num, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_month_end(sf_dir: str):
+    """Period-end semantics (M2/M7: monthly end = last day 23:59:59)."""
+    from ..functions.datetimes import period_end
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        starts = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("M8[us]")
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "month_end": pa.array(period_end(starts, "monthly"), pa.timestamp("us")),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- aggregates -------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter -> groupby -> multi-aggregate (A1/A6)."""
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        # money as per-row-rounded integer cents: int sums are EXACT under any
+        # partial-aggregation order, so Ray and DuckDB agree bit-for-bit
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "base_cents": pa.array(round_half_away(ext * 100.0).astype(np.int64)),
+                "disc_cents": pa.array(round_half_away(ext * (1.0 - disc) * 100.0).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_price_cents"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    from ..functions.rounding import round_half_away
+
+    pdf = out.to_pandas()
+    pdf["sum_base_price_cents"] = pdf["sum_base_price_cents"].astype("int64")
+    pdf["sum_disc_price_cents"] = pdf["sum_disc_price_cents"].astype("int64")
+    pdf["avg_qty"] = round_half_away(pdf["avg_qty"].to_numpy(), 2)
+    return pdf
+
+
+def q_minmax_by_year(sf_dir: str):
+    """Extent-union analog (A1/A2): min/max are exact, no float-sum issues."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": pc.year(t["o_orderdate"]),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Min("o_totalprice", alias_name="min_price"),
+            Max("o_totalprice", alias_name="max_price"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+
+def q_count_by_type(sf_dir: str):
+    """Pre-aggregated counts: partial value_counts per batch, tiny final
+    groupby over partials (the A-series partial+final pattern)."""
+    ds = _t(sf_dir, "events", ["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["event_type"].combine_chunks().value_counts()
+        return pa.table({"event_type": vc.field("values"), "n": vc.field("counts")})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_duplicate_ids(sf_dir: str):
+    """A5: duplicate detection — (user_id, event_type) pairs seen > 5 times."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    out = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="n"))
+    return out.filter(lambda r: r["n"] > 5)
+
+
+# --- joins ------------------------------------------------------------------
+
+
+def q_join_broadcast(sf_dir: str):
+    """J1: small side (customer) broadcast via ray.put, probed per batch —
+    no shuffle."""
+    cust = (
+        _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+        .to_pandas()
+    )
+    cust = cust[cust["c_mktsegment"] == "BUILDING"]
+    ref = ray.put(cust.set_index("c_custkey")[["c_name"]])
+
+    class Probe:
+        def __init__(self):
+            self.cust = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            j = df.merge(self.cust, left_on="o_custkey", right_index=True, how="inner")
+            return pa.Table.from_pandas(
+                j[["o_orderkey", "o_custkey", "o_totalprice", "c_name"]], preserve_index=False
+            )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_join_hash(sf_dir: str):
+    """Large-large hash join: Ray's partitioned ``Dataset.join`` (lineitem x
+    orders on orderkey), then a grouped aggregate."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(ext * (1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_cents": pa.array(cents)})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def oyear(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.year(t["o_orderdate"]),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    orders = orders.map_batches(oyear, batch_format="pyarrow")
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    out = joined.groupby(["o_year", "o_orderpriority"]).aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_lines")
+    )
+    pdf = out.to_pandas()
+    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
+    return pdf
+
+
+def q_anti_join(sf_dir: str):
+    """J2/M20 anti-join: customers with no order above 300k.  Key set of the
+    probe side is small -> broadcast a python set, filter vectorized."""
+    big = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        lambda r: r["o_totalprice"] > 300000.0
+    )
+    custkeys_with_orders = big.unique("o_custkey")
+    ref = ray.put(set(custkeys_with_orders))
+
+    class Drop:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+    return (
+        _t(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(Drop, batch_format="pyarrow", concurrency=(1, 2))
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """J3 semi-join: parts that appear in lineitem (broadcast key set)."""
+    partkeys = _t(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
+    ref = ray.put(set(partkeys))
+
+    class Keep:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k in self.keys for k in t["p_partkey"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+    return (
+        _t(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(Keep, batch_format="pyarrow", concurrency=(1, 2))
+    )
+
+
+# --- dedup / sort / top-k / union ------------------------------------------
+
+
+def q_dedup_first(sf_dir: str):
+    """O5 exact dedup keep-first: hash-partition on the key, per-group first
+    by (ts, event_id) — no global state (vs the reference's driver-side
+    ``set``, terracatalog.py:517-519)."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").head(1)
+        g = g[["user_id", "event_type", "event_id", "ts"]]
+        return g.rename(columns={"event_id": "first_event_id", "ts": "first_ts"})
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pandas")
+
+
+def q_top_orders(sf_dir: str):
+    """O1-O3 sort + limit with deterministic tie-break."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_union_names(sf_dir: str):
+    """O6 union of two sources with provenance tag."""
+    r = _t(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"], "src": pa.array(["region"] * t.num_rows)}),
+        batch_format="pyarrow",
+    )
+    n = _t(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"], "src": pa.array(["nation"] * t.num_rows)}),
+        batch_format="pyarrow",
+    )
+    return r.union(n)
+
+
+# --- windows (streaming-shaped, §2.8) ---------------------------------------
+
+
+def q_running_sum(sf_dir: str):
+    """Per-user running sum over the ordered event log (ordering assumption:
+    (ts, event_id) defines the stream order within a user partition)."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        v4 = round_half_away(g["value"].to_numpy() * 10000.0).astype("int64")
+        g["running_value_e4"] = v4.cumsum()
+        return g[["event_id", "user_id", "running_value_e4"]]
+
+    return ds.groupby("user_id").map_groups(run, batch_format="pandas")
+
+
+def q_hourly_window(sf_dir: str):
+    """Tumbling 1-hour event-time window per user: window start + count +
+    sum (windows as groupby over floored event time)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        v4 = round_half_away(t["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_e4": pa.array(v4),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("value_e4", alias_name="sum_value_e4"), Count(alias_name="n_events"))
+    )
+    pdf = out.to_pandas()
+    pdf["sum_value_e4"] = pdf["sum_value_e4"].astype("int64")
+    return pdf

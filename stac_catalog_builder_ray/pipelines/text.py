@@ -1,0 +1,189 @@
+"""Text / dedup / similarity queries over the driver's ``documents`` and
+``embeddings`` tables, with DuckDB oracle SQL where expressible.
+
+SQL-semantic alignment notes:
+- token counts: python ``str.split()`` == SQL regexp split of trimmed text
+  with the empty-string guard
+- ratios: int/int double division — bit-identical across engines
+- jaccard: DISTINCT word sets, round(…, 4) on both sides
+- minhash/simhash/fingerprint/ANN: hash permutations, bit sketches and
+  float matmuls — genuinely non-SQL-expressible, rows-only checks
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..stages.ann import brute_force_topk
+from ..stages.dedup import (
+    SimHashStage,
+    embedding_neardup_pairs,
+    minhash_candidate_pairs,
+    verify_jaccard,
+)
+from ..stages.text import (
+    LangIdStage,
+    fingerprint_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _emb(sf_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
+# --- oracle-checked ---------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(token_count_batch, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens FROM documents"
+)
+
+
+def q_quality_score(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+SQL_QUALITY_SCORE = (
+    "SELECT doc_id, length(text) AS n_chars, "
+    "CASE WHEN trim(text) = '' THEN 0 ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+    "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_count, "
+    "ROUND((CASE WHEN trim(text) = '' THEN 0 ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) "
+    "/ (1.0 + length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))), 4) AS quality "
+    "FROM documents"
+)
+
+
+def q_dedup_exact_text(sf_dir: str):
+    """Exact text dedup: keep min doc_id per distinct text (hash-partitioned
+    groupby, no global seen-set)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        return pd.DataFrame(
+            {"keep_id": [g["doc_id"].iloc[0]], "n_copies": [len(g)], "text": [g["text"].iloc[0]]}
+        )
+
+    return ds.groupby("text").map_groups(first, batch_format="pandas")
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text FROM documents GROUP BY text"
+)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact distinct-word Jaccard for consecutive doc pairs (doc_id, doc_id+1)
+    — the verification kernel of near-dedup, on an oracle-computable pair set."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        # distinct words packed into one space-joined string (Ray's hash join
+        # rejects list-typed non-key fields; strings pass through fine)
+        s = (
+            t["text"].to_pandas().fillna("").str.lower().str.split()
+            .map(lambda w: " ".join(sorted(set(w))))
+        )
+        return pa.table({"doc_id": t["doc_id"], "words": pa.array(s.tolist(), pa.string())})
+
+    w = ds.map_batches(words, batch_format="pyarrow")
+    left = w.map_batches(
+        lambda t: pa.table({"pair_key": pa.compute.add(t["doc_id"], 1), "doc_a": t["doc_id"], "words_a": t["words"]}),
+        batch_format="pyarrow",
+    )
+    right = w.map_batches(
+        lambda t: pa.table({"pair_key": t["doc_id"], "doc_b": t["doc_id"], "words_b": t["words"]}),
+        batch_format="pyarrow",
+    )
+    joined = left.join(right, join_type="inner", num_partitions=8, on=("pair_key",))
+
+    def jac(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.rounding import round_half_away
+
+        wa = t["words_a"].to_pylist()
+        wb = t["words_b"].to_pylist()
+        sims = []
+        for a, b in zip(wa, wb):
+            sa, sb = set(a.split()), set(b.split())
+            denom = len(sa | sb)
+            sims.append(float(round_half_away(len(sa & sb) / denom, 4)) if denom else 0.0)
+        return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"], "jaccard": pa.array(np.asarray(sims))})
+
+    return joined.map_batches(jac, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS words "
+    "FROM documents) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "ROUND(CAST(length(list_intersect(a.words, b.words)) AS DOUBLE) "
+    "/ length(list_distinct(a.words || b.words)), 4) AS jaccard "
+    "FROM t a JOIN t b ON b.doc_id = a.doc_id + 1"
+)
+
+
+def q_langid(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+SQL_LANGID = (
+    "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE "
+    "regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks FROM documents), "
+    "s AS (SELECT doc_id, length(toks) AS n_tokens, "
+    "length(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS stop_hits FROM t) "
+    "SELECT doc_id, n_tokens, stop_hits, "
+    "ROUND(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stop_rate, "
+    "CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) > 0.05 "
+    "THEN 'en' ELSE 'other' END AS pred_lang FROM s"
+)
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH candidates + exact-Jaccard verify at threshold 0.5."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cand = minhash_candidate_pairs(docs)
+    return verify_jaccard(cand, docs, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0)."""
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    queries = emb.filter(lambda r: r["vec_id"] % 50 == 0).to_pandas()
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs at threshold 0.8."""
+    return embedding_neardup_pairs(_emb(sf_dir, ["vec_id", "embedding"]), threshold=0.8)

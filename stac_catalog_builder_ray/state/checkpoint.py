@@ -1,0 +1,145 @@
+"""Checkpoint store: partitioned, atomic, resumable output with per-partition
+lineage + metrics (the north rule's "resumable from checkpoint with
+per-partition lineage + metrics").
+
+Reference analog: per-slice parquet spill + skip-if-exists resume
+(terracatalog.py:352-370,497-505, S8).  Engine contract (SURVEY.md §4):
+
+- output is partitioned by a key column (cell id, year, shard id ...)
+- each partition directory is published ATOMICALLY (write tmp, rename)
+- a lineage record per partition (`_lineage/{pid}.json`: row counts, bytes,
+  wall time, engine version) doubles as the "done" marker
+- resume = list finished partitions driver-side (cheap), broadcast the set,
+  and FILTER THE INPUT before the shuffle — finished partitions are neither
+  recomputed nor rewritten (exactly-once per partition)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional, Set
+
+import pandas as pd
+
+LINEAGE_DIR = "_lineage"
+
+
+class CheckpointStore:
+    """Filesystem-backed manifest of finished partitions + lineage records."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.lineage_dir = os.path.join(root, LINEAGE_DIR)
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    def _pid_path(self, pid: str) -> str:
+        return os.path.join(self.lineage_dir, f"{pid}.json")
+
+    def finished(self) -> Set[str]:
+        return {
+            f[: -len(".json")]
+            for f in os.listdir(self.lineage_dir)
+            if f.endswith(".json")
+        }
+
+    def is_finished(self, pid: str) -> bool:
+        return os.path.exists(self._pid_path(pid))
+
+    def mark_finished(self, pid: str, lineage: Dict) -> None:
+        path = self._pid_path(pid)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(lineage, f)
+        os.replace(tmp, path)  # atomic publish — THE done marker
+
+    def lineage(self, pid: str) -> Dict:
+        with open(self._pid_path(pid)) as f:
+            return json.load(f)
+
+    def metrics_frame(self) -> pd.DataFrame:
+        """All lineage records as one small DataFrame (per-partition metrics)."""
+        rows = [self.lineage(pid) for pid in sorted(self.finished())]
+        return pd.DataFrame(rows)
+
+
+def partition_writer(store_root: str, partition_col: str):
+    """map_groups callable: writes one partition's rows to
+    ``{root}/part={pid}/data.parquet`` atomically, records lineage, and skips
+    partitions already finished (idempotent under task retry)."""
+    store = CheckpointStore(store_root)
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        pid = str(g[partition_col].iloc[0])
+        if store.is_finished(pid):
+            return pd.DataFrame({"partition": [pid], "rows": [len(g)], "skipped": [True]})
+        t0 = time.monotonic()
+        part_dir = os.path.join(store_root, f"part={pid}")
+        tmp_dir = f"{part_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        g.to_parquet(os.path.join(tmp_dir, "data.parquet"), index=False)
+        size = sum(
+            os.path.getsize(os.path.join(tmp_dir, f)) for f in os.listdir(tmp_dir)
+        )
+        if os.path.exists(part_dir):  # a retry raced us; keep the first
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        else:
+            os.replace(tmp_dir, part_dir)
+        store.mark_finished(
+            pid,
+            {
+                "partition": pid,
+                "rows": int(len(g)),
+                "bytes": int(size),
+                "wall_sec": round(time.monotonic() - t0, 4),
+                "ts": time.time(),
+            },
+        )
+        return pd.DataFrame({"partition": [pid], "rows": [len(g)], "skipped": [False]})
+
+    return write_group
+
+
+def checkpointed_write(
+    ds,
+    store_root: str,
+    partition_col: str,
+    filter_finished: bool = True,
+):
+    """Write ``ds`` partitioned by ``partition_col`` with checkpoint/resume.
+
+    When resuming, finished partitions are filtered out BEFORE the shuffle
+    (broadcast set membership inside map_batches), so their upstream compute
+    is skipped too.  Returns the per-partition summary DataFrame."""
+    store = CheckpointStore(store_root)
+    done = store.finished()
+    if filter_finished and done:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        done_arr = pa.array(sorted(done))
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            key = pc.cast(batch[partition_col], pa.string())
+            return batch.filter(pc.invert(pc.is_in(key, value_set=done_arr)))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    summary = (
+        ds.groupby(partition_col)
+        .map_groups(partition_writer(store_root, partition_col), batch_format="pandas")
+        .to_pandas()
+    )
+    return summary
+
+
+def read_checkpointed(store_root: str, columns: Optional[list] = None):
+    """Read back a checkpointed table (all finished partitions) as a Dataset."""
+    import glob
+
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(store_root, "part=*", "*.parquet")))
+    return ray.data.read_parquet(files, columns=columns)

@@ -1,0 +1,72 @@
+"""Skew handling: hot-key detection + salting (SURVEY.md §4).
+
+The reference has no skew handling (its group-by is a driver dict); at
+engine scale a ``groupby(cell)`` over spatially clustered data (the 30%
+hot tile in the synthetic sets, or a city in real data) makes one reducer
+the straggler.  Pattern:
+
+1. cheap count pass — per-batch partial counts, then a tiny groupby — finds
+   keys above ``threshold``
+2. ``add_salted_key``: hot keys get ``{key}#{salt}`` with ``salt =
+   row_hash % fanout``; cold keys keep ``{key}#0``
+3. group on the salted key; a second, tiny aggregate over per-salt partials
+   merges the hot key's sub-results (partial + final combine, A-series)
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+
+def detect_hot_keys(ds, key_col: str, threshold: int, fanout_cap: int = 32) -> Dict[str, int]:
+    """-> {hot key -> salt fanout}.  Pre-aggregates inside map_batches (one
+    partial row per key per batch) so the groupby shuffles only partials."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch[key_col], pa.string())
+        vc = key.value_counts()
+        return pa.table({key_col: vc.field("values"), "cnt": vc.field("counts")})
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    hot = totals[totals["cnt"] > threshold]
+    return {
+        str(r[key_col]): int(min(fanout_cap, int(np.ceil(r["cnt"] / threshold))))
+        for _, r in hot.iterrows()
+    }
+
+
+def add_salted_key(ds, key_col: str, hot_fanout: Dict[str, int], salted_col: str = "salted_key"):
+    """Adds ``{key}#{salt}``; the fanout dict is broadcast via ``ray.put``
+    once, not serialized per batch."""
+    ref = ray.put(hot_fanout)
+
+    class Salt:
+        def __init__(self):
+            self.fanout = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = pc.cast(batch[key_col], pa.string()).to_pylist()
+            n = len(keys)
+            # cheap deterministic row hash: stable across runs, spreads rows
+            h = np.arange(n, dtype=np.int64) * 2654435761 % (1 << 31)
+            salts = np.zeros(n, dtype=np.int64)
+            for i, k in enumerate(keys):
+                f = self.fanout.get(k, 1)
+                if f > 1:
+                    salts[i] = h[i] % f
+            salted = pa.array([f"{k}#{s}" for k, s in zip(keys, salts)], pa.string())
+            return batch.append_column(salted_col, salted)
+
+    return ds.map_batches(Salt, batch_format="pyarrow", concurrency=(1, 4))

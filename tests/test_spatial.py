@@ -1,0 +1,129 @@
+"""Spatial join operators vs brute-force numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+
+def _points_df(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "item_id": [f"p{i:04d}" for i in range(n)],
+            "lon": rng.uniform(-20, 20, n),
+            "lat": rng.uniform(-15, 15, n),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def points(ray_session):
+    import ray.data
+
+    return ray.data.from_pandas(_points_df()), _points_df()
+
+
+class TestPipJoin:
+    def test_matches_bruteforce(self, points):
+        from stac_catalog_builder_ray.stages.spatial import pip_join
+
+        ds, pdf = points
+        aois = [
+            {"aoi_id": "world", "west": -180.0, "south": -90.0, "east": 180.0, "north": 90.0},
+            {"aoi_id": "box_a", "west": -5.0, "south": -5.0, "east": 5.0, "north": 5.0},
+            {"aoi_id": "empty", "west": 100.0, "south": 50.0, "east": 110.0, "north": 60.0},
+            {
+                "aoi_id": "tri",
+                "ring": [(-10.0, -10.0), (10.0, -10.0), (0.0, 10.0), (-10.0, -10.0)],
+            },
+        ]
+        got = pip_join(ds, aois, concurrency=2).to_pandas()
+        got_set = set(map(tuple, got[["item_id", "aoi_id"]].values))
+
+        want = set()
+        for _, r in pdf.iterrows():
+            want.add((r["item_id"], "world"))
+            if -5 <= r["lon"] <= 5 and -5 <= r["lat"] <= 5:
+                want.add((r["item_id"], "box_a"))
+            # triangle: barycentric-free check via the same half-plane rule
+            x, y = r["lon"], r["lat"]
+            if y >= -10 and (y + 10) <= 2 * (10 - x) and (y + 10) <= 2 * (x + 10):
+                want.add((r["item_id"], "tri"))
+        assert got_set == want
+
+
+class TestKnnJoin:
+    def test_matches_bruteforce(self, points):
+        from stac_catalog_builder_ray.stages.spatial import knn_join
+
+        ds, pdf = points
+        k = 3
+        # res 4 -> 22.5 deg cells: with +-1 ring covering the whole extent,
+        # the partitioning assumption is guaranteed for this point cloud
+        got = knn_join(ds, k=k, res=4).to_pandas()
+
+        lon = pdf["lon"].to_numpy()
+        lat = pdf["lat"].to_numpy()
+        ids = pdf["item_id"].to_numpy()
+        d = np.sqrt((lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2)
+        np.fill_diagonal(d, np.inf)
+        for i in range(0, len(ids), 37):  # spot-check a deterministic sample
+            order = np.lexsort((ids, d[i]))[:k]
+            want = {ids[j] for j in order}
+            got_n = set(got.loc[got["item_id"] == ids[i], "neighbor_id"])
+            assert got_n == want, f"kNN mismatch for {ids[i]}"
+
+    def test_k_larger_than_cell(self, ray_session):
+        """Queries must still get k results when their own cell is sparse."""
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.spatial import knn_join
+
+        pdf = pd.DataFrame(
+            {
+                "item_id": [f"q{i}" for i in range(10)],
+                "lon": np.linspace(0, 3, 10),
+                "lat": np.zeros(10),
+            }
+        )
+        got = knn_join(ray.data.from_pandas(pdf), k=4, res=6).to_pandas()
+        counts = got.groupby("item_id").size()
+        assert (counts == 4).all()
+
+
+class TestAssignTiles:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.geo.cell import cells_covering_bbox
+        from stac_catalog_builder_ray.stages.spatial import assign_tiles
+
+        rng = np.random.default_rng(3)
+        n = 100
+        w = rng.uniform(-30, 25, n)
+        s = rng.uniform(-30, 25, n)
+        pdf = pd.DataFrame(
+            {
+                "item_id": [f"f{i}" for i in range(n)],
+                "west": w,
+                "south": s,
+                "east": w + rng.uniform(0.1, 8, n),
+                "north": s + rng.uniform(0.1, 8, n),
+            }
+        )
+        got = assign_tiles(ray.data.from_pandas(pdf), res=6).to_pandas()
+        for i in [0, 17, 63, 99]:
+            want = set(cells_covering_bbox(pdf.west[i], pdf.south[i], pdf.east[i], pdf.north[i], 6).tolist())
+            have = set(got.loc[got["item_id"] == f"f{i}", "tile_cell"])
+            assert have == want
+
+    def test_degenerate_point_footprint(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.spatial import assign_tiles
+
+        pdf = pd.DataFrame({"item_id": ["x"], "west": [4.0], "south": [51.0], "east": [4.0], "north": [51.0]})
+        got = assign_tiles(ray.data.from_pandas(pdf), res=8).to_pandas()
+        assert len(got) == 1

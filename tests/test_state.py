@@ -1,0 +1,97 @@
+"""Checkpoint/resume + lineage + skew-salting tests."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def sample_ds(ray_session):
+    import ray.data
+
+    pdf = pd.DataFrame(
+        {
+            "cell": np.repeat([f"c{i}" for i in range(8)], 50),
+            "val": np.arange(400, dtype=np.int64),
+        }
+    )
+    return ray.data.from_pandas(pdf), pdf
+
+
+class TestCheckpoint:
+    def test_write_then_resume(self, sample_ds, tmp_path):
+        from stac_catalog_builder_ray.state.checkpoint import (
+            CheckpointStore,
+            checkpointed_write,
+            read_checkpointed,
+        )
+
+        ds, pdf = sample_ds
+        root = str(tmp_path / "ckpt")
+        s1 = checkpointed_write(ds, root, "cell")
+        assert len(s1) == 8 and not s1["skipped"].any()
+        store = CheckpointStore(root)
+        assert store.finished() == {f"c{i}" for i in range(8)}
+
+        # lineage records carry per-partition metrics
+        lin = store.lineage("c0")
+        assert lin["rows"] == 50 and lin["bytes"] > 0 and "wall_sec" in lin
+        mf = store.metrics_frame()
+        assert mf["rows"].sum() == 400
+
+        # a rerun ("killed job restart") must write nothing new
+        mtimes = {p: os.path.getmtime(os.path.join(root, f"part={p}", "data.parquet")) for p in store.finished()}
+        s2 = checkpointed_write(ds, root, "cell")
+        assert len(s2) == 0  # finished partitions filtered before the shuffle
+        for p, mt in mtimes.items():
+            assert os.path.getmtime(os.path.join(root, f"part={p}", "data.parquet")) == mt
+
+        back = read_checkpointed(root).to_pandas()
+        assert len(back) == 400
+        assert set(back["cell"].unique()) == {f"c{i}" for i in range(8)}
+
+    def test_partial_resume(self, sample_ds, tmp_path):
+        """Simulate a killed run: half the partitions finished; resume writes
+        only the rest."""
+        from stac_catalog_builder_ray.state.checkpoint import (
+            CheckpointStore,
+            checkpointed_write,
+        )
+        import ray.data
+
+        ds, pdf = sample_ds
+        root = str(tmp_path / "ckpt2")
+        half = ray.data.from_pandas(pdf[pdf["cell"].isin([f"c{i}" for i in range(4)])])
+        s1 = checkpointed_write(half, root, "cell")
+        assert len(s1) == 4
+
+        s2 = checkpointed_write(ds, root, "cell")
+        assert sorted(s2["partition"]) == [f"c{i}" for i in range(4, 8)]
+        assert CheckpointStore(root).finished() == {f"c{i}" for i in range(8)}
+
+
+class TestSkew:
+    def test_detect_and_salt(self, ray_session):
+        import ray.data
+        from ray.data.aggregate import Count
+
+        from stac_catalog_builder_ray.state.skew import add_salted_key, detect_hot_keys
+
+        pdf = pd.DataFrame(
+            {"cell": ["hot"] * 900 + [f"cold{i}" for i in range(100)], "v": np.arange(1000)}
+        )
+        ds = ray.data.from_pandas(pdf)
+        hot = detect_hot_keys(ds, "cell", threshold=200)
+        assert set(hot) == {"hot"}
+        assert 2 <= hot["hot"] <= 32
+
+        salted = add_salted_key(ds, "cell", hot)
+        counts = salted.groupby("salted_key").aggregate(Count(alias_name="n")).to_pandas()
+        hot_parts = counts[counts["salted_key"].str.startswith("hot#")]
+        assert len(hot_parts) == hot["hot"]  # hot key spread over its fanout
+        assert hot_parts["n"].sum() == 900
+        assert hot_parts["n"].max() < 900  # no single reducer gets it all
+        cold = counts[counts["salted_key"].str.startswith("cold")]
+        assert (cold["n"] == 1).all()
