@@ -1,0 +1,169 @@
+"""Benchmark harness — the driver runs this per round and records BENCH_r{N}.json.
+
+Headline metric (BASELINE.json): items indexed + spatially joined/sec —
+the flagship pipeline (decode -> metadata -> item assembly -> PIP join ->
+tile assignment -> extent aggregate) over a deterministic images table sized
+from the sf dir, plus per-query timings for a representative operator set
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "items_per_sec": ..., "n_items": ...}
+
+``--scaling``: runs the headline pipeline in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports throughputs + scaling
+efficiency (sandbox substitute for N vs 4N nodes, per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench images table: ~50k rows at sf0.1 (scaled by lineitem rowcount), 64x48
+BENCH_IMG_W, BENCH_IMG_H = 64, 48
+
+QUERY_NAMES = [
+    "pricing_summary",
+    "join_hash",
+    "dedup_first",
+    "pip_join",
+    "knn",
+    "tile_assign",
+    "minhash_dedup",
+    "ann_cosine",
+    "token_count",
+]
+
+
+def images_rows_for_sf(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_li = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    return max(1000, n_li // 12)  # sf0.1 -> ~50k images
+
+
+def prepare_images(sf_dir: str) -> str:
+    from stac_catalog_builder_ray.datagen import generate_images_table
+
+    n = images_rows_for_sf(sf_dir)
+    out = f"/tmp/scbr-bench/images-{n}-{BENCH_IMG_W}x{BENCH_IMG_H}"
+    generate_images_table(out, n_rows=n, w=BENCH_IMG_W, h=BENCH_IMG_H)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stac_catalog_builder_ray.pipelines.spatial_catalog import index_and_join
+    import __ray_entry__ as E
+
+    images = prepare_images(SF_DIR)
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.parquet as pq
+    import glob
+
+    for f in glob.glob(os.path.join(images, "*.parquet")):
+        pq.read_table(f)
+
+    t0 = time.monotonic()
+    res = index_and_join(
+        images,
+        out_root=None,
+        checkpoint=False,
+        extract_concurrency=(2, max(2, NUM_CPUS - 4)),
+        batch_size=256,
+    )
+    headline = time.monotonic() - t0
+    n_items = res["n_items"]
+
+    queries = {}
+    qs = E.queries()
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        out = qs[name](SF_DIR)
+        # consume lazily-returned datasets
+        try:
+            import ray.data as rd
+
+            if isinstance(out, rd.Dataset):
+                out.count()
+        except Exception:
+            pass
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "flagship items indexed + spatially joined (sec, end-to-end)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_items": n_items,
+        "n_images": images_rows_for_sf(SF_DIR),
+        "items_per_sec": round(n_items / headline, 1),
+        "images_per_sec": round(images_rows_for_sf(SF_DIR) / headline, 1),
+        "n_pip_matches": res["n_pip_matches"],
+        "n_tile_pairs": res["n_tile_pairs"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same pipeline at num_cpus=8 and 32 in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo = lo["items_per_sec"]
+    thr_hi = hi["items_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8 -> 32 cpus (target >= 0.8 of linear; "
+        "sandbox substitute for N vs 4N nodes)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "items_per_sec_8": thr_lo,
+        "items_per_sec_32": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "speedup": round(thr_hi / thr_lo, 2),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -148,6 +148,9 @@ def knn_join(
         cand = g[g["is_home"]]
         if len(cand) == 0 or len(g) == 0:
             return pd.DataFrame({id_col: [], "neighbor_id": [], "dist": []})
+        # candidates sorted by id + stable argsort below = deterministic
+        # (dist, id) tie-break, matching the SQL oracle's ORDER BY
+        cand = cand.sort_values(id_col, kind="stable")
         clon = cand["lon"].to_numpy()
         clat = cand["lat"].to_numpy()
         cids = cand[id_col].to_numpy()
@@ -162,7 +165,7 @@ def knn_join(
             d = np.sqrt((qlon[:, None] - clon[None, :]) ** 2 + (qlat[:, None] - clat[None, :]) ** 2)
             d[qids[:, None] == cids[None, :]] = np.inf  # exclude self
             kk = min(k, d.shape[1])
-            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
             rows_q = np.repeat(qids, kk)
             rows_c = cids[idx.ravel()]
             rows_d = np.take_along_axis(d, idx, axis=1).ravel()
