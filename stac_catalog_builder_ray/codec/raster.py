@@ -114,12 +114,15 @@ def _decode_png16(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
     stride = w * 2
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    if np.all(ftypes == 0):  # fast path: our encoder always writes filter 0
+        return arr[:, 1:].copy().view(">u2").reshape(h, w).astype(np.uint16)
     out = np.empty((h, w), dtype=np.uint16)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
-        off = r * (stride + 1)
-        ftype = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
+        ftype = ftypes[r]
+        line = arr[r, 1:].copy()
         if ftype == 0:
             pass
         elif ftype == 2:  # Up

@@ -151,18 +151,25 @@ def smoke_row_ids() -> List[str]:
 
 
 def scale_row_fields(i: int) -> Dict:
-    year = 2000 + (i // 24) % 4
-    month = 1 + i % 12
+    # rows pair up: d = i // 2 fixes (tile, date); the two asset types of a
+    # pair share one item — mirroring the reference corpus (2 assets/item)
+    # while keeping ~n/2 DISTINCT item ids at any scale
+    d = i // 2
+    year = 2000 + (d // 372) % 30
+    month = 1 + (d // 31) % 12
+    day = 1 + d % 28
     atype = ASSET_TYPES[i % 2]
-    if i % 10 < 3:
+    if d % 10 < 3:
         e, n = HOT_TILE
     else:
-        e, n = (i * 7919) % N_TILES, (i * 104729) % N_TILES
+        e, n = (d * 7919) % N_TILES, (d * 104729) % N_TILES
     tile = tile_name(e, n)
     fmt = FORMATS[i % 3]
-    image_id = f"tiles/{tile}/{year}/observations_{atype}_{tile}_{year}-{month:02d}-01.tif"
+    image_id = (
+        f"tiles/{tile}/{year}/observations_{atype}_{tile}_{year}-{month:02d}-{day:02d}.tif"
+    )
     return {"image_id": image_id, "tile": tile, "fmt": fmt,
-            "year": year, "month": month, "atype": atype}
+            "year": year, "month": month, "day": day, "atype": atype}
 
 
 def caption_for(atype: str, tile: str, year: int, month: int, day: int = 1) -> str:
@@ -185,7 +192,7 @@ def _make_rows(indices: Iterator[int], smoke: bool, w: int, h: int) -> Dict[str,
         else:
             f = scale_row_fields(i)
             image_id, fmt, tile = f["image_id"], f["fmt"], f["tile"]
-            atype, year, month, day = f["atype"], f["year"], f["month"], 1
+            atype, year, month, day = f["atype"], f["year"], f["month"], f["day"]
             px = gradient_pixels(w, h, *row_pixel_params(i))
         cols["image_id"].append(image_id)
         cols["bytes"].append(encode_image(px, fmt))

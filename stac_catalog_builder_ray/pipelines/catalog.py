@@ -59,13 +59,26 @@ def asset_metadata_dataset(
     )
 
 
-def items_dataset(md: Dataset, config: Optional[CollectionConfig] = None) -> Dataset:
-    """asset metadata -> item rows via the central groupby(item_id) shuffle."""
+def items_dataset(
+    md: Dataset,
+    config: Optional[CollectionConfig] = None,
+    postprocessor: Optional[str] = None,
+) -> Dataset:
+    """asset metadata -> item rows via the central groupby(item_id) shuffle.
+
+    ``postprocessor`` names a registered item postprocessor (§2.8 ext point;
+    builder.py:753-754) applied batch-wise after assembly."""
     config = config or test_collection_config()
     known = frozenset(config.item_assets) if config.item_assets else None
-    return md.groupby("item_id").map_groups(
+    items = md.groupby("item_id").map_groups(
         lambda g: assemble_items(g, known), batch_format="pandas"
     )
+    if postprocessor:
+        from ..functions.registry import get_postprocessor
+
+        fn = get_postprocessor(postprocessor)
+        items = items.map_batches(fn, batch_format="pandas")
+    return items
 
 
 def _extent_from_items(items: Dataset) -> Dict:

@@ -315,12 +315,23 @@ def q_dedup_first(sf_dir: str):
     ``set``, terracatalog.py:517-519)."""
     ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable").head(1)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 64))
+
+    def first_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per bucket of many (user, type) groups
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"], kind="stable")
+        g = g.drop_duplicates(subset=["user_id", "event_type"], keep="first")
         g = g[["user_id", "event_type", "event_id", "ts"]]
         return g.rename(columns={"event_id": "first_event_id", "ts": "first_ts"})
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("bucket")
+        .map_groups(first_in_bucket, batch_format="pandas")
+    )
 
 
 def q_top_orders(sf_dir: str):

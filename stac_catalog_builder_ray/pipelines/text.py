@@ -71,15 +71,32 @@ SQL_QUALITY_SCORE = (
 def q_dedup_exact_text(sf_dir: str):
     """Exact text dedup: keep min doc_id per distinct text (hash-partitioned
     groupby, no global seen-set)."""
+    import zlib as _z
+
+    import numpy as np
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable")
-        return pd.DataFrame(
-            {"keep_id": [g["doc_id"].iloc[0]], "n_copies": [len(g)], "text": [g["text"].iloc[0]]}
+    def add_bucket(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        b = np.fromiter(
+            ((_z.crc32((s or "").encode()) % 64) for s in texts), dtype=np.int64, count=len(texts)
         )
+        return t.append_column("bucket", pa.array(b))
 
-    return ds.groupby("text").map_groups(first, batch_format="pandas")
+    def first_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # hash-partitioned on content, one vectorized pass per bucket
+        g = g.sort_values(["text", "doc_id"], kind="stable")
+        agg = g.groupby("text", sort=False).agg(
+            keep_id=("doc_id", "first"), n_copies=("doc_id", "size")
+        )
+        return agg.reset_index()[["keep_id", "n_copies", "text"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_in_bucket, batch_format="pandas")
+    )
 
 
 SQL_DEDUP_EXACT = (

@@ -121,18 +121,25 @@ def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text",
         concurrency=(1, 8),
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pass per BAND (16 groups total, not one per
+        bucket): self-merge on bucket yields all within-bucket pairs."""
+        g = g[[id_col, "bucket"]].drop_duplicates()
+        # only buckets with >= 2 docs can produce pairs
+        g = g[g.duplicated("bucket", keep=False)]
+        if len(g) == 0:
             return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        m = g.merge(g, on="bucket", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        return m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})[["id_a", "id_b"]]
 
-    cand = exploded.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
-    # dedup pairs surfaced by multiple bands
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    cand = exploded.repartition(16).groupby("band").map_groups(
+        pairs_in_band, batch_format="pandas"
     )
+    # dedup pairs surfaced by multiple bands: vectorized grouped count, keys only
+    from ray.data.aggregate import Count
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
 
 def verify_jaccard(pairs, docs, id_col="doc_id", text_col="text",

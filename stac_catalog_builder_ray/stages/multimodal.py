@@ -1,0 +1,160 @@
+"""Multimodal column stages: decode / resize / feature-extract / frame-sample
+over opaque ``binary`` payload columns with typed metadata.
+
+The Ray-side plumbing (schemas, actor-pool signatures, batch sizing, output
+layout) is real and tested; payload codecs split into:
+
+- **native formats** (raw/zlib/png uint16 rasters — codec/raster.py): fully
+  implemented, used by the flagship pipeline;
+- **external formats** (JPEG images, audio, video): libs aren't in this
+  container, so the decode step is STUBBED — ``strict=True`` raises
+  ``NotImplementedError`` naming the missing capability; ``strict=False``
+  produces a deterministic fake (seeded from the payload bytes) so
+  downstream plumbing can be exercised end-to-end.
+
+Batch-size guidance (wide binary rows, SURVEY.md §7): callers should pass a
+small ``batch_size`` (32-256) so batch x concurrency stays inside worker
+heaps, and drop the payload column as early as possible.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..codec.raster import decode_image
+
+NATIVE_MAGIC = (b"RW16", b"ZL16", b"\x89PNG")
+
+
+def _is_native(buf: bytes) -> bool:
+    return any(buf[: len(m)] == m for m in NATIVE_MAGIC)
+
+
+def _fake_pixels_from_bytes(buf: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in decode for external formats: pixels seeded from
+    a payload checksum — stable across runs/processes."""
+    seed = zlib.crc32(buf) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+
+
+class DecodeStage:
+    """(bytes, fmt, w, h) -> decoded pixel stats + optional downsampled
+    thumbnail column.  Actor pool: one codec table per actor."""
+
+    def __init__(self, strict: bool = False, thumbnail: Optional[Tuple[int, int]] = None):
+        self.strict = strict
+        self.thumbnail = thumbnail
+
+    def _decode(self, buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+        if _is_native(buf):
+            return decode_image(buf, fmt)
+        if self.strict:
+            raise NotImplementedError(
+                f"decode of external format {fmt!r} requires an image library "
+                "not present in this environment (Pillow/libjpeg); "
+                "run with strict=False for a deterministic fake"
+            )
+        return _fake_pixels_from_bytes(buf, h, w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bts = batch["bytes"]
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        n = batch.num_rows
+        mean = np.empty(n)
+        std = np.empty(n)
+        thumbs = [] if self.thumbnail else None
+        for i in range(n):
+            px = self._decode(bts[i].as_py(), fmts[i], ws[i], hs[i])
+            mean[i] = px.mean()
+            std[i] = px.std()
+            if thumbs is not None:
+                thumbs.append(resize_nn(px, *self.thumbnail).ravel().tolist())
+        cols = {
+            "image_id": batch["image_id"],
+            "px_mean": pa.array(mean),
+            "px_std": pa.array(std),
+        }
+        if thumbs is not None:
+            cols["thumbnail"] = pa.array(thumbs, pa.list_(pa.uint16()))
+        return pa.table(cols)
+
+
+def resize_nn(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (pure numpy index map)."""
+    h, w = px.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys[:, None], xs[None, :]]
+
+
+class FeatureExtractStage:
+    """Decoded-payload -> fixed-length feature vector (histogram + moments);
+    the engine-native stand-in for batched model inference.  A real model
+    would load in ``__init__`` (once per actor) exactly like this codec
+    table does."""
+
+    def __init__(self, bins: int = 16, strict: bool = False):
+        self.bins = bins
+        self.edges = np.linspace(0, 65536, bins + 1)
+        self.decoder = DecodeStage(strict=strict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bts = batch["bytes"]
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        feats = []
+        for i in range(batch.num_rows):
+            px = self.decoder._decode(bts[i].as_py(), fmts[i], ws[i], hs[i])
+            hist, _ = np.histogram(px, bins=self.edges)
+            hist = hist / max(1, px.size)
+            moments = [px.mean() / 65535.0, px.std() / 65535.0]
+            feats.append(np.concatenate([hist, moments]).astype(np.float32).tolist())
+        return pa.table(
+            {"image_id": batch["image_id"], "features": pa.array(feats, pa.list_(pa.float32()))}
+        )
+
+
+class FrameSampleStage:
+    """Video-style frame sampling over a concatenated-frames binary layout:
+    payload = N frames of (h x w x 2 bytes); emits every ``stride``-th frame
+    as its own row (flat-map explode).  For real video containers this is
+    where ffmpeg would be invoked — stubbed identically to DecodeStage."""
+
+    def __init__(self, stride: int = 2, strict: bool = False):
+        self.stride = stride
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, frames = [], [], []
+        for i in range(batch.num_rows):
+            buf = batch["bytes"][i].as_py()
+            w = batch["w"][i].as_py()
+            h = batch["h"][i].as_py()
+            frame_bytes = w * h * 2
+            n_frames = len(buf) // frame_bytes
+            if n_frames == 0:
+                if self.strict:
+                    raise NotImplementedError(
+                        "container-format video requires ffmpeg (not in this environment)"
+                    )
+                continue
+            for f in range(0, n_frames, self.stride):
+                raw = buf[f * frame_bytes : (f + 1) * frame_bytes]
+                ids.append(batch["image_id"][i].as_py())
+                frame_idx.append(f)
+                frames.append(raw)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "frame": pa.array(frame_idx, pa.int32()),
+                "bytes": pa.array(frames, pa.binary()),
+            }
+        )

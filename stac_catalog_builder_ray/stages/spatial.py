@@ -173,17 +173,42 @@ def knn_join(
             outs.append(pd.DataFrame({id_col: rows_q[keep], "neighbor_id": rows_c[keep], "dist": rows_d[keep]}))
         return pd.concat(outs, ignore_index=True)
 
-    local = exploded.groupby("cell_key").map_groups(local_topk, batch_format="pandas")
+    local = exploded.repartition(64).groupby("cell_key").map_groups(
+        local_topk, batch_format="pandas"
+    )
 
-    def rerank(g: pd.DataFrame) -> pd.DataFrame:
-        # a (query, candidate) pair can appear once per ring cell — dedup,
-        # then exact global top-k with deterministic (dist, id) tie-break
-        g = g.drop_duplicates(subset=["neighbor_id"]).sort_values(
-            ["dist", "neighbor_id"], kind="stable"
+    # cross-ring re-rank, BUCKETED by query id: one vectorized pandas pass
+    # per bucket instead of a Python call per query (same lesson as item
+    # assembly — per-group map_groups is 10-100x slower)
+    import zlib as _zlib
+
+    def add_qbucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        b = np.fromiter(
+            (
+                (_zlib.crc32(s.encode()) if isinstance(s, str) else int(s) * 2654435761)
+                % 64
+                for s in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
         )
-        return g.head(k)
+        return t.append_column("qbucket", pa.array(b % 64))
 
-    return local.groupby(id_col).map_groups(rerank, batch_format="pandas")
+    def rerank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # a (query, candidate) pair can appear once per ring cell — dedup,
+        # then exact top-k per query with deterministic (dist, id) tie-break
+        g = g.drop_duplicates(subset=[id_col, "neighbor_id"])
+        g = g.sort_values([id_col, "dist", "neighbor_id"], kind="stable")
+        out = g.groupby(id_col, sort=False).head(k)
+        return out[[id_col, "neighbor_id", "dist"]]
+
+    return (
+        local.map_batches(add_qbucket, batch_format="pyarrow")
+        .repartition(32)
+        .groupby("qbucket")
+        .map_groups(rerank_bucket, batch_format="pandas")
+    )
 
 
 # --- J6: raster -> vector tile assignment -----------------------------------

@@ -1,0 +1,282 @@
+"""Tests for dedup / text / ANN / multimodal / upload / href operators."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "a completely different document about ray data pipelines and arrow batches",
+        "numbers one two three four five six seven eight nine ten eleven twelve",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": 2 * i, "text": t})
+        # near-duplicate: one word changed
+        rows.append({"doc_id": 2 * i + 1, "text": t.replace("the", "that", 1) if "the" in t else t + " end"})
+    rows.append({"doc_id": 100, "text": base[0]})  # exact duplicate of doc 0
+    return ray.data.from_pandas(pd.DataFrame(rows)), pd.DataFrame(rows)
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs_ds):
+        ds, pdf = docs_ds
+
+        def first(g):
+            g = g.sort_values("doc_id", kind="stable")
+            return pd.DataFrame({"keep_id": [g["doc_id"].iloc[0]], "n_copies": [len(g)]})
+
+        out = ds.groupby("text").map_groups(first, batch_format="pandas").to_pandas()
+        assert len(out) == len(pdf) - 1  # one exact duplicate collapsed
+        assert out["n_copies"].max() == 2
+
+    def test_minhash_finds_near_and_exact_dups(self, docs_ds):
+        from stac_catalog_builder_ray.stages.dedup import (
+            minhash_candidate_pairs,
+            verify_jaccard,
+        )
+
+        ds, _ = docs_ds
+        pairs = verify_jaccard(minhash_candidate_pairs(ds), ds, threshold=0.5).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+        assert (0, 100) in got  # exact duplicate pair
+        assert (0, 1) in got  # near-duplicate pair
+        assert all(a < b for a, b in got)
+        # jaccard of the exact pair is 1.0
+        assert pairs.loc[(pairs.id_a == 0) & (pairs.id_b == 100), "jaccard"].iloc[0] == 1.0
+
+    def test_simhash_close_for_near_dups(self, docs_ds):
+        from stac_catalog_builder_ray.codec.phash import hamming64
+        from stac_catalog_builder_ray.stages.dedup import simhash64
+
+        ds, pdf = docs_ds
+        texts = dict(zip(pdf.doc_id, pdf.text))
+        d_near = hamming64(simhash64(texts[0]), simhash64(texts[1]))
+        d_far = hamming64(simhash64(texts[0]), simhash64(texts[2]))
+        assert d_near < d_far
+        assert hamming64(simhash64(texts[0]), simhash64(texts[100])) == 0
+
+    def test_embedding_neardup(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.dedup import embedding_neardup_pairs
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((20, 16))
+        rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+        rows.append({"vec_id": 100, "embedding": (base[0] + 0.01 * rng.standard_normal(16)).tolist()})
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        pairs = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+        assert set(map(tuple, pairs[["id_a", "id_b"]].values)) == {(0, 100)}
+
+
+class TestANN:
+    def _fixture(self):
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((200, 32))
+        return pd.DataFrame({"vec_id": np.arange(200), "embedding": [v.tolist() for v in vecs]})
+
+    def test_brute_force_matches_numpy(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.ann import brute_force_topk
+
+        pdf = self._fixture()
+        ds = ray.data.from_pandas(pdf)
+        queries = pdf.iloc[:5]
+        got = brute_force_topk(ds, queries, k=4).to_pandas()
+
+        m = np.stack(pdf["embedding"].to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m[:5] @ m.T
+        for qi in range(5):
+            s = sims[qi].copy()
+            s[qi] = -np.inf
+            want = set(np.argsort(-s, kind="stable")[:4].tolist())
+            have = set(got.loc[got["query_id"] == qi, "neighbor_id"])
+            assert have == want
+
+    def test_ivf_recall(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.ann import brute_force_topk, ivf_topk
+
+        pdf = self._fixture()
+        ds = ray.data.from_pandas(pdf)
+        queries = pdf.iloc[:10]
+        exact = brute_force_topk(ds, queries, k=5).to_pandas()
+        approx = ivf_topk(ds, queries, k=5, n_centroids=8, n_probe=4).to_pandas()
+        # recall of the scale path vs the exact baseline
+        hits = 0
+        for qi in queries["vec_id"]:
+            e = set(exact.loc[exact["query_id"] == qi, "neighbor_id"])
+            a = set(approx.loc[approx["query_id"] == qi, "neighbor_id"])
+            hits += len(e & a)
+        assert hits / (10 * 5) >= 0.6
+
+
+class TestMultimodal:
+    def test_decode_native(self, ray_session, smoke_images_dir):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.multimodal import DecodeStage
+
+        out = (
+            ray.data.read_parquet(smoke_images_dir)
+            .map_batches(DecodeStage, fn_constructor_kwargs={"thumbnail": (8, 8)},
+                         batch_format="pyarrow", batch_size=4, concurrency=2)
+            .to_pandas()
+        )
+        assert len(out) == 12
+        assert (out["px_std"] > 0).all()
+        assert all(len(t) == 64 for t in out["thumbnail"])
+
+    def test_strict_raises_on_external_format(self):
+        from stac_catalog_builder_ray.stages.multimodal import DecodeStage
+
+        stage = DecodeStage(strict=True)
+        fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 100
+        with pytest.raises(NotImplementedError, match="image library"):
+            stage._decode(fake_jpeg, "jpeg", 8, 8)
+
+    def test_fake_decode_is_deterministic(self):
+        from stac_catalog_builder_ray.stages.multimodal import DecodeStage
+
+        stage = DecodeStage(strict=False)
+        a = stage._decode(b"\xff\xd8external", "jpeg", 4, 6)
+        b = stage._decode(b"\xff\xd8external", "jpeg", 4, 6)
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (6, 4)  # (h, w)
+
+    def test_feature_extract(self, ray_session, smoke_images_dir):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.multimodal import FeatureExtractStage
+
+        out = (
+            ray.data.read_parquet(smoke_images_dir)
+            .map_batches(FeatureExtractStage, batch_format="pyarrow", batch_size=4, concurrency=2)
+            .to_pandas()
+        )
+        assert len(out) == 12
+        f = np.array(out["features"].iloc[0])
+        assert len(f) == 18  # 16 hist bins + 2 moments
+        assert abs(f[:16].sum() - 1.0) < 1e-5
+
+    def test_frame_sampling(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.codec.raster import FORMATS
+        from stac_catalog_builder_ray.stages.multimodal import FrameSampleStage
+
+        w, h, n_frames = 8, 6, 10
+        payload = np.arange(n_frames * h * w, dtype="<u2").tobytes()
+        ds = ray.data.from_items(
+            [{"image_id": "vid0", "bytes": payload, "w": w, "h": h, "fmt": "rawframes"}]
+        )
+        out = ds.map_batches(FrameSampleStage, fn_constructor_kwargs={"stride": 2},
+                             batch_format="pyarrow", concurrency=1).to_pandas()
+        assert list(out["frame"]) == [0, 2, 4, 6, 8]
+        assert all(len(b) == w * h * 2 for b in out["bytes"])
+
+
+class TestUploadSink:
+    def test_bulk_upload_with_retry(self, ray_session, tmp_path):
+        import ray.data
+
+        from stac_catalog_builder_ray.sources.upload import upload_items
+
+        items = ray.data.from_pandas(
+            pd.DataFrame({"item_id": [f"it{i:03d}" for i in range(50)], "assets_json": ["{}"] * 50})
+        )
+        out_dir = str(tmp_path / "api")
+        receipts = upload_items(
+            items, "coll", out_dir, bulk_size=20, concurrency=1, fail_first=2
+        ).to_pandas()
+        assert len(receipts) == 50
+        assert receipts["attempts"].max() >= 2  # retries actually happened
+        bulks = [f for f in os.listdir(out_dir) if f.startswith("bulk-")]
+        assert 3 <= len(bulks) <= 4  # 50 items / bulk 20
+        total = sum(len(json.load(open(os.path.join(out_dir, b)))["items"]) for b in bulks)
+        assert total == 50
+
+    def test_retry_exhaustion_raises(self, tmp_path):
+        from stac_catalog_builder_ray.sources.upload import (
+            BulkUpsert,
+            DirectoryTransport,
+            TransportError,
+        )
+
+        stage = BulkUpsert(
+            "coll",
+            lambda: DirectoryTransport(str(tmp_path / "x"), fail_first=99),
+            max_retries=2,
+            backoff_s=0.001,
+        )
+        with pytest.raises(TransportError):
+            stage(pd.DataFrame({"item_id": ["a"], "assets_json": ["{}"]}))
+
+
+class TestHrefsAndRegistry:
+    def test_asset_url_from_path(self):
+        import pyarrow as pa
+
+        from stac_catalog_builder_ray.functions.hrefs import asset_url_from_path
+
+        out = asset_url_from_path(
+            pa.array(["/data/root/t/x.tif", "other/y.tif"]),
+            "/data/root",
+            "https://cdn.example/{path}",
+        )
+        assert out.to_pylist() == ["https://cdn.example/t/x.tif", "https://cdn.example/other/y.tif"]
+
+    def test_s3_join_and_alternates(self):
+        from stac_catalog_builder_ray.functions.hrefs import (
+            alternate_hrefs,
+            clear_alternates,
+            register_local_alternate,
+            register_s3_alternate,
+            s3_join,
+        )
+
+        assert s3_join("bucket/", "/a/", "b.tif") == "s3://bucket/a/b.tif"
+        clear_alternates()
+        register_local_alternate()
+        register_s3_alternate("bkt")
+        alts = alternate_hrefs(pa.array(["/d/x.tif"]))
+        assert alts[0]["alternate"]["local"]["href"] == "file:///d/x.tif"
+        assert alts[0]["alternate"]["S3"]["href"] == "s3://bkt/d/x.tif"
+        clear_alternates()
+
+    def test_postprocessor_applied(self, ray_session, smoke_images_dir):
+        from stac_catalog_builder_ray.pipelines.catalog import (
+            asset_metadata_dataset,
+            items_dataset,
+        )
+
+        items = items_dataset(
+            asset_metadata_dataset(smoke_images_dir), postprocessor="title_prefix"
+        ).to_pandas()
+        assert items["item_id"].str.startswith("pp_").all()
+
+    def test_unknown_postprocessor_raises(self):
+        from stac_catalog_builder_ray.functions.registry import get_postprocessor
+
+        with pytest.raises(ValueError, match="Unknown postprocessor"):
+            get_postprocessor("nope")
+
+    def test_group_key_registry(self):
+        from stac_catalog_builder_ray.functions.registry import get_group_key
+
+        df = pd.DataFrame({"datetime": pd.to_datetime(["2000-05-01", "2001-06-01"]), "tile_id": ["a", "b"]})
+        assert list(get_group_key("year")(df)) == [2000, 2001]
+        assert list(get_group_key("tile")(df)) == ["a", "b"]
