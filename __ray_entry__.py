@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows / streaming-shaped
         "running_sum": R.q_running_sum,
         "hourly_window": R.q_hourly_window,
+        # json flatten + word explode
+        "json_extract": R.q_json_extract,
+        "word_freq": R.q_word_freq,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -162,6 +165,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('hour', ts) AS window_start, "
             "CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_value_e4, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "json_extract": (
+            "SELECT event_id, CAST(coalesce(json_extract(props, '$.k'), '-1') AS BIGINT) AS k "
+            "FROM events"
+        ),
+        "word_freq": (
+            "SELECT word, COUNT(*) AS n FROM (SELECT unnest(regexp_split_to_array("
+            "lower(trim(text)), '\\s+')) AS word FROM documents WHERE trim(text) <> '') "
+            "GROUP BY word"
         ),
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
         "pip_join": (

@@ -246,6 +246,52 @@ def generate_images_table(
     return out_dir
 
 
+def generate_images_table_parallel(
+    out_dir: str,
+    n_rows: int,
+    w: int = 240,
+    h: int = 180,
+    rows_per_file: int = 2048,
+    concurrency: int = 16,
+) -> str:
+    """Ray-parallel variant of :func:`generate_images_table` for bench-scale
+    tables: one Ray task per part file, same deterministic bytes (generation
+    is pure arithmetic on the row index), same atomic-rename resume."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    parts = [
+        (k, start, min(start + rows_per_file, n_rows))
+        for k, start in enumerate(range(0, n_rows, rows_per_file))
+        if not os.path.exists(os.path.join(out_dir, f"part-{k:05d}.parquet"))
+    ]
+    if not parts:
+        return out_dir
+
+    @ray.remote(num_cpus=1)
+    def make_part(k: int, start: int, stop: int) -> str:
+        path = os.path.join(out_dir, f"part-{k:05d}.parquet")
+        cols = _make_rows(range(start, stop), False, w, h)
+        table = pa.table(
+            {
+                "image_id": pa.array(cols["image_id"], pa.string()),
+                "bytes": pa.array(cols["bytes"], pa.binary()),
+                "w": pa.array(cols["w"], pa.int32()),
+                "h": pa.array(cols["h"], pa.int32()),
+                "fmt": pa.array(cols["fmt"], pa.string()),
+                "caption": pa.array(cols["caption"], pa.string()),
+                "phash": pa.array(cols["phash"], pa.int64()),
+            }
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        return path
+
+    ray.get([make_part.remote(*p) for p in parts])
+    return out_dir
+
+
 # --- AOI polygons for the PIP join (FIXTURES.md §3) -------------------------
 
 

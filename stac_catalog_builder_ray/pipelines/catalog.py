@@ -46,16 +46,26 @@ def asset_metadata_dataset(
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=DEFAULT_EXTRACT_CONCURRENCY,
     max_rows: Optional[int] = None,
+    verify_phash: bool = False,
+    num_cpus: float = 1.0,
 ) -> Dataset:
-    """images table -> asset-metadata Dataset (§3.1 steps a-b, distributed)."""
+    """images table -> asset-metadata Dataset (§3.1 steps a-b, distributed).
+
+    Pool sizing for mixed pipelines (measured on the 200k-row bench table):
+    a full-width actor pool HOLDS its CPUs while idle and starves the
+    downstream shuffle (26 actors -> 76 s vs 24 actors at num_cpus=0.5 ->
+    14.6 s end-to-end).  Callers running decode+shuffle together should pass
+    ``concurrency ~= 0.75 * total_cpus`` with ``num_cpus=0.5``."""
     config = config or test_collection_config()
     ds = read_images(images_path, max_rows=max_rows)
     return ds.map_batches(
         DecodeExtract,
-        fn_constructor_kwargs={"parser": config.input_path_parser, "cell_res": cell_res},
+        fn_constructor_kwargs={"parser": config.input_path_parser, "cell_res": cell_res,
+                               "verify_phash": verify_phash},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
     )
 
 
@@ -68,11 +78,11 @@ def items_dataset(
 
     ``postprocessor`` names a registered item postprocessor (§2.8 ext point;
     builder.py:753-754) applied batch-wise after assembly."""
+    from ..stages.assemble import items_dataset as _bucketed_items
+
     config = config or test_collection_config()
     known = frozenset(config.item_assets) if config.item_assets else None
-    items = md.groupby("item_id").map_groups(
-        lambda g: assemble_items(g, known), batch_format="pandas"
-    )
+    items = _bucketed_items(md, known)
     if postprocessor:
         from ..functions.registry import get_postprocessor
 

@@ -115,33 +115,46 @@ def q_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def prep(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        """Per-batch partial aggregation (the A-series combiner pattern):
+        600k input rows reduce to ~6 partial rows per batch BEFORE any
+        shuffle.  Money is per-row-rounded integer cents: int sums are EXACT
+        under any partial-aggregation order, so Ray and DuckDB agree
+        bit-for-bit."""
         from ..functions.rounding import round_half_away
 
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
         ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
-        # money as per-row-rounded integer cents: int sums are EXACT under any
-        # partial-aggregation order, so Ray and DuckDB agree bit-for-bit
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
-                "base_cents": pa.array(round_half_away(ext * 100.0).astype(np.int64)),
-                "disc_cents": pa.array(round_half_away(ext * (1.0 - disc) * 100.0).astype(np.int64)),
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "qty": t["l_quantity"].to_numpy(zero_copy_only=False),
+                "base_cents": round_half_away(ext * 100.0).astype(np.int64),
+                "disc_cents": round_half_away(ext * (1.0 - disc) * 100.0).astype(np.int64),
             }
         )
+        p = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                sum_base_price_cents=("base_cents", "sum"),
+                sum_disc_price_cents=("disc_cents", "sum"),
+                count_order=("qty", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(p, preserve_index=False)
 
     out = (
-        ds.map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_price_cents"),
-            Sum("disc_cents", alias_name="sum_disc_price_cents"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
     from ..functions.rounding import round_half_away
@@ -149,7 +162,9 @@ def q_pricing_summary(sf_dir: str):
     pdf = out.to_pandas()
     pdf["sum_base_price_cents"] = pdf["sum_base_price_cents"].astype("int64")
     pdf["sum_disc_price_cents"] = pdf["sum_disc_price_cents"].astype("int64")
-    pdf["avg_qty"] = round_half_away(pdf["avg_qty"].to_numpy(), 2)
+    pdf["count_order"] = pdf["count_order"].astype("int64")
+    # avg from exact partial sums (sum of integral-valued doubles is exact)
+    pdf["avg_qty"] = round_half_away(pdf["sum_qty"].to_numpy() / pdf["count_order"].to_numpy(), 2)
     return pdf
 
 
@@ -397,3 +412,42 @@ def q_hourly_window(sf_dir: str):
     pdf = out.to_pandas()
     pdf["sum_value_e4"] = pdf["sum_value_e4"].astype("int64")
     return pdf
+
+
+# --- json / explode (M16 flatten-JSON; §2.7 json fns) -----------------------
+
+
+def q_json_extract(sf_dir: str):
+    """Flatten the events.props JSON column (engine twin of the reference's
+    product-JSON flatten, terracatalog.py:623-698): extract $.k as an int."""
+    ds = _t(sf_dir, "events", ["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        import json as _json
+
+        ks = np.fromiter(
+            (_json.loads(p or "{}").get("k", -1) for p in t["props"].to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.table({"event_id": t["event_id"], "k": pa.array(ks)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_word_freq(sf_dir: str):
+    """Word-frequency explode over documents (flat_map + pre-aggregated
+    count): partial value_counts per batch, tiny final groupby."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.split().explode().dropna()
+        vc = s.value_counts()
+        return pa.table({"word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                         "n": pa.array(vc.to_numpy())})
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )

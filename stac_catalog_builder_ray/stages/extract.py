@@ -61,12 +61,17 @@ class DecodeExtract:
         cell_res: int = DEFAULT_CELL_RES,
         href_template: Optional[str] = None,
         decode: bool = True,
+        verify_phash: bool = False,
     ):
         # once per actor: compiled regex plan + transform cache via crs lru_cache
         self.parser: RegexPathParser = make_parser(parser)
         self.cell_res = cell_res
         self.href_template = href_template
         self.decode = decode
+        # verify_phash: recompute the perceptual hash of the decoded pixels
+        # and compare against the table's phash column — the per-row content
+        # integrity gate of the indexing pipeline (BASELINE.json invariant)
+        self.verify_phash = verify_phash
         self._tile_geo_cache: Dict[str, dict] = {}
 
     def _geo_for_tiles(self, tiles: np.ndarray, n: int):
@@ -140,9 +145,13 @@ class DecodeExtract:
         px_max = np.zeros(n, dtype=np.int32)
         px_mean = np.zeros(n, dtype=np.float64)
         decode_ok = np.ones(n, dtype=bool)
+        phash_ok = np.ones(n, dtype=bool)
         file_size = np.empty(n, dtype=np.int64)
         byte_col = batch["bytes"].combine_chunks() if isinstance(batch["bytes"], pa.ChunkedArray) else batch["bytes"]
         fmt_col = batch["fmt"].to_pylist()
+        phash_col = batch["phash"].to_pylist() if (self.verify_phash and "phash" in batch.column_names) else None
+        if phash_col is not None:
+            from ..codec.phash import phash64
         for i in range(n):
             buf = byte_col[i].as_py()
             file_size[i] = len(buf)
@@ -156,6 +165,8 @@ class DecodeExtract:
                 px_min[i] = int(px.min())
                 px_max[i] = int(px.max())
                 px_mean[i] = float(px.mean())
+                if phash_col is not None:
+                    phash_ok[i] = phash64(px) == phash_col[i]
             except Exception:
                 decode_ok[i] = False
 
@@ -200,6 +211,7 @@ class DecodeExtract:
             "px_max": pa.array(px_max),
             "px_mean": pa.array(px_mean),
             "decode_ok": pa.array(decode_ok),
+            "phash_ok": pa.array(phash_ok),
         }
         return pa.table(out)
 

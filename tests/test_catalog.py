@@ -145,3 +145,39 @@ class TestExtractStage:
         items = items_dataset(asset_metadata_dataset(smoke_images_dir, cfg), cfg).to_pandas()
         assert len(items) == 6
         assert (items["n_assets"] == 1).all()  # precip assets filtered out
+
+
+class TestFusedFlagship:
+    def test_fused_matches_unfused(self, ray_session, scale_images_dir):
+        """The fused single-pass headline must produce identical counts to
+        the materializing variant."""
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+            index_and_join,
+            index_and_join_fused,
+        )
+
+        a = index_and_join(scale_images_dir, out_root=None, checkpoint=False,
+                           extract_concurrency=2)
+        b = index_and_join_fused(scale_images_dir, extract_concurrency=2,
+                                 join_concurrency=1)
+        assert b["n_items"] == a["n_items"]
+        assert b["n_pip_matches"] == a["n_pip_matches"]
+        assert b["n_tile_pairs"] == a["n_tile_pairs"]
+
+    def test_checkpointed_flagship_resume(self, ray_session, scale_images_dir, tmp_path):
+        """Killed-run semantics: second run writes zero new partitions."""
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import index_and_join
+
+        root = str(tmp_path / "ckpt")
+        r1 = index_and_join(scale_images_dir, out_root=root, checkpoint=True,
+                            extract_concurrency=2)
+        assert r1["partitions_written"] > 0
+        r2 = index_and_join(scale_images_dir, out_root=root, checkpoint=True,
+                            extract_concurrency=2)
+        assert r2["partitions_written"] == 0
+        from stac_catalog_builder_ray.state.checkpoint import CheckpointStore
+        import os
+
+        store = CheckpointStore(os.path.join(root, "items_by_cell"))
+        mf = store.metrics_frame()
+        assert mf["rows"].sum() == r1["n_items"]  # lineage row counts add up
