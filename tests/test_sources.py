@@ -1,0 +1,102 @@
+"""Slots source (S3 analog) + geometry closure (M8) tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+class TestSlotsSource:
+    def test_slot_generation(self):
+        from stac_catalog_builder_ray.sources.slots import generate_query_slots
+
+        slots = generate_query_slots("2000-01-01", "2000-07-01", product_types=["a", "b"])
+        assert len(slots) == 12  # 6 months x 2 types
+        assert slots[0]["slot_id"] == "a_20000101"
+        assert all({"slot_id", "t0", "t1", "product_type"} <= set(s) for s in slots)
+
+    def test_fetch_and_dedup(self, ray_session):
+        from stac_catalog_builder_ray.sources.slots import (
+            generate_query_slots,
+            read_slots,
+        )
+
+        slots = generate_query_slots("2000-01-01", "2000-04-01", product_types=["a"])
+        got = read_slots(slots).to_pandas()
+        # boundary products appear in two slots; dedup keeps exactly one row each
+        assert got["product_id"].is_unique
+        assert len(got) > 0
+        # every kept row is the FIRST occurrence (min datetime/slot per id)
+        assert (got["product_type"] == "a").all()
+
+    def test_slot_resume(self, ray_session, tmp_path):
+        from stac_catalog_builder_ray.sources.slots import (
+            checkpoint_slots,
+            generate_query_slots,
+            read_slots,
+        )
+
+        root = str(tmp_path / "slots-ckpt")
+        slots = generate_query_slots("2000-01-01", "2000-04-01", product_types=["a"])
+        first = read_slots(slots, checkpoint_root=root).to_pandas()
+        n_marked = checkpoint_slots(first, root)
+        assert n_marked == len(slots)
+        # resume: all slots finished -> empty dataset, no fetch tasks at all
+        again = read_slots(slots, checkpoint_root=root)
+        assert again.count() == 0
+
+
+class TestGeometryClosure:
+    def _closure(self, **cols):
+        from stac_catalog_builder_ray.stages.geometry_closure import ensure_geoms_batch
+
+        n = len(next(iter(cols.values())))
+        table = {"proj_epsg": pa.array(cols.pop("proj_epsg", [4326] * n), pa.int32())}
+        for k, v in cols.items():
+            if k.endswith("_wkb"):
+                table[k] = pa.array(v, pa.binary())
+            else:
+                table[k] = pa.array(v, pa.list_(pa.float64()))
+        return ensure_geoms_batch(pa.table(table))
+
+    def test_from_bbox_projected(self):
+        out = self._closure(proj_epsg=[32631], bbox_projected=[[500000.0, 5600000.0, 510000.0, 5610000.0]])
+        bl = out["bbox_lat_lon"][0].as_py()
+        assert 2.0 < bl[0] < 4.0 and 50.0 < bl[1] < 52.0  # plausible lon/lat
+        assert out["geometry_proj_wkb"][0].as_py() is not None
+
+    def test_from_bbox_lat_lon(self):
+        out = self._closure(proj_epsg=[32631], bbox_lat_lon=[[4.0, 51.0, 5.0, 52.0]])
+        bp = out["bbox_projected"][0].as_py()
+        assert 5.6e6 < bp[1] < 5.8e6  # projected meters
+
+    def test_from_geometry_wkb(self):
+        from stac_catalog_builder_ray.geo.bbox import box_ring
+        from stac_catalog_builder_ray.geo.geometry import ring_to_wkb
+
+        wkb = ring_to_wkb(np.asarray(box_ring(4.0, 51.0, 5.0, 52.0)))
+        out = self._closure(proj_epsg=[4326], geometry_lat_lon_wkb=[wkb])
+        assert out["bbox_lat_lon"][0].as_py() == [4.0, 51.0, 5.0, 52.0]
+        assert out["bbox_projected"][0].as_py() == [4.0, 51.0, 5.0, 52.0]
+
+    def test_round_trip_containment(self):
+        """Round-tripping a bbox through the projection can only GROW the
+        envelope (bounds of a projected ring ⊇ original) — the derived
+        lat-lon bbox must contain the original, within a small margin."""
+        out1 = self._closure(proj_epsg=[32631], bbox_lat_lon=[[4.0, 51.0, 5.0, 52.0]])
+        bp = out1["bbox_projected"][0].as_py()
+        out2 = self._closure(proj_epsg=[32631], bbox_projected=[bp])
+        bl2 = out2["bbox_lat_lon"][0].as_py()
+        assert bl2[0] <= 4.0 + 1e-9 and bl2[1] <= 51.0 + 1e-9
+        assert bl2[2] >= 5.0 - 1e-9 and bl2[3] >= 52.0 - 1e-9
+        # and not by much (sanity: < 0.05 deg growth for a 1-deg box)
+        assert 4.0 - bl2[0] < 0.05 and bl2[2] - 5.0 < 0.05
+
+    def test_nothing_set_raises(self):
+        from stac_catalog_builder_ray.stages.geometry_closure import ensure_geoms_batch
+
+        with pytest.raises(ValueError, match="At least one"):
+            ensure_geoms_batch(
+                pa.table({"proj_epsg": pa.array([4326], pa.int32()),
+                          "bbox_projected": pa.array([None], pa.list_(pa.float64()))})
+            )
