@@ -50,7 +50,7 @@ def images_rows_for_sf(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     n_li = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
-    return max(1000, n_li // 3)  # sf0.1 -> ~200k images
+    return max(1000, (n_li * 5) // 6)  # sf0.1 -> ~500k images
 
 
 def prepare_images(sf_dir: str) -> str:

@@ -155,7 +155,7 @@ def scale_row_fields(i: int) -> Dict:
     # pair share one item — mirroring the reference corpus (2 assets/item)
     # while keeping ~n/2 DISTINCT item ids at any scale
     d = i // 2
-    year = 2000 + (d // 372) % 30
+    year = 2000 + d // 372  # unbounded: item-id entropy scales with table size
     month = 1 + (d // 31) % 12
     day = 1 + d % 28
     atype = ASSET_TYPES[i % 2]
