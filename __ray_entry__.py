@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # json flatten + word explode
         "json_extract": R.q_json_extract,
         "word_freq": R.q_word_freq,
+        # composite join / sessions / skew
+        "shipping_priority": R.q_shipping_priority,
+        "sessionize": R.q_sessionize,
+        "salted_agg": R.q_salted_agg,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -174,6 +178,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, COUNT(*) AS n FROM (SELECT unnest(regexp_split_to_array("
             "lower(trim(text)), '\\s+')) AS word FROM documents WHERE trim(text) <> '') "
             "GROUP BY word"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey "
+            "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
+        ),
+        "sessionize": (
+            "WITH e AS (SELECT user_id, ts, event_id, CASE WHEN "
+            "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 1800 SECOND "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_s "
+            "FROM events), "
+            "s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM e) "
+            "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, "
+            "CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        "salted_agg": (
+            "SELECT event_type, CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_e4, COUNT(*) AS n FROM events GROUP BY event_type"
         ),
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
         "pip_join": (

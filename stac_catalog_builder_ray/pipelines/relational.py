@@ -451,3 +451,127 @@ def q_word_freq(sf_dir: str):
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+# --- composite joins / sessionization / skew (round-1 additions) ------------
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-way join (broadcast dimension + partitioned hash
+    join) -> grouped exact-cents revenue, top 10 by (revenue desc, key)."""
+    from ..functions.rounding import round_half_away
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    ref = ray.put(keys)
+
+    class KeepBuilding:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k in self.keys for k in t["o_custkey"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+    orders = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(KeepBuilding, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(
+            lambda t: pa.table({"o_orderkey": t["o_orderkey"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(ext * (1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_cents": pa.array(cents)})
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        rev, batch_format="pyarrow"
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.groupby("l_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    pdf = out.to_pandas()
+    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
+    pdf = pdf.sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True]).head(10)
+    return pdf.reset_index(drop=True)
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (streaming §2.8): per user, a new session starts when
+    the gap to the previous event exceeds 30 minutes; emits per-session
+    (user_id, session_start, n_events, duration_sec).  Ordering assumption:
+    (ts, event_id) defines stream order within a user partition."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        # bucketed: many users per group, vectorized inside
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"] != g["user_id"].shift(1)
+        gap = g["ts"].diff().dt.total_seconds()
+        new_session = new_user | (gap > 1800.0)
+        sid = new_session.cumsum()
+        agg = g.groupby(sid, sort=False).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "first"),
+            session_end=("ts", "last"),
+            n_events=("event_id", "size"),
+        )
+        # exact integer microseconds (timestamps are timestamp[us]); SQL
+        # date_diff('second') counts boundary crossings, not elapsed time
+        agg["duration_us"] = (
+            agg["session_end"].astype("datetime64[us]").astype("int64")
+            - agg["session_start"].astype("datetime64[us]").astype("int64")
+        )
+        return agg[["user_id", "session_start", "n_events", "duration_us"]]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 32))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def q_salted_agg(sf_dir: str):
+    """Skew-aware aggregation end-to-end: detect hot event_type keys, salt
+    them, aggregate per salted key, merge salt partials — must equal a plain
+    GROUP BY (the oracle).  Demonstrates state/skew.py correctness."""
+    from ..functions.rounding import round_half_away
+    from ..state.skew import add_salted_key, detect_hot_keys
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def to_e4(t: pa.Table) -> pa.Table:
+        v4 = round_half_away(t["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "value_e4": pa.array(v4)})
+
+    ds = ds.map_batches(to_e4, batch_format="pyarrow")
+    hot = detect_hot_keys(ds, "event_type", threshold=100)
+    salted = add_salted_key(ds, "event_type", hot)
+    per_salt = salted.groupby("salted_key").aggregate(
+        Sum("value_e4", alias_name="sum_value_e4"), Count(alias_name="n")
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        keys = [k.rsplit("#", 1)[0] for k in t["salted_key"].to_pylist()]
+        return pa.table(
+            {"event_type": pa.array(keys), "sum_value_e4": t["sum_value_e4"], "n": t["n"]}
+        )
+
+    out = (
+        per_salt.map_batches(merge, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_value_e4", alias_name="sum_value_e4"), Sum("n", alias_name="n"))
+    )
+    pdf = out.to_pandas()
+    pdf["sum_value_e4"] = pdf["sum_value_e4"].astype("int64")
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf

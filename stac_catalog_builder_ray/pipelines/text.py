@@ -202,5 +202,35 @@ def q_ann_cosine(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup pairs at threshold 0.8."""
-    return embedding_neardup_pairs(_emb(sf_dir, ["vec_id", "embedding"]), threshold=0.8)
+    """Embedding-cosine near-dup pairs at threshold 0.95.
+
+    The raw table has no near-duplicates (max pairwise cosine ~0.51), so the
+    corpus is augmented with deterministic perturbed copies of every 25th
+    vector (vec_id + 1_000_000, +1% seeded noise): the operator must find
+    exactly those planted pairs and nothing else."""
+    import numpy as np
+    import ray.data as rd
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 25 == 0
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))})
+        vecs = np.stack(t.filter(pa.array(keep))["embedding"].to_pylist()).astype(np.float64)
+        kept_ids = ids[keep]
+        noise = np.stack([
+            np.random.default_rng(int(v)).standard_normal(vecs.shape[1]) for v in kept_ids
+        ])
+        near = vecs + 0.01 * noise
+        return pa.table({
+            "vec_id": pa.array(kept_ids + 1_000_000),
+            "embedding": pa.array([r.astype(np.float32).tolist() for r in near],
+                                  pa.list_(pa.float32())),
+        })
+
+    planted = emb.map_batches(plant, batch_format="pyarrow")
+    corpus = emb.union(planted)
+    return embedding_neardup_pairs(corpus, threshold=0.95)
