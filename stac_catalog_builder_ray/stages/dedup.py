@@ -246,3 +246,74 @@ def embedding_neardup_pairs(embeddings, id_col="vec_id", vec_col="embedding",
         )
 
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+# --- image near-dedup via perceptual-hash Hamming bands ---------------------
+
+
+def phash_neardup_pairs(images, id_col: str = "image_id", phash_col: str = "phash",
+                        max_hamming: int = 8, n_bands: int = 4):
+    """Near-duplicate IMAGE pairs by perceptual hash (SURVEY.md O5: "phash
+    Hamming bucket + verify").
+
+    Band trick: split the 64-bit hash into ``n_bands`` 16-bit bands; two
+    hashes within Hamming distance < n_bands must agree exactly on at least
+    one band (pigeonhole), so banding finds ALL pairs with distance <
+    n_bands and, probabilistically, most pairs up to ``max_hamming``.  One
+    ``groupby(band, value)`` shuffle of 4 small rows per image; exact
+    Hamming verify on candidates only.
+    """
+    import pyarrow as pa
+
+    band_bits = 64 // n_bands
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t[phash_col].to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+        n = len(h)
+        ids = t[id_col]
+        out_id, out_band, out_val, out_hash = [], [], [], []
+        for b in range(n_bands):
+            vals = ((h >> np.uint64(b * band_bits)) & mask).astype(np.int64)
+            out_id.append(ids)
+            out_band.append(pa.array(np.full(n, b, dtype=np.int32)))
+            out_val.append(pa.array(vals))
+            out_hash.append(t[phash_col])
+        return pa.table(
+            {
+                id_col: pa.concat_arrays([pa.array(c.to_pylist()) for c in out_id])
+                if isinstance(ids, pa.ChunkedArray)
+                else pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_id]),
+                "band": pa.concat_arrays(out_band),
+                "band_val": pa.concat_arrays(out_val),
+                phash_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_hash]
+                ),
+            }
+        )
+
+    exploded = images.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[id_col, "band_val", phash_col]].drop_duplicates(subset=[id_col, "band_val"])
+        g = g[g.duplicated("band_val", keep=False)]
+        if len(g) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        m = g.merge(g, on="band_val", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if len(m) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        from ..codec.phash import hamming64
+
+        d = hamming64(m[f"{phash_col}_a"].to_numpy(), m[f"{phash_col}_b"].to_numpy())
+        m = m.assign(hamming=d)
+        m = m[m["hamming"] <= max_hamming]
+        return m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})[
+            ["id_a", "id_b", "hamming"]
+        ]
+
+    cand = exploded.repartition(16).groupby("band").map_groups(pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    # a pair can surface in several bands: keep one row (hamming identical)
+    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -280,3 +280,31 @@ class TestHrefsAndRegistry:
         df = pd.DataFrame({"datetime": pd.to_datetime(["2000-05-01", "2001-06-01"]), "tile_id": ["a", "b"]})
         assert list(get_group_key("year")(df)) == [2000, 2001]
         assert list(get_group_key("tile")(df)) == ["a", "b"]
+
+
+class TestPhashNearDup:
+    def test_finds_planted_near_duplicates(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.codec.phash import phash64
+        from stac_catalog_builder_ray.datagen import gradient_pixels
+        from stac_catalog_builder_ray.stages.dedup import phash_neardup_pairs
+
+        rows = []
+        for i in range(30):
+            px = gradient_pixels(64, 48, -1 + i * 0.07, 0.5, -0.5, -0.2 + i * 0.05)
+            rows.append({"image_id": f"img{i:03d}", "phash": phash64(px)})
+        # planted near-duplicate: tiny noise on image 5's pixels
+        base = gradient_pixels(64, 48, -1 + 5 * 0.07, 0.5, -0.5, -0.2 + 5 * 0.05)
+        noisy = np.clip(base.astype(np.int64) + 25, 0, 65535).astype(np.uint16)
+        rows.append({"image_id": "img_dup", "phash": phash64(noisy)})
+        # exact duplicate of image 9
+        rows.append({"image_id": "img_exact", "phash": rows[9]["phash"]})
+
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        pairs = phash_neardup_pairs(ds, max_hamming=6).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+        assert ("img005", "img_dup") in got
+        assert ("img009", "img_exact") in got
+        exact = pairs[(pairs.id_a == "img009") & (pairs.id_b == "img_exact")]
+        assert exact["hamming"].iloc[0] == 0
