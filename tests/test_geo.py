@@ -169,3 +169,31 @@ class TestGeometry:
         ps = PolygonSet(rings)
         pi, gi = ps.contains_points(np.array([5.0, 25.0, 50.0]), np.array([5.0, 25.0, 50.0]))
         assert list(zip(pi.tolist(), gi.tolist())) == [(0, 0), (1, 1)]
+
+
+class TestReferenceProjectionTable:
+    """Mirror of the reference's projection property table
+    (tests/test_projections.py:12-97): known projected bboxes must
+    reproject to approximately [4, 51, 5, 52] WGS84.  Our transforms are
+    spherical (documented divergence from ellipsoidal pyproj), so the
+    tolerance is 0.25 deg instead of the reference's 1e-4 — the assertion
+    still catches wrong zones, swapped axes, sign errors, and bad false
+    eastings/northings."""
+
+    TABLE = {
+        # ETRS89-extended / LAEA Europe (reference case 3035)
+        3035: (3900350.772802173, 3110735.7505430346, 3977921.1759082996, 3226952.0036674426),
+        # ETRS89 / UTM 31N (reference case 3043; same projection parameters
+        # as WGS84 UTM 31N which our kernel implements as 32631)
+        32631: (568649.7048958719, 5650300.786521471, 640333.2963397139, 5762926.812790221),
+    }
+
+    @pytest.mark.parametrize("epsg", sorted(TABLE))
+    def test_reprojects_to_belgium(self, epsg):
+        from stac_catalog_builder_ray.geo.crs import reproject_bbox
+
+        w, s, e, n = reproject_bbox(*self.TABLE[epsg], epsg, 4326)
+        assert w == pytest.approx(4.0, abs=0.25)
+        assert s == pytest.approx(51.0, abs=0.25)
+        assert e == pytest.approx(5.0, abs=0.25)
+        assert n == pytest.approx(52.0, abs=0.25)
