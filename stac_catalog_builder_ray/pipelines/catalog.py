@@ -32,7 +32,6 @@ from ..sources.catalog_sink import (
     save_json,
 )
 from ..sources.images import read_images
-from ..stages.assemble import assemble_items
 from ..stages.extract import DecodeExtract
 
 DEFAULT_EXTRACT_CONCURRENCY = (1, 8)

@@ -181,3 +181,29 @@ class TestFusedFlagship:
         store = CheckpointStore(os.path.join(root, "items_by_cell"))
         mf = store.metrics_frame()
         assert mf["rows"].sum() == r1["n_items"]  # lineage row counts add up
+
+
+class TestAssemblyEquivalence:
+    def test_bucketed_equals_per_item_reference_impl(self, ray_session, scale_images_dir):
+        """assemble_bucket (fast path) must reproduce assemble_items (the
+        direct transcription of the reference semantics) row for row."""
+        import pandas as pd
+
+        from stac_catalog_builder_ray.config import tiled_collection_config
+        from stac_catalog_builder_ray.pipelines.catalog import asset_metadata_dataset
+        from stac_catalog_builder_ray.stages.assemble import assemble_bucket, assemble_items
+
+        cfg = tiled_collection_config()
+        known = frozenset(cfg.item_assets)
+        md = asset_metadata_dataset(scale_images_dir, cfg).to_pandas()
+
+        fast = assemble_bucket(md, known).sort_values("item_id").reset_index(drop=True)
+        slow = pd.concat(
+            [assemble_items(g, known) for _, g in md.groupby("item_id", sort=True)],
+            ignore_index=True,
+        ).sort_values("item_id").reset_index(drop=True)
+
+        assert len(fast) == len(slow)
+        for col in ("item_id", "west", "south", "east", "north", "proj_epsg",
+                    "year", "cell", "n_assets", "assets_json", "tile_id"):
+            assert list(fast[col]) == list(slow[col]), f"column {col} differs"
