@@ -24,6 +24,10 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 def _downsample(img: np.ndarray, size: int = 32) -> np.ndarray:
     h, w = img.shape
+    if min(h, w) < size:
+        # boundary indices would repeat -> zero-area blocks -> NaN-derived
+        # garbage hash; fail loudly instead (callers must supply >= 32px)
+        raise ValueError(f"phash requires min(h, w) >= {size}, got {h}x{w}")
     ys = (np.arange(size + 1) * h) // size
     xs = (np.arange(size + 1) * w) // size
     # block means via 2-D cumulative sums (vectorized, any h/w >= size)

@@ -147,11 +147,17 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 
 SQL_NGRAM_JACCARD = (
-    "WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS words "
+    # empty-text guard (same CASE as SQL_LANGID/SQL_TOKEN_COUNT): DuckDB's
+    # regexp_split_to_array('', '\s+') yields [''], which would give two
+    # adjacent empty docs jaccard 1.0 while the engine's ''.split() -> empty
+    # set gives 0.0; the outer CASE keeps the 0/0 case at 0.0 on both sides
+    "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE "
+    "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS words "
     "FROM documents) "
     "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CASE WHEN length(list_distinct(a.words || b.words)) = 0 THEN 0.0 ELSE "
     "ROUND(CAST(length(list_intersect(a.words, b.words)) AS DOUBLE) "
-    "/ length(list_distinct(a.words || b.words)), 4) AS jaccard "
+    "/ length(list_distinct(a.words || b.words)), 4) END AS jaccard "
     "FROM t a JOIN t b ON b.doc_id = a.doc_id + 1"
 )
 

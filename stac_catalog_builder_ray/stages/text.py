@@ -68,8 +68,11 @@ class LangIdStage:
 
         with np.errstate(invalid="ignore"):
             rate = np.where(n_tokens > 0, stop_hits / np.maximum(n_tokens, 1), 0.0)
-        rate = round_half_away(rate, 4)
+        # classify on the UNROUNDED rate (matches SQL_LANGID's CASE exactly);
+        # rounding applies only to the emitted stop_rate column — a doc with
+        # rate in (0.05, 0.05005] must still classify 'en'
         pred = np.where(rate > self.threshold, "en", "other")
+        rate = round_half_away(rate, 4)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],

@@ -60,6 +60,14 @@ class TestPhash:
         v = phash64(gradient_pixels(32, 32))
         assert -(2**63) <= v < 2**63
 
+    def test_rejects_tiny_images(self):
+        # < 32px in either dimension would produce zero-area blocks -> NaN
+        # garbage; must fail loudly instead
+        with pytest.raises(ValueError, match="min\\(h, w\\)"):
+            phash64(gradient_pixels(31, 64))
+        with pytest.raises(ValueError, match="min\\(h, w\\)"):
+            phash64(gradient_pixels(64, 16))
+
 
 class TestDatagen:
     def test_smoke_ids_match_reference_corpus(self):

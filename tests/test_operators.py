@@ -308,3 +308,27 @@ class TestPhashNearDup:
         assert ("img009", "img_exact") in got
         exact = pairs[(pairs.id_a == "img009") & (pairs.id_b == "img_exact")]
         assert exact["hamming"].iloc[0] == 0
+
+
+class TestLangId:
+    def test_threshold_uses_unrounded_rate(self):
+        """A doc whose stop rate is in (0.05, 0.05005] rounds DOWN to 0.0500
+        but must still classify 'en' (the SQL oracle compares the unrounded
+        rate): 1001 stopwords in 20001 tokens -> rate 0.0500475."""
+        import pyarrow as pa
+
+        from stac_catalog_builder_ray.stages.text import LangIdStage
+
+        text = " ".join(["the"] * 1001 + ["zz"] * 19000)
+        out = LangIdStage()(pa.table({"doc_id": [1], "text": [text]}))
+        assert out["stop_rate"][0].as_py() == 0.05  # rounded for display
+        assert out["pred_lang"][0].as_py() == "en"  # classified unrounded
+
+    def test_exactly_at_threshold_is_other(self):
+        import pyarrow as pa
+
+        from stac_catalog_builder_ray.stages.text import LangIdStage
+
+        text = " ".join(["the"] * 1 + ["zz"] * 19)  # rate exactly 0.05
+        out = LangIdStage()(pa.table({"doc_id": [1], "text": [text]}))
+        assert out["pred_lang"][0].as_py() == "other"
