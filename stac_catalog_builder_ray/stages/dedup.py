@@ -107,11 +107,31 @@ class MinHashStage:
         )
 
 
+def default_lsh_partitions() -> int:
+    """Reduce-side partition count for LSH candidate generation, scaled to
+    the cluster (2 per CPU, floor 16).  At the 100 TB design point callers
+    override this with ~``total_rows * num_bands / rows_per_partition`` so
+    each reducer's input stays bounded regardless of corpus size."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 2 * cpus)
+
+
 def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text",
-                            num_perm=64, num_bands=16, shingle_n=3):
+                            num_perm=64, num_bands=16, shingle_n=3,
+                            num_partitions=None):
     """docs Dataset -> candidate near-dup pairs (id_a < id_b), deduplicated.
-    The ``groupby(band, bucket)`` shuffle moves only ~num_bands small rows
-    per doc."""
+
+    The shuffle moves only ~num_bands small (id, band, bucket) rows per doc,
+    partitioned by ``hash(band, bucket) % num_partitions`` — every reducer
+    receives ~``N * num_bands / num_partitions`` rows (all rows of one
+    (band, bucket) land together, so the within-bucket self-merge is exact),
+    never the one-row-per-corpus-element fan-in of a plain groupby(band)."""
+    num_partitions = num_partitions or default_lsh_partitions()
     exploded = docs.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
@@ -121,57 +141,125 @@ def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text",
         concurrency=(1, 8),
     )
 
-    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
-        """One vectorized pass per BAND (16 groups total, not one per
-        bucket): self-merge on bucket yields all within-bucket pairs."""
-        g = g[[id_col, "bucket"]].drop_duplicates()
+    def add_pkey(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = splitmix64((band << np.uint64(48)) ^ bucket) % np.uint64(num_partitions)
+        return t.append_column("pkey", pa.array(pk.astype(np.int64)))
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pass per partition of many (band, bucket) groups:
+        self-merge on (band, bucket) yields all within-bucket pairs."""
+        id_dtype = g[id_col].dtype  # keep empty outputs schema-stable
+        g = g[[id_col, "band", "bucket"]].drop_duplicates()
         # only buckets with >= 2 docs can produce pairs
-        g = g[g.duplicated("bucket", keep=False)]
+        g = g[g.duplicated(["band", "bucket"], keep=False)]
         if len(g) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        m = g.merge(g, on="bucket", suffixes=("_a", "_b"))
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype)})
+        m = g.merge(g, on=["band", "bucket"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         return m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})[["id_a", "id_b"]]
 
-    cand = exploded.repartition(16).groupby("band").map_groups(
-        pairs_in_band, batch_format="pandas"
-    )
+    cand = exploded.map_batches(add_pkey, batch_format="pyarrow").repartition(
+        min(num_partitions, 64)
+    ).groupby("pkey").map_groups(pairs_in_part, batch_format="pandas")
     # dedup pairs surfaced by multiple bands: vectorized grouped count, keys only
     from ray.data.aggregate import Count
 
     return cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
 
+_SHINGLE_SEP = "\x1f"
+
+
+class PackCandidateShingles:
+    """Actor stage: stream the corpus, KEEP only rows whose id is in the
+    broadcast candidate-id set (``pc.is_in``, vectorized), and pack each
+    kept doc's distinct shingle set into one separator-joined string (Ray's
+    hash join rejects list-typed non-key columns; strings pass through)."""
+
+    def __init__(self, ids_ref, id_col: str, text_col: str, shingle_n: int):
+        import ray
+
+        self.id_set = pa.array(ray.get(ids_ref))  # shipped once per actor
+        self.id_col, self.text_col, self.n = id_col, text_col, shingle_n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t[self.id_col], value_set=self.id_set))
+        packed = [
+            _SHINGLE_SEP.join(sorted(set(word_shingles(x or "", self.n))))
+            for x in t[self.text_col].to_pylist()
+        ]
+        return pa.table({self.id_col: t[self.id_col], "shingles": pa.array(packed, pa.string())})
+
+
 def verify_jaccard(pairs, docs, id_col="doc_id", text_col="text",
-                   shingle_n=3, threshold=0.7):
-    """Exact-Jaccard verification of candidate pairs.  The doc texts needed
-    are gathered via a broadcast dict (candidate sets are small relative to
-    the corpus by construction)."""
+                   shingle_n=3, threshold=0.7, num_partitions=None):
+    """Exact-Jaccard verification of candidate pairs — scale-safe.
+
+    Only the texts whose ids appear in the candidate-pair set are gathered:
+    the candidate ID SET (O(pairs), small by LSH construction) is broadcast
+    once, the corpus streams through a vectorized ``is_in`` filter, and the
+    surviving (id, packed-shingles) rows — not the whole corpus — feed two
+    partitioned hash joins (pairs⋈docs on id_a, then id_b).  No driver-side
+    materialization of corpus rows (contrast round 1, which built a
+    whole-corpus text dict on the driver)."""
     import ray
 
-    texts = {r[id_col]: r[text_col] for r in docs.select_columns([id_col, text_col]).iter_rows()}
-    ref = ray.put(texts)
+    num_partitions = num_partitions or max(8, default_lsh_partitions() // 4)
+    import ray.data as rd
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
-            self.n = shingle_n
+    # The candidate-pair table is O(duplicate pairs) — small by LSH
+    # construction — so collect it once: it provides the broadcast id set
+    # AND a clean single-block arrow dataset for the joins (map_groups
+    # output carries empty schema-less blocks that pyarrow's join rejects).
+    idtbl = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    cand_ids = sorted(set(idtbl["id_a"]) | set(idtbl["id_b"]))
+    ids_ref = ray.put(cand_ids)
+    pairs = rd.from_arrow(pa.Table.from_pandas(idtbl[["id_a", "id_b"]], preserve_index=False))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ia = t["id_a"].to_pylist()
-            ib = t["id_b"].to_pylist()
-            sims = []
-            for a, b in zip(ia, ib):
-                sa = set(word_shingles(self.texts.get(a, ""), self.n))
-                sb = set(word_shingles(self.texts.get(b, ""), self.n))
-                denom = len(sa | sb)
-                sims.append(len(sa & sb) / denom if denom else 0.0)
-            from ..functions.rounding import round_half_away
+    docs_f = docs.map_batches(
+        PackCandidateShingles,
+        fn_constructor_kwargs={"ids_ref": ids_ref, "id_col": id_col,
+                               "text_col": text_col, "shingle_n": shingle_n},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()  # candidate texts only; probed by both joins
 
-            out = t.append_column("jaccard", pa.array(round_half_away(np.asarray(sims), 4)))
-            return out.filter(pa.array([s >= threshold for s in sims]))
+    left = docs_f.map_batches(
+        lambda t: pa.table({"id_a": t[id_col], "sh_a": t["shingles"]}),
+        batch_format="pyarrow",
+    )
+    right = docs_f.map_batches(
+        lambda t: pa.table({"id_b": t[id_col], "sh_b": t["shingles"]}),
+        batch_format="pyarrow",
+    )
+    j = pairs.join(left, join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    j = j.join(right, join_type="inner", num_partitions=num_partitions, on=("id_b",))
 
-    return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+    def jac(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        sims = []
+        for a, b in zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
+            sa = set(a.split(_SHINGLE_SEP)) if a else set()
+            sb = set(b.split(_SHINGLE_SEP)) if b else set()
+            denom = len(sa | sb)
+            sims.append(len(sa & sb) / denom if denom else 0.0)
+        sims = np.asarray(sims, dtype=np.float64)
+        out = pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "jaccard": pa.array(round_half_away(sims, 4)),
+            }
+        )
+        return out.filter(pa.array(sims >= threshold))
+
+    return j.map_batches(jac, batch_format="pyarrow")
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -252,7 +340,8 @@ def embedding_neardup_pairs(embeddings, id_col="vec_id", vec_col="embedding",
 
 
 def phash_neardup_pairs(images, id_col: str = "image_id", phash_col: str = "phash",
-                        max_hamming: int = 8, n_bands: int = 4):
+                        max_hamming: int = 8, n_bands: int = 4,
+                        num_partitions=None):
     """Near-duplicate IMAGE pairs by perceptual hash (SURVEY.md O5: "phash
     Hamming bucket + verify").
 
@@ -260,8 +349,11 @@ def phash_neardup_pairs(images, id_col: str = "image_id", phash_col: str = "phas
     hashes within Hamming distance < n_bands must agree exactly on at least
     one band (pigeonhole), so banding finds ALL pairs with distance <
     n_bands and, probabilistically, most pairs up to ``max_hamming``.  One
-    ``groupby(band, value)`` shuffle of 4 small rows per image; exact
-    Hamming verify on candidates only.
+    shuffle of 4 small rows per image partitioned by ``hash(band, value) %
+    num_partitions`` (all rows of one (band, value) bucket land together, so
+    the self-merge is exact, and each reducer receives ~n_bands*N/P rows —
+    never the O(N) fan-in of a plain groupby(band)); exact Hamming verify on
+    candidates only.
     """
     import pyarrow as pa
 
@@ -292,14 +384,24 @@ def phash_neardup_pairs(images, id_col: str = "image_id", phash_col: str = "phas
             }
         )
 
-    exploded = images.map_batches(explode, batch_format="pyarrow")
+    num_partitions = num_partitions or default_lsh_partitions()
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        val = t["band_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = splitmix64((band << np.uint64(48)) ^ val) % np.uint64(num_partitions)
+        return t.append_column("pkey", pa.array(pk.astype(np.int64)))
+
+    exploded = images.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_pkey, batch_format="pyarrow"
+    )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[[id_col, "band_val", phash_col]].drop_duplicates(subset=[id_col, "band_val"])
-        g = g[g.duplicated("band_val", keep=False)]
+        g = g[[id_col, "band", "band_val", phash_col]].drop_duplicates(subset=[id_col, "band", "band_val"])
+        g = g[g.duplicated(["band", "band_val"], keep=False)]
         if len(g) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        m = g.merge(g, on="band_val", suffixes=("_a", "_b"))
+        m = g.merge(g, on=["band", "band_val"], suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         if len(m) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
@@ -312,7 +414,9 @@ def phash_neardup_pairs(images, id_col: str = "image_id", phash_col: str = "phas
             ["id_a", "id_b", "hamming"]
         ]
 
-    cand = exploded.repartition(16).groupby("band").map_groups(pairs, batch_format="pandas")
+    cand = exploded.repartition(min(num_partitions, 64)).groupby("pkey").map_groups(
+        pairs, batch_format="pandas"
+    )
     from ray.data.aggregate import Min
 
     # a pair can surface in several bands: keep one row (hamming identical)

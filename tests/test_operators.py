@@ -332,3 +332,39 @@ class TestLangId:
         text = " ".join(["the"] * 1 + ["zz"] * 19)  # rate exactly 0.05
         out = LangIdStage()(pa.table({"doc_id": [1], "text": [text]}))
         assert out["pred_lang"][0].as_py() == "other"
+
+
+class TestMinHashScale:
+    def test_100k_docs_planted_dups_no_driver_corpus(self, ray_session):
+        """Scale test (VERDICT r1 item 2): 100k docs, 100 planted duplicate
+        pairs.  Tokens are unique per base doc so the ONLY near-dups are the
+        planted ones; verify_jaccard must find exactly those, gathering only
+        candidate texts (never the full corpus) on the driver."""
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.dedup import (
+            minhash_candidate_pairs,
+            verify_jaccard,
+        )
+
+        n = 100_000
+        def gen(batch):
+            ids = batch["id"]
+            rows_id, rows_text = [], []
+            for i in ids:
+                i = int(i)
+                text = " ".join(f"w{i}_{j}" for j in range(12))
+                rows_id.append(i)
+                rows_text.append(text)
+                if i % 1000 == 0:  # plant an exact duplicate
+                    rows_id.append(i + 1_000_000)
+                    rows_text.append(text)
+            return pd.DataFrame({"doc_id": rows_id, "text": rows_text})
+
+        docs = ray.data.range(n).map_batches(gen, batch_format="pandas")
+        cand = minhash_candidate_pairs(docs, num_perm=32, num_bands=8)
+        out = verify_jaccard(cand, docs, threshold=0.9).to_pandas()
+        got = set(map(tuple, out[["id_a", "id_b"]].values))
+        want = {(i, i + 1_000_000) for i in range(0, n, 1000)}
+        assert got == want
+        assert (out["jaccard"] == 1.0).all()
