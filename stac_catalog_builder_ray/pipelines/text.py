@@ -211,9 +211,11 @@ def q_embedding_dedup(sf_dir: str):
     """Embedding-cosine near-dup pairs at threshold 0.95.
 
     The raw table has no near-duplicates (max pairwise cosine ~0.51), so the
-    corpus is augmented with deterministic perturbed copies of every 25th
-    vector (vec_id + 1_000_000, +1% seeded noise): the operator must find
-    exactly those planted pairs and nothing else."""
+    corpus is augmented with a deterministic BOUNDARY copy of every 25th
+    vector (vec_id + 1_000_000) constructed at cosine EXACTLY 0.96 — close
+    to the 0.95 threshold where single-table projection bucketing loses
+    ~half the pairs — so this query exercises the banded multi-table recall
+    guarantee, not just near-identical copies."""
     import numpy as np
     import ray.data as rd
 
@@ -227,13 +229,17 @@ def q_embedding_dedup(sf_dir: str):
                              "embedding": pa.array([], pa.list_(pa.float32()))})
         vecs = np.stack(t.filter(pa.array(keep))["embedding"].to_pylist()).astype(np.float64)
         kept_ids = ids[keep]
-        noise = np.stack([
-            np.random.default_rng(int(v)).standard_normal(vecs.shape[1]) for v in kept_ids
-        ])
-        near = vecs + 0.01 * noise
+        c = 0.96
+        out = np.empty_like(vecs)
+        for i, vid in enumerate(kept_ids):
+            v = vecs[i] / np.linalg.norm(vecs[i])
+            w = np.random.default_rng(int(vid)).standard_normal(vecs.shape[1])
+            w = w - (w @ v) * v
+            w /= np.linalg.norm(w)
+            out[i] = c * v + np.sqrt(1.0 - c * c) * w  # cosine(v, out) == c
         return pa.table({
             "vec_id": pa.array(kept_ids + 1_000_000),
-            "embedding": pa.array([r.astype(np.float32).tolist() for r in near],
+            "embedding": pa.array([r.astype(np.float32).tolist() for r in out],
                                   pa.list_(pa.float32())),
         })
 

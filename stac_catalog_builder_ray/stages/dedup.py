@@ -292,48 +292,157 @@ class SimHashStage:
 # --- embedding near-dup ----------------------------------------------------
 
 
-def embedding_neardup_pairs(embeddings, id_col="vec_id", vec_col="embedding",
-                            threshold=0.95, n_planes=8):
-    """Near-duplicate pairs by cosine >= threshold.  Bucket by the sign
-    pattern of ``n_planes`` deterministic random projections (vectors with
-    cosine ~1 almost surely share the pattern), then brute-force verify
-    within buckets — one small shuffle, no O(N^2)."""
+class EmbeddingLSHStage:
+    """map_batches stage: embedding column -> (id, table, bucket) rows,
+    ``n_tables`` small rows per vector (the vector itself does NOT enter the
+    shuffle).  Each table hashes the unit vector to the sign pattern of
+    ``n_planes`` deterministic random hyperplanes (seeded -> identical on
+    every worker)."""
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = vecs / np.maximum(norms, 1e-12)
-        d = vecs.shape[1]
-        rng = np.random.default_rng(1234)  # fixed seed -> same planes everywhere
-        planes = rng.standard_normal((d, n_planes))
-        signs = (unit @ planes) > 0
-        bucket = np.zeros(len(vecs), dtype=np.int64)
-        for j in range(n_planes):
-            bucket = bucket * 2 + signs[:, j]
+    def __init__(self, id_col="vec_id", vec_col="embedding",
+                 n_planes=8, n_tables=16):
+        self.id_col, self.vec_col = id_col, vec_col
+        self.n_planes, self.n_tables = n_planes, n_tables
+        self._planes = None  # (n_tables, d, n_planes), built on first batch
+
+    def _get_planes(self, d: int) -> np.ndarray:
+        if self._planes is None or self._planes.shape[1] != d:
+            rng = np.random.default_rng(1234)
+            self._planes = rng.standard_normal((self.n_tables, d, self.n_planes))
+        return self._planes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({self.id_col: t[self.id_col],
+                             "table": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64())})
+        vecs = np.stack(t[self.vec_col].to_pylist()).astype(np.float64)
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        planes = self._get_planes(vecs.shape[1])
+        ids = t[self.id_col].combine_chunks() if isinstance(t[self.id_col], pa.ChunkedArray) else t[self.id_col]
+        out_id, out_tbl, out_bkt = [], [], []
+        pow2 = (np.int64(1) << np.arange(self.n_planes, dtype=np.int64))[::-1]
+        for ti in range(self.n_tables):
+            signs = (unit @ planes[ti]) > 0  # (n, n_planes)
+            bucket = signs.astype(np.int64) @ pow2
+            out_id.append(ids)
+            out_tbl.append(pa.array(np.full(n, ti, dtype=np.int32)))
+            out_bkt.append(pa.array(bucket))
         return pa.table(
             {
-                id_col: t[id_col],
-                "bucket": pa.array(bucket),
-                "unit": pa.array(unit.tolist(), pa.list_(pa.float64())),
+                self.id_col: pa.concat_arrays([c for c in out_id]),
+                "table": pa.concat_arrays(out_tbl),
+                "bucket": pa.concat_arrays(out_bkt),
             }
         )
 
-    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values(id_col, kind="stable")
-        ids = g[id_col].to_numpy()
-        u = np.stack(g["unit"].to_numpy())
-        sims = u @ u.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": np.round(sims[ia, ib][keep], 4)}
-        )
+def embedding_neardup_pairs(embeddings, id_col="vec_id", vec_col="embedding",
+                            threshold=0.95, n_planes=8, n_tables=16,
+                            num_partitions=None):
+    """Near-duplicate pairs by cosine >= threshold, with a RECALL GUARANTEE
+    from banded multi-table random projection (fixes round 1's single-bucket
+    recall hole).
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    A pair at angle th agrees with one hyperplane with prob ``1 - th/pi``,
+    matches one table's full sign pattern with prob ``q = (1 - th/pi)^p``,
+    and is MISSED by all ``T`` independent tables with prob ``(1 - q)^T``.
+    At cosine 0.95 (th ~ 18.2 deg, th/pi ~ 0.101) and the default p=8, T=16:
+    q ~ 0.426, miss ~ 0.574^16 ~ 1.4e-4 -> recall > 99.98%, improving
+    rapidly above the threshold (round 1's single table missed ~57% there).
+
+    Mechanics mirror minhash_candidate_pairs: T small (id, table, bucket)
+    rows per vector shuffle partitioned by ``hash(table, bucket) %
+    num_partitions`` (bounded reducer fan-in), candidate pairs self-merge
+    within (table, bucket), and the exact-cosine verify joins the unit
+    vectors of CANDIDATE ids only (packed as fixed-width binary; the corpus
+    streams through an is_in filter — nothing driver-held)."""
+    import ray
+    import ray.data as rd
+
+    num_partitions = num_partitions or default_lsh_partitions()
+    exploded = embeddings.map_batches(
+        EmbeddingLSHStage,
+        fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,
+                               "n_planes": n_planes, "n_tables": n_tables},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        tbl = t["table"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = splitmix64((tbl << np.uint64(48)) ^ bkt) % np.uint64(num_partitions)
+        return t.append_column("pkey", pa.array(pk.astype(np.int64)))
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = g[id_col].dtype
+        g = g[[id_col, "table", "bucket"]].drop_duplicates()
+        g = g[g.duplicated(["table", "bucket"], keep=False)]
+        if len(g) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype)})
+        m = g.merge(g, on=["table", "bucket"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        return m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})[["id_a", "id_b"]]
+
+    cand = (
+        exploded.map_batches(add_pkey, batch_format="pyarrow")
+        .repartition(min(num_partitions, 64))
+        .groupby("pkey")
+        .map_groups(pairs_in_part, batch_format="pandas")
+    )
+    from ray.data.aggregate import Count
+
+    cand = cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+    # --- exact-cosine verify over candidate ids only ------------------------
+    idtbl = cand.select_columns(["id_a", "id_b"]).to_pandas()  # O(pairs)
+    if len(idtbl) == 0:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                       "id_b": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64())}))
+    cand_ids = sorted(set(idtbl["id_a"]) | set(idtbl["id_b"]))
+    ids_ref = ray.put(cand_ids)
+    pairs = rd.from_arrow(pa.Table.from_pandas(idtbl[["id_a", "id_b"]], preserve_index=False))
+
+    class PackUnit:
+        def __init__(self):
+            self.id_set = pa.array(ray.get(ids_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.is_in(t[id_col], value_set=self.id_set))
+            if t.num_rows == 0:
+                return pa.table({id_col: t[id_col], "unit": pa.array([], pa.binary())})
+            vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+            unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            return pa.table({id_col: t[id_col],
+                             "unit": pa.array([r.tobytes() for r in unit], pa.binary())})
+
+    units = embeddings.map_batches(PackUnit, batch_format="pyarrow",
+                                   concurrency=(1, 8)).materialize()
+    left = units.map_batches(
+        lambda t: pa.table({"id_a": t[id_col], "u_a": t["unit"]}), batch_format="pyarrow")
+    right = units.map_batches(
+        lambda t: pa.table({"id_b": t[id_col], "u_b": t["unit"]}), batch_format="pyarrow")
+    np_join = max(8, num_partitions // 4)
+    j = pairs.join(left, join_type="inner", num_partitions=np_join, on=("id_a",))
+    j = j.join(right, join_type="inner", num_partitions=np_join, on=("id_b",))
+
+    def cosine(t: pa.Table) -> pa.Table:
+        ua = np.stack([np.frombuffer(b, dtype=np.float64) for b in t["u_a"].to_pylist()]) \
+            if t.num_rows else np.zeros((0, 1))
+        ub = np.stack([np.frombuffer(b, dtype=np.float64) for b in t["u_b"].to_pylist()]) \
+            if t.num_rows else np.zeros((0, 1))
+        sims = (ua * ub).sum(axis=1) if t.num_rows else np.zeros(0)
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "cosine": pa.array(np.round(sims, 4))})
+        return out.filter(pa.array(sims >= threshold))
+
+    return j.map_batches(cosine, batch_format="pyarrow")
 
 
 # --- image near-dedup via perceptual-hash Hamming bands ---------------------
