@@ -107,6 +107,7 @@ def knn_join(
     res: int = 6,
     id_col: str = "item_id",
     ring: int = 1,
+    exact: bool = False,
 ):
     """Self-kNN: for each point, its k nearest OTHER points (Euclidean on
     lon/lat degrees — documented choice so the DuckDB oracle is expressible).
@@ -116,7 +117,15 @@ def knn_join(
     pick ``res`` from expected point density.  Two shuffles, both over small
     rows: groupby(cell) for local candidate scoring, groupby(id) for the
     cross-ring re-rank.
-    """
+
+    ``exact=True`` adds a widening pass that makes the result exact
+    regardless of ``res``: queries whose ring provably may miss a true
+    neighbour — fewer than k candidates in the ring block, or a k-th
+    distance >= the ring's guaranteed clearance ``ring * (180 / 2^res)``
+    degrees — are re-answered by a brute-force broadcast scan (queries
+    broadcast, corpus streams, per-batch partial top-k).  Cost is
+    O(starved x N); starved queries are rare when ``res`` matches density,
+    so this is the correctness backstop, not the hot path."""
 
     def explode(batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -203,12 +212,148 @@ def knn_join(
         out = g.groupby(id_col, sort=False).head(k)
         return out[[id_col, "neighbor_id", "dist"]]
 
-    return (
+    ranked = (
         local.map_batches(add_qbucket, batch_format="pyarrow")
         .repartition(32)
         .groupby("qbucket")
         .map_groups(rerank_bucket, batch_format="pandas")
     )
+    if not exact:
+        return ranked
+    return _knn_widen(points, ranked, k=k, res=res, id_col=id_col, ring=ring)
+
+
+def _knn_widen(points, ranked, k: int, res: int, id_col: str, ring: int):
+    """Exact backstop for :func:`knn_join`: detect queries whose ring block
+    cannot guarantee the true top-k, re-answer them by brute force, splice.
+
+    Detection (both distributed, both yield SMALL sets by construction):
+    1. ring-population check — per-cell counts (bounded by occupied cells at
+       ``res``, broadcast as a dict) summed over each point's ring; fewer
+       than k OTHER points in the block means the block physically cannot
+       supply k neighbours (also catches zero-candidate isolated points that
+       produce no ranked rows at all);
+    2. clearance check — a returned k-th distance >= ``ring * (180/2^res)``
+       deg (the minimum distance from anywhere in the home cell to outside
+       the block) means a closer point could exist beyond the ring.
+    """
+    from ray.data.aggregate import Count as _Count, Max as _Max
+
+    cell_h = 180.0 / (1 << res)
+    safe_r = ring * cell_h
+
+    # --- 1. ring-population check -------------------------------------------
+    def home_cells(t: pa.Table) -> pa.Table:
+        cells = cell_encode(
+            t["lon"].to_numpy(zero_copy_only=False).astype(np.float64),
+            t["lat"].to_numpy(zero_copy_only=False).astype(np.float64),
+            res,
+        )
+        return pa.table({"cell": pa.array(cells)})
+
+    counts_df = (
+        points.map_batches(home_cells, batch_format="pyarrow")
+        .groupby("cell").aggregate(_Count(alias_name="n"))
+        .to_pandas()  # one row per OCCUPIED cell — small side, broadcast
+    )
+    counts = dict(zip(counts_df["cell"].astype(np.int64), counts_df["n"].astype(np.int64)))
+    counts_ref = ray.put(counts)
+
+    class RingStarved:
+        def __init__(self):
+            self.counts = ray.get(counts_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lon = t["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lat = t["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+            home = cell_encode(lon, lat, res)
+            rings = _ring_cells_vec(home, ring)
+            avail = np.zeros(len(lon), dtype=np.int64)
+            for j in range(rings.shape[1]):
+                col = rings[:, j]
+                # lat-clamped ring cells repeat the home cell; count each
+                # distinct cell once
+                fresh = np.ones(len(col), dtype=bool)
+                for jj in range(j):
+                    fresh &= rings[:, jj] != col
+                counted = np.fromiter((self.counts.get(int(c), 0) for c in col),
+                                      dtype=np.int64, count=len(col))
+                avail += np.where(fresh, counted, 0)
+            return t.filter(pa.array(avail - 1 < k))  # excl. self
+
+    risky_pop = points.map_batches(RingStarved, batch_format="pyarrow",
+                                   concurrency=(1, 8)).to_pandas()
+
+    # --- 2. clearance check ---------------------------------------------------
+    stats = ranked.groupby(id_col).aggregate(
+        _Count(alias_name="_n"), _Max("dist", alias_name="_maxd")
+    )
+
+    def risky_only(t: pa.Table) -> pa.Table:
+        n = t["_n"].to_numpy(zero_copy_only=False)
+        maxd = t["_maxd"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((n < k) | (maxd >= safe_r)))
+
+    risky_df = stats.map_batches(risky_only, batch_format="pyarrow").to_pandas()
+    # an all-filtered dataset can come back as a columnless empty frame
+    risky_ids2 = set(risky_df[id_col]) if id_col in risky_df.columns else set()
+    risky_ids = risky_ids2 | (set(risky_pop[id_col]) if id_col in risky_pop.columns else set())
+    if not risky_ids:
+        return ranked
+
+    # coordinates for ALL risky queries (clearance-flagged ids may not be in
+    # risky_pop): one vectorized is_in filter over the points stream
+    ids_arr = pa.array(sorted(risky_ids))
+    ids_ref = ray.put(ids_arr)
+
+    def keep_risky(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[id_col], value_set=ray.get(ids_ref)))
+
+    risky_pts = points.map_batches(keep_risky, batch_format="pyarrow").to_pandas()
+
+    # --- brute-force re-answer (queries broadcast, corpus streams) -----------
+    q_ids = risky_pts[id_col].to_numpy()
+    q_lon = risky_pts["lon"].to_numpy(dtype=np.float64)
+    q_lat = risky_pts["lat"].to_numpy(dtype=np.float64)
+    q_ref = ray.put((q_ids, q_lon, q_lat))
+
+    class BrutePartial:
+        def __init__(self):
+            self.q_ids, self.q_lon, self.q_lat = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            c_ids = np.asarray(t[id_col].to_pylist())
+            c_lon = t["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c_lat = t["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+            d = np.sqrt((self.q_lon[:, None] - c_lon[None, :]) ** 2
+                        + (self.q_lat[:, None] - c_lat[None, :]) ** 2)
+            d[self.q_ids[:, None] == c_ids[None, :]] = np.inf  # exclude self
+            kk = min(k, d.shape[1])
+            idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            qq = np.repeat(self.q_ids, kk)
+            nn = c_ids[idx.ravel()]
+            dd = np.take_along_axis(d, idx, axis=1).ravel()
+            keep = np.isfinite(dd)
+            return pa.table({id_col: pa.array(qq[keep]), "neighbor_id": pa.array(nn[keep]),
+                             "dist": pa.array(dd[keep])})
+
+    brute_partials = points.map_batches(BrutePartial, batch_format="pyarrow",
+                                        concurrency=(1, 8))
+
+    def brute_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], kind="stable").head(k)
+        return g[[id_col, "neighbor_id", "dist"]]
+
+    brute = brute_partials.groupby(id_col).map_groups(brute_merge, batch_format="pandas")
+
+    def drop_risky(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=ray.get(ids_ref))))
+
+    return ranked.map_batches(drop_risky, batch_format="pyarrow").union(brute)
 
 
 # --- J6: raster -> vector tile assignment -----------------------------------

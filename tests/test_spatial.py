@@ -127,3 +127,53 @@ class TestAssignTiles:
         pdf = pd.DataFrame({"item_id": ["x"], "west": [4.0], "south": [51.0], "east": [4.0], "north": [51.0]})
         got = assign_tiles(ray.data.from_pandas(pdf), res=8).to_pandas()
         assert len(got) == 1
+
+
+class TestKnnExactWidening:
+    def test_isolated_point_gets_k_rows(self, ray_session):
+        """An isolated point whose k-th neighbour is 2+ rings away must still
+        return k exact rows with exact=True (VERDICT r1 item 5).  res 6 ->
+        2.8125-deg cells; the cluster sits ~20 deg from the isolate."""
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.spatial import knn_join
+
+        rng = np.random.default_rng(11)
+        cluster = pd.DataFrame(
+            {
+                "item_id": [f"c{i:03d}" for i in range(50)],
+                "lon": rng.uniform(0.0, 2.0, 50),
+                "lat": rng.uniform(0.0, 2.0, 50),
+            }
+        )
+        isolate = pd.DataFrame({"item_id": ["lonely"], "lon": [22.0], "lat": [1.0]})
+        pdf = pd.concat([cluster, isolate], ignore_index=True)
+        ds = ray.data.from_pandas(pdf)
+        k = 3
+
+        # without widening: the isolate's ring holds no other point -> 0 rows
+        plain = knn_join(ds, k=k, res=6).to_pandas()
+        assert len(plain.loc[plain["item_id"] == "lonely"]) == 0
+
+        got = knn_join(ds, k=k, res=6, exact=True).to_pandas()
+
+        lon, lat, ids = pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), pdf["item_id"].to_numpy()
+        d = np.sqrt((lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2)
+        np.fill_diagonal(d, np.inf)
+        for i in range(len(ids)):
+            order = np.lexsort((ids, d[i]))[:k]
+            want = {ids[j] for j in order}
+            have = set(got.loc[got["item_id"] == ids[i], "neighbor_id"])
+            assert have == want, f"exact kNN mismatch for {ids[i]}"
+
+    def test_exact_equals_plain_when_assumption_holds(self, points):
+        """When the ring guarantee holds for every query, exact=True must be
+        a no-op (same rows)."""
+        from stac_catalog_builder_ray.stages.spatial import knn_join
+
+        ds, _ = points
+        a = knn_join(ds, k=3, res=4).to_pandas().sort_values(
+            ["item_id", "neighbor_id"]).reset_index(drop=True)
+        b = knn_join(ds, k=3, res=4, exact=True).to_pandas().sort_values(
+            ["item_id", "neighbor_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[["item_id", "neighbor_id"]], b[["item_id", "neighbor_id"]])
