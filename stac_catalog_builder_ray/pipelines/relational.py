@@ -35,6 +35,17 @@ def _t(sf_dir: str, name: str, columns: Optional[list] = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def cluster_partitions(per_cpu: float = 0.5, floor: int = 8) -> int:
+    """Shuffle/join partition count scaled to the cluster instead of a
+    hardcoded constant (a fixed 16 caps reduce parallelism on big clusters
+    and over-fragments small ones)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(floor, int(per_cpu * cpus))
+
+
 def _round2(tbl: pa.Table, cols) -> pa.Table:
     from ..functions.rounding import round_half_away
 
@@ -269,7 +280,8 @@ def q_join_hash(sf_dir: str):
 
     orders = orders.map_batches(oyear, batch_format="pyarrow")
     joined = li.join(
-        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=cluster_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",)
     )
     out = joined.groupby(["o_year", "o_orderpriority"]).aggregate(
         Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_lines")
@@ -281,20 +293,20 @@ def q_join_hash(sf_dir: str):
 
 def q_anti_join(sf_dir: str):
     """J2/M20 anti-join: customers with no order above 300k.  Key set of the
-    probe side is small -> broadcast a python set, filter vectorized."""
+    probe side is small (filtered first) -> broadcast it, filter with the
+    vectorized ``pc.is_in`` kernel (no per-row Python membership loop)."""
     big = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
         lambda r: r["o_totalprice"] > 300000.0
     )
-    custkeys_with_orders = big.unique("o_custkey")
-    ref = ray.put(set(custkeys_with_orders))
+    keys = pa.array(sorted(set(big.unique("o_custkey"))))
+    ref = ray.put(keys)
 
     class Drop:
         def __init__(self):
             self.keys = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
-            return t.filter(pa.array(mask))
+            return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys)))
 
     return (
         _t(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -303,22 +315,25 @@ def q_anti_join(sf_dir: str):
 
 
 def q_semi_join(sf_dir: str):
-    """J3 semi-join: parts that appear in lineitem (broadcast key set)."""
-    partkeys = _t(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
-    ref = ray.put(set(partkeys))
-
-    class Keep:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k in self.keys for k in t["p_partkey"].to_pylist()]
-            return t.filter(pa.array(mask))
-
-    return (
-        _t(sf_dir, "part", ["p_partkey", "p_name"])
-        .map_batches(Keep, batch_format="pyarrow", concurrency=(1, 2))
+    """J3 semi-join as a PARTITIONED join: the probe side's distinct keys
+    stay distributed (grouped, never collected to the driver) and hash-join
+    against the build side — scale-safe for any key cardinality (round 1
+    broadcast the full distinct l_partkey set, which only worked because
+    TPC-H part keys are small)."""
+    keys = (
+        _t(sf_dir, "lineitem", ["l_partkey"])
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
+    out = _t(sf_dir, "part", ["p_partkey", "p_name"]).join(
+        keys,
+        join_type="inner",
+        num_partitions=cluster_partitions(),
+        on=("p_partkey",),
+        right_on=("l_partkey",),
+    )
+    return out.select_columns(["p_partkey", "p_name"])
 
 
 # --- dedup / sort / top-k / union ------------------------------------------
@@ -373,18 +388,33 @@ def q_union_names(sf_dir: str):
 
 def q_running_sum(sf_dir: str):
     """Per-user running sum over the ordered event log (ordering assumption:
-    (ts, event_id) defines the stream order within a user partition)."""
+    (ts, event_id) defines the stream order within a user partition).
+
+    BUCKETED: one shuffle on crc-mixed ``user_id % 64``, then a single
+    vectorized pandas grouped-cumsum per bucket — not one Python call per
+    user (the same 10-100x lesson as item assembly)."""
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 64))
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
         from ..functions.rounding import round_half_away
 
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         v4 = round_half_away(g["value"].to_numpy() * 10000.0).astype("int64")
-        g["running_value_e4"] = v4.cumsum()
+        g["running_value_e4"] = (
+            pd.Series(v4, index=g.index).groupby(g["user_id"], sort=False).cumsum()
+        )
         return g[["event_id", "user_id", "running_value_e4"]]
 
-    return ds.groupby("user_id").map_groups(run, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
 
 
 def q_hourly_window(sf_dir: str):
@@ -462,7 +492,7 @@ def q_shipping_priority(sf_dir: str):
     from ..functions.rounding import round_half_away
 
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    keys = pa.array(sorted(set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])))
     ref = ray.put(keys)
 
     class KeepBuilding:
@@ -470,8 +500,7 @@ def q_shipping_priority(sf_dir: str):
             self.keys = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k in self.keys for k in t["o_custkey"].to_pylist()]
-            return t.filter(pa.array(mask))
+            return t.filter(pc.is_in(t["o_custkey"], value_set=self.keys))
 
     orders = (
         _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
@@ -491,7 +520,7 @@ def q_shipping_priority(sf_dir: str):
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         rev, batch_format="pyarrow"
     )
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+    joined = li.join(orders, join_type="inner", num_partitions=cluster_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = joined.groupby("l_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
     pdf = out.to_pandas()

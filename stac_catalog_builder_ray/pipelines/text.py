@@ -127,7 +127,10 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         lambda t: pa.table({"pair_key": t["doc_id"], "doc_b": t["doc_id"], "words_b": t["words"]}),
         batch_format="pyarrow",
     )
-    joined = left.join(right, join_type="inner", num_partitions=8, on=("pair_key",))
+    from ..pipelines.relational import cluster_partitions
+
+    joined = left.join(right, join_type="inner", num_partitions=cluster_partitions(),
+                       on=("pair_key",))
 
     def jac(t: pa.Table) -> pa.Table:
         import numpy as np
