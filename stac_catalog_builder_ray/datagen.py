@@ -115,16 +115,25 @@ def tile_geo(tile: str) -> Dict[str, float]:
 # --- pixel generation -------------------------------------------------------
 
 
-def gradient_pixels(w: int = 240, h: int = 180, cx1: float = 0.5, cy1: float = 0.5,
-                    cx2: float = -0.5, cy2: float = -0.5) -> np.ndarray:
-    """The reference's mock-raster gradient (tests/conftest.py:146-160),
-    quantized from Z in [-10, 10] to uint16."""
+def gradient_field(w: int = 240, h: int = 180, cx1: float = 0.5, cy1: float = 0.5,
+                   cx2: float = -0.5, cy2: float = -0.5) -> np.ndarray:
+    """The reference's mock-raster gradient VERBATIM (tests/conftest.py:
+    146-160): float64 ``Z = 10 * (Z2 - Z1)`` — the smoke corpus carries these
+    exact values so extracted ``raster:bands.data_type`` is ``float64`` like
+    the reference goldens, with no test-side normalization."""
     x = np.linspace(-4.0, 4.0, w)
     y = np.linspace(-3.0, 3.0, h)
     X, Y = np.meshgrid(x, y)
     Z1 = np.exp(-2 * np.log(2) * ((X - cx1) ** 2 + (Y - cy1) ** 2) / 1**2)
     Z2 = np.exp(-3 * np.log(2) * ((X + cx2) ** 2 + (Y + cy2) ** 2) / 2.5**2)
-    Z = 10.0 * (Z2 - Z1)
+    return 10.0 * (Z2 - Z1)
+
+
+def gradient_pixels(w: int = 240, h: int = 180, cx1: float = 0.5, cy1: float = 0.5,
+                    cx2: float = -0.5, cy2: float = -0.5) -> np.ndarray:
+    """:func:`gradient_field` quantized to uint16 (the scale set's pixel
+    payload; the uint16 containers can't carry floats)."""
+    Z = gradient_field(w, h, cx1, cy1, cx2, cy2)
     return np.round((Z + 10.0) / 20.0 * 65535.0).astype(np.uint16)
 
 
@@ -182,20 +191,25 @@ def _make_rows(indices: Iterator[int], smoke: bool, w: int, h: int) -> Dict[str,
     for i in indices:
         if smoke:
             image_id = smoke_ids[i]
-            fmt = FORMATS[i % 3]
+            fmt = "mbnd"  # float64-capable container (reference mocks are float64)
             stem = os.path.splitext(os.path.basename(image_id))[0]
             parts = stem.split("_")  # observations, atype, date
             atype, date = parts[1], parts[2]
             year, month, day = int(date[0:4]), int(date[5:7]), int(date[8:10])
             tile = "global"
-            px = gradient_pixels(w, h)  # all smoke rasters identical, like the reference
+            px = gradient_field(w, h)  # all smoke rasters identical, like the reference
         else:
             f = scale_row_fields(i)
             image_id, fmt, tile = f["image_id"], f["fmt"], f["tile"]
             atype, year, month, day = f["atype"], f["year"], f["month"], f["day"]
             px = gradient_pixels(w, h, *row_pixel_params(i))
         cols["image_id"].append(image_id)
-        cols["bytes"].append(encode_image(px, fmt))
+        if fmt == "mbnd":
+            from .codec.raster import encode_multiband
+
+            cols["bytes"].append(encode_multiband([px], cloud_optimized=True))
+        else:
+            cols["bytes"].append(encode_image(px, fmt))
         cols["w"].append(w)
         cols["h"].append(h)
         cols["fmt"].append(fmt)

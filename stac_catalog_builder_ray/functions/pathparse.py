@@ -53,6 +53,7 @@ class RegexPathParser:
         pattern: str,
         fixed_values: Optional[Dict[str, str]] = None,
         period: Optional[str] = None,
+        start_truncate: Optional[str] = None,
     ):
         self.pattern = pattern
         self._re = re.compile(pattern)  # validate eagerly; RE2 check happens on first batch
@@ -63,6 +64,13 @@ class RegexPathParser:
         if period is not None and period not in PERIODS:
             raise ValueError(f"period must be one of {PERIODS}, got {period!r}")
         self.period = period
+        # start_truncate: some dataset presets pin start_datetime to the
+        # period start even when finer groups were extracted (LandsatNDWI:
+        # start = Jan 1 of the extracted year regardless of month/day,
+        # pathparsers.py:284-291)
+        if start_truncate not in (None, "year", "month"):
+            raise ValueError(f"start_truncate must be None|'year'|'month', got {start_truncate!r}")
+        self.start_truncate = start_truncate
 
     def parse_column(self, paths: pa.Array) -> Dict[str, pa.Array]:
         """String array of hrefs/paths -> dict of extracted/derived columns.
@@ -124,6 +132,11 @@ class RegexPathParser:
         y = np.asarray(pc.fill_null(year, 1970))
         m = np.asarray(pc.fill_null(month, 1))
         d = np.asarray(pc.fill_null(day, 1))
+        if self.start_truncate == "year":
+            m = np.ones_like(m)
+            d = np.ones_like(d)
+        elif self.start_truncate == "month":
+            d = np.ones_like(d)
         start = ymd_to_datetime64(y, m, d)
         end = period_end(start, self.period)
         mask = ~np.asarray(valid)
@@ -187,6 +200,54 @@ def _make_tiled(**params) -> RegexPathParser:
             r"(?P<year>\d{4})-(?P<month>\d{2})-(?P<day>\d{2})\.tif$"
         ),
         fixed_values={"item_id": "observations_{tile}_{year}-{month}-{day}"},
+        period="monthly",
+        **params,
+    )
+
+
+# --- dataset presets (pathparsers.py:268-372) --------------------------------
+#
+# The reference ships three concrete dataset parsers whose names appear in
+# users' collection configs; the engine registers presets with the SAME
+# period semantics so those configs keep working.  Each takes an optional
+# ``pattern`` override (the reference's Landsat/ERA5 classes take the
+# pattern from config too; PeopleEA hardcodes its own).
+
+
+@register_parser("LandsatNDWIInputPathParser")
+def _make_landsat_ndwi(pattern: Optional[str] = None, **params) -> RegexPathParser:
+    """LandsatNDWI (pathparsers.py:268-291): whatever date groups the
+    pattern extracts, start = Jan 1 of the year and end = Dec 31 23:59:59
+    (year-range items)."""
+    return RegexPathParser(
+        pattern=pattern or r"(?P<asset_type>[A-Za-z0-9-]+)_(?P<year>\d{4})\.tif$",
+        period="yearly",
+        start_truncate="year",
+        **params,
+    )
+
+
+@register_parser("PeopleEAIncaCFactorInputPathParser")
+def _make_people_ea(**params) -> RegexPathParser:
+    """PeopleEA INCA c-factor (pathparsers.py:293-338): hardcoded pattern
+    ``PEOPLE_INCA_c-factor_YYYYMMDD``, fixed ``asset_type=cfactor``;
+    start = the extracted Y-M-D, end = Dec 31 23:59:59 of that year."""
+    return RegexPathParser(
+        pattern=r"PEOPLE_INCA_c-factor_(?P<year>\d{4})(?P<month>\d{2})(?P<day>\d{2}).*\.tif$",
+        fixed_values={"asset_type": "cfactor"},
+        period="yearly",
+        **params,
+    )
+
+
+@register_parser("ERA5LandInputPathParser")
+def _make_era5_land(pattern: Optional[str] = None, **params) -> RegexPathParser:
+    """ERA5-Land (pathparsers.py:339-372): start = the extracted Y-M-D,
+    end = last day of that month 23:59:59 (calendar.monthrange semantics)."""
+    return RegexPathParser(
+        pattern=pattern or (
+            r"(?P<asset_type>[A-Za-z0-9_-]+)_(?P<year>\d{4})-?(?P<month>\d{2})-?(?P<day>\d{2})\.tif$"
+        ),
         period="monthly",
         **params,
     )

@@ -47,6 +47,7 @@ def asset_metadata_dataset(
     max_rows: Optional[int] = None,
     verify_phash: bool = False,
     num_cpus: float = 1.0,
+    fused: bool = False,
 ) -> Dataset:
     """images table -> asset-metadata Dataset (§3.1 steps a-b, distributed).
 
@@ -57,6 +58,24 @@ def asset_metadata_dataset(
     ``concurrency ~= 0.75 * total_cpus`` with ``num_cpus=0.5``."""
     config = config or test_collection_config()
     ds = read_images(images_path, max_rows=max_rows)
+    if fused:
+        # task-pool decode FUSES with the read (ReadParquet->MapBatches is one
+        # operator): bytes never enter the object store, and parallelism
+        # follows the scheduler instead of a sized actor pool — the scaling
+        # path (see stages/extract.decode_extract_batch)
+        from ..stages.extract import decode_extract_batch
+
+        # NO batch_size here: an explicit batch_size sets
+        # min_rows_per_bundled_input, which Ray's fusion rule rejects for
+        # Read->MapBatches — the whole point is to fuse.  The batch is then
+        # one read block (one parquet file/fragment), which callers control
+        # via the table's part size.
+        return ds.map_batches(
+            decode_extract_batch,
+            fn_kwargs={"parser": config.input_path_parser, "cell_res": cell_res,
+                       "verify_phash": verify_phash},
+            batch_format="pyarrow",
+        )
     return ds.map_batches(
         DecodeExtract,
         fn_constructor_kwargs={"parser": config.input_path_parser, "cell_res": cell_res,

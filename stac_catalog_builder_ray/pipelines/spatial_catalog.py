@@ -36,26 +36,30 @@ def index_and_join(
     cell_res: int = 6,
     tile_res: int = 7,
     knn_k: int = 0,
-    extract_concurrency=8,
+    extract_concurrency=None,
     batch_size: int = 256,
     checkpoint: bool = True,
     verify_phash: bool = False,
 ) -> Dict:
     """Returns summary stats + the materialized item Dataset under ``items``.
 
-    ``extract_concurrency`` should be a FIXED actor count sized to the node
-    (autoscaling ``(min, max)`` pools underprovision: measured 44.7s vs
-    16.9s for the same decode at 32 cpus).  ``knn_k > 0`` additionally runs
-    the kNN self-join over item centroids (off by default in the headline:
-    tile centroids are degenerate for kNN — the operator is benchmarked
-    separately over distinct points)."""
+    Decode runs READ-FUSED (task pool, scales with the scheduler) unless
+    ``extract_concurrency`` explicitly requests a fixed actor pool — a fixed
+    pool equal to the session's CPU count starves the downstream shuffle
+    (actors hold their CPUs while idle), so size explicit pools at most
+    ~cpus/2.  ``knn_k > 0`` additionally runs the kNN self-join over item
+    centroids (off by default in the headline: tile centroids are
+    degenerate for kNN — the operator is benchmarked separately over
+    distinct points)."""
     config = config or tiled_collection_config()
     aois = aois if aois is not None else generate_aois()
 
     md = asset_metadata_dataset(
         images_path, config, cell_res=cell_res,
-        batch_size=batch_size, concurrency=extract_concurrency,
+        batch_size=batch_size,
+        concurrency=extract_concurrency or (1, 8),
         verify_phash=verify_phash,
+        fused=extract_concurrency is None,
     )
     items = items_dataset(md, config).materialize()  # small rows, 4 consumers
 
@@ -96,89 +100,105 @@ def index_and_join(
     }
 
 
+_PARTIAL_POLYS: Dict[str, object] = {}
+
+
+def _join_partials_batch(t, aois_json: str, tile_res: int):
+    """Task-pool join/extent partials (fuses with the assembly stage output):
+    PIP match count vs the AOI set, covering-tile count (arithmetic, no
+    explode needed for counts), extent partials.  The PolygonSet+STRtree is
+    built once per worker process from the (tiny) JSON-encoded AOI list."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geo.geometry import PolygonSet
+
+    cached = _PARTIAL_POLYS.get(aois_json)
+    if cached is None:
+        a = json.loads(aois_json)
+        rings = [
+            np.array([(x["east"], x["south"]), (x["east"], x["north"]),
+                      (x["west"], x["north"]), (x["west"], x["south"]),
+                      (x["east"], x["south"])], dtype=np.float64)
+            for x in a
+        ]
+        cached = _PARTIAL_POLYS[aois_json] = PolygonSet(rings)
+    polys = cached
+    lon = t["lon"].to_numpy(zero_copy_only=False)
+    lat = t["lat"].to_numpy(zero_copy_only=False)
+    pi, _ = polys.contains_points(lon, lat)
+    w = t["west"].to_numpy(zero_copy_only=False)
+    s = t["south"].to_numpy(zero_copy_only=False)
+    e = t["east"].to_numpy(zero_copy_only=False)
+    n = t["north"].to_numpy(zero_copy_only=False)
+    g = np.int64(1 << tile_res)
+    x0 = np.clip(np.floor((w + 180.0) / 360.0 * g), 0, g - 1)
+    x1 = np.clip(np.floor((e + 180.0) / 360.0 * g), 0, g - 1)
+    y0 = np.clip(np.floor((s + 90.0) / 180.0 * g), 0, g - 1)
+    y1 = np.clip(np.floor((n + 90.0) / 180.0 * g), 0, g - 1)
+    n_tiles = int(((x1 - x0 + 1) * (y1 - y0 + 1)).sum())
+    return pa.table(
+        {
+            "n_items": pa.array([t.num_rows]),
+            "n_pip_matches": pa.array([int(len(pi))]),
+            "n_tile_pairs": pa.array([n_tiles]),
+            "west": pa.array([float(w.min()) if len(w) else 180.0]),
+            "south": pa.array([float(s.min()) if len(s) else 90.0]),
+            "east": pa.array([float(e.max()) if len(e) else -180.0]),
+            "north": pa.array([float(n.max()) if len(n) else -90.0]),
+        }
+    )
+
+
 def index_and_join_fused(
     images_path: str,
     config: Optional[CollectionConfig] = None,
     aois: Optional[List[dict]] = None,
     cell_res: int = 6,
     tile_res: int = 7,
-    extract_concurrency: int = 8,
-    extract_num_cpus: float = 0.5,
     batch_size: int = 512,
-    assembly_blocks: int = 32,
-    join_concurrency: int = 4,
+    assembly_blocks: Optional[int] = None,
 ) -> Dict:
     """ONE streaming pass for the benchmark headline: decode -> assembly ->
     (PIP match count + tile-pair count + extent) computed as per-batch
-    partials folded by a single tiny aggregate.  No intermediate
-    materialize, no per-phase actor-pool barriers — decode actors, the
-    assembly shuffle and the join stage all run concurrently under
-    backpressure.  This is the shape a 100 TB run would use when only
-    join/extent summaries (not the full match list) are needed."""
-    import numpy as np
-    import pyarrow as pa
-    import ray
-    from ray.data.aggregate import Count, Max, Min, Sum
+    partials folded by a single tiny aggregate.
 
-    from ..geo.cell import RES_SHIFT
-    from ..geo.geometry import PolygonSet
+    Every map stage is a TASK-POOL function, so Ray fuses the chain into
+    read tasks (decode) and shuffle-output tasks (partials): the wide
+    ``bytes`` column never leaves the read task, no fixed actor pool holds
+    CPUs while draining, and parallelism at every stage follows the
+    scheduler — the properties the N-vs-4N scaling criterion needs.  This is
+    the shape a 100 TB run would use when only join/extent summaries (not
+    the full match list) are required."""
+    import json
+
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
 
     config = config or tiled_collection_config()
     aois = aois if aois is not None else generate_aois()
-    aoi_ref = ray.put(aois)
+    if assembly_blocks is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        assembly_blocks = max(16, cpus)
 
     md = asset_metadata_dataset(
         images_path, config, cell_res=cell_res,
-        batch_size=batch_size, concurrency=extract_concurrency,
-        verify_phash=True, num_cpus=extract_num_cpus,
+        batch_size=batch_size, verify_phash=True, fused=True,
     )
     from ..stages.assemble import items_dataset as _items
 
     items = _items(md, frozenset(config.item_assets), coalesce_blocks=assembly_blocks)
 
-    class JoinPartials:
-        """Per-batch: count PIP matches against the broadcast AOI set, count
-        covering tiles arithmetically (no explode needed for counts), fold
-        extent partials."""
-
-        def __init__(self):
-            a = ray.get(aoi_ref)
-            rings = [
-                np.array([(x["east"], x["south"]), (x["east"], x["north"]),
-                          (x["west"], x["north"]), (x["west"], x["south"]),
-                          (x["east"], x["south"])], dtype=np.float64)
-                for x in a
-            ]
-            self.polys = PolygonSet(rings)
-            self.n_grid = np.int64(1 << tile_res)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            lon = t["lon"].to_numpy(zero_copy_only=False)
-            lat = t["lat"].to_numpy(zero_copy_only=False)
-            pi, _ = self.polys.contains_points(lon, lat)
-            w = t["west"].to_numpy(zero_copy_only=False)
-            s = t["south"].to_numpy(zero_copy_only=False)
-            e = t["east"].to_numpy(zero_copy_only=False)
-            n = t["north"].to_numpy(zero_copy_only=False)
-            g = self.n_grid
-            x0 = np.clip(np.floor((w + 180.0) / 360.0 * g), 0, g - 1)
-            x1 = np.clip(np.floor((e + 180.0) / 360.0 * g), 0, g - 1)
-            y0 = np.clip(np.floor((s + 90.0) / 180.0 * g), 0, g - 1)
-            y1 = np.clip(np.floor((n + 90.0) / 180.0 * g), 0, g - 1)
-            n_tiles = int(((x1 - x0 + 1) * (y1 - y0 + 1)).sum())
-            return pa.table(
-                {
-                    "n_items": pa.array([t.num_rows]),
-                    "n_pip_matches": pa.array([int(len(pi))]),
-                    "n_tile_pairs": pa.array([n_tiles]),
-                    "west": pa.array([float(w.min()) if len(w) else 180.0]),
-                    "south": pa.array([float(s.min()) if len(s) else 90.0]),
-                    "east": pa.array([float(e.max()) if len(e) else -180.0]),
-                    "north": pa.array([float(n.max()) if len(n) else -90.0]),
-                }
-            )
-
-    partials = items.map_batches(JoinPartials, batch_format="pyarrow", concurrency=join_concurrency)
+    partials = items.map_batches(
+        _join_partials_batch,
+        fn_kwargs={"aois_json": json.dumps(aois, sort_keys=True), "tile_res": tile_res},
+        batch_format="pyarrow",
+    )
     agg = partials.aggregate(
         Sum("n_items", alias_name="n_items"),
         Sum("n_pip_matches", alias_name="n_pip_matches"),

@@ -208,7 +208,7 @@ ASSEMBLY_INPUT_COLUMNS = [
 
 def items_dataset(md, known_asset_types: Optional[FrozenSet[str]] = None,
                   n_buckets: int = N_ASSEMBLY_BUCKETS,
-                  coalesce_blocks: Optional[int] = 32):
+                  coalesce_blocks="auto"):
     """asset-metadata Dataset -> item Dataset.  THE central shuffle (A6).
 
     Grouping is BUCKETED: rows shuffle once on ``item_bucket =
@@ -221,6 +221,13 @@ def items_dataset(md, known_asset_types: Optional[FrozenSet[str]] = None,
     rows)."""
     import pyarrow as pa
     import zlib as _zlib
+
+    if coalesce_blocks == "auto":
+        # scale the pre-shuffle block count with the cluster instead of a
+        # constant (a fixed 32 over-fragments small runs and caps big ones)
+        from ..pipelines.relational import cluster_partitions
+
+        coalesce_blocks = cluster_partitions(per_cpu=1.0, floor=16)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         ids = t["item_id"].to_pylist()

@@ -109,7 +109,7 @@ class MinHashStage:
 
 def default_lsh_partitions() -> int:
     """Reduce-side partition count for LSH candidate generation, scaled to
-    the cluster (2 per CPU, floor 16).  At the 100 TB design point callers
+    the cluster (1 per CPU, floor 16).  At the 100 TB design point callers
     override this with ~``total_rows * num_bands / rows_per_partition`` so
     each reducer's input stays bounded regardless of corpus size."""
     import ray
@@ -118,7 +118,7 @@ def default_lsh_partitions() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(16, 2 * cpus)
+    return max(16, cpus)
 
 
 def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text",

@@ -44,6 +44,10 @@ from ..geo.crs import reproject_bboxes
 
 DEFAULT_CELL_RES = 6
 
+MEDIA_TYPE_COG = "image/tiff; application=geotiff; profile=cloud-optimized"
+MEDIA_TYPE_GEOTIFF = "image/tiff; application=geotiff"
+DEFAULT_BANDS_JSON = "[]"
+
 SMOKE_GEO = {
     # the reference's mock rasters carry no transform -> rasterio identity
     # (golden proj:transform [1,0,0,0,1,0], proj:bbox [0,180,240,0])
@@ -73,6 +77,7 @@ class DecodeExtract:
         # integrity gate of the indexing pipeline (BASELINE.json invariant)
         self.verify_phash = verify_phash
         self._tile_geo_cache: Dict[str, dict] = {}
+        self._bands_json_cache: Dict[tuple, str] = {}
 
     def _geo_for_tiles(self, tiles: np.ndarray, n: int):
         """Per-row georeferencing arrays from the tile column (cached per
@@ -140,13 +145,21 @@ class DecodeExtract:
         cell = cell_encode(lon, lat, self.cell_res)
 
         # decode pixels (per-row loop over opaque binary payloads; each decode
-        # is numpy-vectorized internally)
+        # is numpy-vectorized internally); band metadata + media type come
+        # from the container HEADER per row — real extraction like rasterio's
+        # per-band dtype/nodata/units + cog_validate (mapper.py:146-164),
+        # never a constant
+        from ..codec.raster import band_header, is_cloud_optimized
+
         px_min = np.zeros(n, dtype=np.int32)
         px_max = np.zeros(n, dtype=np.int32)
         px_mean = np.zeros(n, dtype=np.float64)
         decode_ok = np.ones(n, dtype=bool)
         phash_ok = np.ones(n, dtype=bool)
         file_size = np.empty(n, dtype=np.int64)
+        bands_json_col = [DEFAULT_BANDS_JSON] * n
+        media_type_col = [MEDIA_TYPE_GEOTIFF] * n
+        bands_cache: Dict[tuple, str] = self._bands_json_cache
         byte_col = batch["bytes"].combine_chunks() if isinstance(batch["bytes"], pa.ChunkedArray) else batch["bytes"]
         fmt_col = batch["fmt"].to_pylist()
         phash_col = batch["phash"].to_pylist() if (self.verify_phash and "phash" in batch.column_names) else None
@@ -155,6 +168,18 @@ class DecodeExtract:
         for i in range(n):
             buf = byte_col[i].as_py()
             file_size[i] = len(buf)
+            try:
+                if is_cloud_optimized(buf):
+                    media_type_col[i] = MEDIA_TYPE_COG
+                metas = band_header(buf, fmt_col[i])
+                key = tuple((m["data_type"], m["nodata"], m["units"]) for m in metas)
+                cached = bands_cache.get(key)
+                if cached is None:
+                    cached = bands_cache[key] = json.dumps(metas)
+                bands_json_col[i] = cached
+            except Exception:
+                decode_ok[i] = False
+                continue
             if not self.decode:
                 continue
             try:
@@ -180,9 +205,6 @@ class DecodeExtract:
         # asset_id = path stem (mapper.py:171)
         asset_ids = [p.rsplit("/", 1)[-1].rsplit(".", 1)[0] for p in id_list]
         item_ids = parsed.get("item_id")
-        bands_json = json.dumps(
-            [{"data_type": "uint16", "index": 0, "nodata": None, "units": None}]
-        )
 
         out = {
             "asset_id": pa.array(asset_ids, pa.string()),
@@ -191,7 +213,7 @@ class DecodeExtract:
             "href": pa.array(hrefs, pa.string()),
             "original_href": pa.array(id_list, pa.string()),
             "asset_type": parsed.get("asset_type", pa.nulls(n, pa.string())),
-            "media_type": pa.array(["image/tiff; application=geotiff; profile=cloud-optimized"] * n),
+            "media_type": pa.array(media_type_col, pa.string()),
             "datetime": parsed["datetime"],
             "start_datetime": parsed["start_datetime"],
             "end_datetime": parsed["end_datetime"],
@@ -200,7 +222,7 @@ class DecodeExtract:
             "bbox_projected": pa.array(bounds_proj.tolist(), pa.list_(pa.float64())),
             "bbox_lat_lon": pa.array(bbox_ll.tolist(), pa.list_(pa.float64())),
             "transform": pa.array(transform_r.tolist(), pa.list_(pa.float64())),
-            "bands_json": pa.array([bands_json] * n, pa.string()),
+            "bands_json": pa.array(bands_json_col, pa.string()),
             "file_size": pa.array(file_size),
             "lon": pa.array(lon),
             "lat": pa.array(lat),
@@ -228,6 +250,38 @@ def pc_fill_string(col, fallback: list, n: int) -> pa.Array:
     return pc.coalesce(col, pa.array(fallback, pa.string()))
 
 
+_TASK_EXTRACTORS: Dict[tuple, "DecodeExtract"] = {}
+
+
+def decode_extract_batch(
+    batch: pa.Table,
+    parser: str = "SmokeObservationsParser",
+    cell_res: int = DEFAULT_CELL_RES,
+    href_template: Optional[str] = None,
+    decode: bool = True,
+    verify_phash: bool = False,
+) -> pa.Table:
+    """Task-pool variant of :class:`DecodeExtract` for READ-FUSED execution.
+
+    Passing a plain function (not a callable class) to ``map_batches`` makes
+    Ray Data fuse it INTO the read tasks (``ReadParquet->MapBatches`` becomes
+    one operator), so the wide ``bytes`` column never round-trips through
+    the object store — measured at 1.2-7 GB of traffic for the bench table —
+    and parallelism follows the task scheduler instead of a fixed actor pool
+    (the actor pool's sizing constant was the main 8-vs-32-cpu efficiency
+    loss).  The compiled-parser/transform-cache state lives in a per-process
+    registry, giving the same build-once behaviour as actor ``__init__``
+    because Ray reuses worker processes across tasks."""
+    key = (parser, cell_res, href_template, decode, verify_phash)
+    ex = _TASK_EXTRACTORS.get(key)
+    if ex is None:
+        ex = _TASK_EXTRACTORS[key] = DecodeExtract(
+            parser=parser, cell_res=cell_res, href_template=href_template,
+            decode=decode, verify_phash=verify_phash,
+        )
+    return ex(batch)
+
+
 class InvariantCheck:
     """Per-row invariant stage (BASELINE.json): decoded-pixel PSNR >= 40 dB
     against the deterministic regenerated pixels + caption equality.  Used in
@@ -240,7 +294,7 @@ class InvariantCheck:
         from ..codec.raster import psnr
         from ..datagen import (
             caption_for,
-            gradient_pixels,
+            gradient_field,
             row_pixel_params,
             smoke_row_ids,
         )
@@ -261,7 +315,7 @@ class InvariantCheck:
             stem = image_id.rsplit("/", 1)[-1].rsplit(".", 1)[0]
             parts = stem.split("_")
             if image_id in smoke_set:
-                expected = gradient_pixels(ws[i], hs[i])
+                expected = gradient_field(ws[i], hs[i])  # float64 reference values
                 atype, date, tile = parts[1], parts[2], "global"
             else:
                 # scale rows: recover the row index from deterministic fields is

@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from ..codec.raster import decode_image
 
-NATIVE_MAGIC = (b"RW16", b"ZL16", b"\x89PNG")
+NATIVE_MAGIC = (b"RW16", b"ZL16", b"\x89PNG", b"MBND")
 
 
 def _is_native(buf: bytes) -> bool:
@@ -75,7 +75,10 @@ class DecodeStage:
             mean[i] = px.mean()
             std[i] = px.std()
             if thumbs is not None:
-                thumbs.append(resize_nn(px, *self.thumbnail).ravel().tolist())
+                th = resize_nn(px, *self.thumbnail)
+                if th.dtype != np.uint16:  # float bands quantize for the thumbnail
+                    th = np.clip(np.round(th), 0, 65535).astype(np.uint16)
+                thumbs.append(th.ravel().tolist())
         cols = {
             "image_id": batch["image_id"],
             "px_mean": pa.array(mean),

@@ -148,6 +148,8 @@ def knn_join(
         )
         return tbl
 
+    from ..pipelines.relational import cluster_partitions
+
     exploded = points.map_batches(explode, batch_format="pyarrow")
 
     def local_topk(g: pd.DataFrame, q_chunk: int = 1024) -> pd.DataFrame:
@@ -182,9 +184,9 @@ def knn_join(
             outs.append(pd.DataFrame({id_col: rows_q[keep], "neighbor_id": rows_c[keep], "dist": rows_d[keep]}))
         return pd.concat(outs, ignore_index=True)
 
-    local = exploded.repartition(64).groupby("cell_key").map_groups(
-        local_topk, batch_format="pandas"
-    )
+    local = exploded.repartition(cluster_partitions(per_cpu=2.0, floor=32)).groupby(
+        "cell_key"
+    ).map_groups(local_topk, batch_format="pandas")
 
     # cross-ring re-rank, BUCKETED by query id: one vectorized pandas pass
     # per bucket instead of a Python call per query (same lesson as item
@@ -214,7 +216,7 @@ def knn_join(
 
     ranked = (
         local.map_batches(add_qbucket, batch_format="pyarrow")
-        .repartition(32)
+        .repartition(cluster_partitions(per_cpu=1.0, floor=16))
         .groupby("qbucket")
         .map_groups(rerank_bucket, batch_format="pandas")
     )

@@ -3,12 +3,11 @@ checked-in output trees (tests/data/reference/{basic,grouped,unlinked}),
 mirroring the reference's own normalization (test_commandapi.py:20-57):
 ``created`` blanked, asset hrefs relativized to their basename, links sorted.
 
-Two extra normalizations are engine-specific and documented: ``file:size``
-(our payloads are our own containers, not the mock 346140-byte GeoTIFFs) and
-``raster:bands.data_type`` (we quantize pixels to uint16; the mock rasters
-are float64).  Everything else — ids, geometry, bbox, proj fields,
-datetimes, links, asset titles/descriptions/eo:bands, file counts, extents —
-must match byte-for-byte.
+One extra normalization is engine-specific and documented: ``file:size``
+(our payloads are our own containers, not the mock 346140-byte GeoTIFFs).
+Everything else — ids, geometry, bbox, proj fields, datetimes, links, asset
+titles/descriptions/eo:bands, ``raster:bands`` (incl. the real extracted
+``data_type: float64``), file counts, extents — must match byte-for-byte.
 """
 
 import glob
@@ -27,7 +26,6 @@ def _norm_item(d: dict) -> dict:
     for a in d["assets"].values():
         a["href"] = os.path.basename(a["href"])
         a.pop("file:size", None)
-        a["raster:bands"] = [{"data_type": "X"} for _ in a.get("raster:bands", [])]
     d["links"] = sorted(d["links"], key=repr)
     return d
 
@@ -158,8 +156,7 @@ class TestFusedFlagship:
 
         a = index_and_join(scale_images_dir, out_root=None, checkpoint=False,
                            extract_concurrency=2)
-        b = index_and_join_fused(scale_images_dir, extract_concurrency=2,
-                                 join_concurrency=1)
+        b = index_and_join_fused(scale_images_dir)
         assert b["n_items"] == a["n_items"]
         assert b["n_pip_matches"] == a["n_pip_matches"]
         assert b["n_tile_pairs"] == a["n_tile_pairs"]

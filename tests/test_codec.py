@@ -111,6 +111,65 @@ class TestDatagen:
         row = t.slice(0, 1).to_pylist()[0]
         px = decode_image(row["bytes"], row["fmt"])
         assert px.shape == (180, 240)
-        # per-row invariant: pixels regenerate exactly, caption matches template
-        np.testing.assert_array_equal(px, gradient_pixels(240, 180))
+        assert row["fmt"] == "mbnd" and px.dtype == np.float64
+        # per-row invariant: pixels regenerate exactly (the reference's
+        # float64 mock-raster values verbatim), caption matches template
+        from stac_catalog_builder_ray.datagen import gradient_field
+
+        np.testing.assert_array_equal(px, gradient_field(240, 180))
         assert phash64(px) == row["phash"]
+
+
+class TestMultiband:
+    def test_round_trip_mixed_dtypes(self):
+        from stac_catalog_builder_ray.codec.raster import (
+            band_header,
+            decode_multiband,
+            encode_multiband,
+            is_cloud_optimized,
+        )
+
+        b0 = np.linspace(-10, 10, 48 * 64).reshape(48, 64)  # float64
+        b1 = (np.arange(48 * 64, dtype=np.uint16)).reshape(48, 64)
+        b2 = np.full((48, 64), 7, dtype=np.float32)
+        buf = encode_multiband([b0, b1, b2], nodata=[None, 0, None],
+                               units=[None, "K", "mm"], cloud_optimized=True)
+        planes, metas = decode_multiband(buf)
+        np.testing.assert_array_equal(planes[0], b0)
+        np.testing.assert_array_equal(planes[1], b1)
+        np.testing.assert_array_equal(planes[2], b2)
+        assert [m["data_type"] for m in metas] == ["float64", "uint16", "float32"]
+        assert [m["nodata"] for m in metas] == [None, 0.0, None]
+        assert [m["units"] for m in metas] == [None, "K", "mm"]
+        assert band_header(buf) == metas  # header-only path agrees
+        assert is_cloud_optimized(buf)
+
+    def test_compressed_variant_not_cog(self):
+        from stac_catalog_builder_ray.codec.raster import (
+            decode_multiband,
+            encode_multiband,
+            is_cloud_optimized,
+        )
+
+        b0 = np.zeros((40, 40), dtype=np.float64)
+        buf = encode_multiband([b0], cloud_optimized=False)
+        assert not is_cloud_optimized(buf)
+        planes, metas = decode_multiband(buf)
+        np.testing.assert_array_equal(planes[0], b0)
+
+    def test_legacy_containers_report_actual_dtype(self):
+        from stac_catalog_builder_ray.codec.raster import (
+            band_header,
+            decode_multiband,
+            encode_image,
+            is_cloud_optimized,
+        )
+
+        px = gradient_pixels(64, 48)
+        for fmt, cog in (("raw", True), ("zlib", False), ("png", False)):
+            buf = encode_image(px, fmt)
+            planes, metas = decode_multiband(buf, fmt)
+            assert metas == [{"data_type": "uint16", "index": 0, "nodata": None, "units": None}]
+            assert band_header(buf) == metas
+            assert is_cloud_optimized(buf) is cog
+            np.testing.assert_array_equal(planes[0], px)
