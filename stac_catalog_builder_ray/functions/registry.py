@@ -75,3 +75,53 @@ def _title_prefix(items: pd.DataFrame) -> pd.DataFrame:
     items = items.copy()
     items["item_id"] = "pp_" + items["item_id"].astype(str)
     return items
+
+
+@register_postprocessor("antimeridian_split")
+def _antimeridian_split(items: pd.DataFrame) -> pd.DataFrame:
+    """The reference's motivating real-world postprocessor (LCM-10 UTM,
+    configs-datasets/lcfm/LCM-10_utm/workflow.py:124-145): UTM zone 01/60
+    tiles straddle the antimeridian, so their reprojected corners land near
+    BOTH +180 and -180 and the naive min/max lat-lon bbox wrongly spans the
+    whole world.  Fix: re-project the PROJECTED bbox corners vertex-by-
+    vertex, split the lons by hemisphere, and keep the part on the zone's
+    own side (zone 01 -> the negative-lon part, zone 60 -> the positive-lon
+    part — the reference's ``geom_index`` rule).  Centroid + cell are
+    recomputed so downstream spatial partitioning uses the fixed bbox."""
+    import numpy as np
+
+    from ..geo.cell import cell_encode, cell_res
+    from ..geo.crs import project_points
+
+    wrapped = (
+        ((items["east"] - items["west"]) > 180.0)  # world-spanning min/max artifact
+        | (items["west"] < -180.0)  # out-of-range unwrapped lons (engine CRS
+        | (items["east"] > 180.0)  # keeps continuity instead of sign-flipping)
+    )
+    utm = items["proj_epsg"].map(lambda e: 32600 < int(e) <= 32660 and int(e) % 100 in (1, 60))
+    idx = items.index[wrapped & utm]
+    if len(idx) == 0:
+        return items
+    items = items.copy()
+    for i in idx:
+        r = items.loc[i]
+        pw, ps, pe, pn = r["bbox_projected"]
+        epsg = int(r["proj_epsg"])
+        zone = epsg % 100
+        xs = np.array([pw, pe, pe, pw], dtype=np.float64)
+        ys = np.array([ps, ps, pn, pn], dtype=np.float64)
+        lons, lats = project_points(xs, ys, epsg, 4326)
+        lons = ((lons + 180.0) % 360.0) - 180.0  # normalize to [-180, 180)
+        side = lons < 0 if zone == 1 else lons > 0
+        if not side.any() or side.all():
+            continue  # nothing to split
+        w, e = float(lons[side].min()), float(lons[side].max())
+        s, n = float(lats.min()), float(lats.max())
+        items.at[i, "west"], items.at[i, "south"] = w, s
+        items.at[i, "east"], items.at[i, "north"] = e, n
+        items.at[i, "bbox_lat_lon"] = [w, s, e, n]
+        lon_c, lat_c = (w + e) / 2.0, (s + n) / 2.0
+        items.at[i, "lon"], items.at[i, "lat"] = lon_c, lat_c
+        res = int(cell_res(np.array([r["cell"]]))[0])
+        items.at[i, "cell"] = int(cell_encode(np.array([lon_c]), np.array([lat_c]), res)[0])
+    return items

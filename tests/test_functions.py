@@ -99,3 +99,42 @@ class TestRounding:
     def test_round_rows(self):
         got = round_to_precision(np.array([[1.23456, 9.87654], [1.23456, 9.87654]]), np.array([2, 4]))
         np.testing.assert_allclose(got, [[1.23, 9.88], [1.2346, 9.8765]])
+
+
+class TestAntimeridianSplit:
+    def test_zone1_wrapped_bbox_fixed(self):
+        """The LCM-10 workflow's motivating case (workflow.py:124-145): a UTM
+        zone-01 tile straddling the antimeridian gets a sane single-side
+        bbox, not a world-spanning or out-of-range one."""
+        import numpy as np
+        import pandas as pd
+
+        from stac_catalog_builder_ray.functions.registry import get_postprocessor
+        from stac_catalog_builder_ray.geo.crs import project_points
+
+        xs, ys = project_points(np.array([179.6, -179.6]), np.array([50.0, 51.0]), 4326, 32601)
+        pw, pe = sorted(xs)
+        ps, pn = sorted(ys)
+        row = {
+            "item_id": "x", "west": -180.47, "south": 50.0, "east": -179.5, "north": 51.0,
+            "bbox_lat_lon": [-180.47, 50.0, -179.5, 51.0],
+            "bbox_projected": [pw, ps, pe, pn], "proj_epsg": 32601,
+            "lon": -179.98, "lat": 50.5, "cell": int((6 << 58) | 0),
+        }
+        out = get_postprocessor("antimeridian_split")(pd.DataFrame([row]))
+        r = out.iloc[0]
+        assert -180 <= r["west"] <= r["east"] <= 180
+        assert r["east"] - r["west"] < 180
+        assert r["west"] < 0 and r["east"] < 0  # zone 01 -> negative-lon side
+
+    def test_normal_rows_untouched(self):
+        import pandas as pd
+
+        from stac_catalog_builder_ray.functions.registry import get_postprocessor
+
+        row = {"item_id": "y", "west": 1.0, "south": 2.0, "east": 3.0, "north": 4.0,
+               "bbox_lat_lon": [1.0, 2.0, 3.0, 4.0], "bbox_projected": [1.0, 2.0, 3.0, 4.0],
+               "proj_epsg": 4326, "lon": 2.0, "lat": 3.0, "cell": 0}
+        df = pd.DataFrame([row])
+        out = get_postprocessor("antimeridian_split")(df)
+        pd.testing.assert_frame_equal(out, df)

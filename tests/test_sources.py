@@ -100,3 +100,84 @@ class TestGeometryClosure:
                 pa.table({"proj_epsg": pa.array([4326], pa.int32()),
                           "bbox_projected": pa.array([None], pa.list_(pa.float64()))})
             )
+
+
+class TestStacApiClient:
+    """Thin-client CRUD semantics vs the in-memory API fake (engine twin of
+    tests/stacapi/test_endpoints.py's requests-mock suite)."""
+
+    def _client(self):
+        from stac_catalog_builder_ray.sources.stacapi import (
+            CollectionsEndpoint,
+            ItemsEndpoint,
+            MemoryTransport,
+        )
+
+        api = MemoryTransport()
+        return api, CollectionsEndpoint(api.request), ItemsEndpoint(api.request)
+
+    def test_collection_crud_and_exists(self):
+        import pytest
+
+        from stac_catalog_builder_ray.sources.stacapi import StacApiError
+
+        api, colls, _ = self._client()
+        assert colls.exists("c1") is False
+        colls.create({"id": "c1", "description": "d"})
+        assert colls.exists("c1") is True
+        assert colls.get("c1")["description"] == "d"
+        colls.create_or_update({"id": "c1", "description": "d2"})  # -> update
+        assert colls.get("c1")["description"] == "d2"
+        colls.create_or_update({"id": "c2", "description": "x"})  # -> create
+        assert {c["id"] for c in colls.get_all()} == {"c1", "c2"}
+        colls.delete_by_id("c2")
+        assert colls.exists("c2") is False
+        with pytest.raises(StacApiError):
+            colls.get("c2")
+        with pytest.raises(TypeError):
+            colls.exists(123)
+        with pytest.raises(ValueError):
+            colls.get("")
+
+    def test_collection_auth_info_merged(self):
+        from stac_catalog_builder_ray.sources.stacapi import (
+            CollectionsEndpoint,
+            MemoryTransport,
+        )
+
+        api = MemoryTransport()
+        colls = CollectionsEndpoint(api.request, collection_auth_info={"_auth": {"read": ["anonymous"]}})
+        colls.create({"id": "c", "description": "d"})
+        assert api.collections["c"]["_auth"] == {"read": ["anonymous"]}
+
+    def test_item_crud_and_bulk(self):
+        import pytest
+
+        api, colls, items = self._client()
+        colls.create({"id": "c1", "description": "d"})
+        assert items.exists("c1", "i1") is False
+        items.create_or_update("c1", {"id": "i1", "collection": "c1"})
+        assert items.get("c1", "i1")["id"] == "i1"
+        res = items.ingest_bulk("c1", [{"id": f"i{k}", "collection": "c1"} for k in range(2, 7)])
+        assert res["upserted"] == 5
+        assert len(api.items["c1"]) == 6
+        items.delete_by_id("c1", "i1")
+        assert items.exists("c1", "i1") is False
+        with pytest.raises(ValueError, match="expected 'c1'"):
+            items.ingest_bulk("c1", [{"id": "z", "collection": "other"}])
+
+    def test_upload_collection_tree(self, ray_session, smoke_images_dir, tmp_path):
+        from stac_catalog_builder_ray.pipelines.catalog import build_collection
+        from stac_catalog_builder_ray.sources.stacapi import (
+            MemoryTransport,
+            upload_collection_tree,
+        )
+        import os
+
+        out = str(tmp_path / "up")
+        build_collection(smoke_images_dir, out, mode="linked")
+        api = MemoryTransport()
+        res = upload_collection_tree(os.path.join(out, "collection.json"), api.request, bulk_size=4)
+        assert res["n_items_upserted"] == 6
+        assert len(api.items[res["collection_id"]]) == 6
+        assert res["collection_id"] in api.collections
