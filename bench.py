@@ -170,19 +170,29 @@ def run_bench() -> dict:
 
 
 SCALING_PAIRS = [(2, 8), (4, 16), (8, 32)]
+SCALING_REPS = int(os.environ.get("SCBR_SCALING_REPS", "3"))
 
 
 def run_scaling() -> dict:
     """Same pipeline at N and 4N cpus in fresh processes, for three pairs.
 
     The sandbox substitutes cluster sizes with ``num_cpus`` levels on ONE
-    box, which conflates framework scaling with shared-DRAM contention: the
-    pure decode+phash kernel (zero Ray involvement, multiprocessing) runs
-    each task 1.27x slower at 32 concurrent procs than at 1 — capping ANY
-    8->32 measurement at ~0.86 before the framework does anything.  A real
-    8-node -> 32-node cluster has a memory bus per node, so the pair whose
-    upper level leaves DRAM headroom (2 -> 8) is the faithful substitute for
-    the N-vs-4N-node criterion; all three pairs are reported."""
+    box, which distorts the two extreme pairs in OPPOSITE directions
+    (both measured, see BASELINE.md):
+
+    - 8 -> 32 reads LOW: the pure decode+phash kernel (multiprocessing, no
+      Ray) runs each task 1.27x slower at 32 concurrent procs (shared DRAM
+      bandwidth) — capping any 8->32 measurement at ~0.86 before the
+      framework does anything.  Real nodes each bring their own memory bus.
+    - 2 -> 8 reads HIGH (super-linear): Ray's system processes (raylet,
+      GCS, object store, driver) tax a roughly constant ~0.5-1 CPU, which
+      is 25-50% of a 2-cpu allocation but only ~6-12% at 8.  Real clusters
+      pay that tax per node at every size.
+
+    4 -> 16 keeps both artifacts small and is the headline pair; all three
+    are reported.  Each level is min-of-``SCBR_SCALING_REPS`` fresh
+    processes (the VM shows multi-x interference swings; min is the right
+    estimator under additive interference)."""
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), SCBR_BENCH_FLAGSHIP_ONLY="1")
@@ -197,11 +207,8 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
-        # min-of-2 fresh processes: the sandbox VM shows multi-x run-to-run
-        # swings (object-store/page-cache state); the faster run is the
-        # better estimate of achievable throughput at each level
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
+        runs = [run_once(ncpu) for _ in range(SCALING_REPS)]
+        return min(runs, key=lambda r: r["value"])
 
     results = {n: run(n) for n in sorted({n for p in SCALING_PAIRS for n in p})}
     pairs = {}
@@ -218,11 +225,12 @@ def run_scaling() -> dict:
     return {
         "metric": "throughput scaling efficiency N -> 4N cpus (target >= 0.8 of "
         "linear; sandbox substitute for N vs 4N nodes — see BASELINE.md for "
-        "the shared-DRAM contention analysis behind the headline pair)",
-        "scaling_efficiency": pairs["2->8"]["efficiency"],
-        "headline_pair": "2->8",
+        "the analysis of the single-box artifacts behind the pair choice)",
+        "scaling_efficiency": pairs["4->16"]["efficiency"],
+        "headline_pair": "4->16",
         "pairs": pairs,
         "kernel_contention_slowdown_at_32procs": 1.27,
+        "reps_per_level": SCALING_REPS,
         "sf": SF_DIR,
     }
 
