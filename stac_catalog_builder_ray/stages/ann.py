@@ -26,6 +26,9 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+_PROBE_CACHE: dict = {}
+
+
 def brute_force_topk(corpus, queries_df: pd.DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding"):
     """corpus Dataset x (query_id, vector) DataFrame -> top-k cosine matches
@@ -106,7 +109,13 @@ def ivf_topk(corpus, queries_df: pd.DataFrame, k: int = 5, n_centroids: int = 16
     q_ref = ray.put((q_ids, q_mat, q_buckets))
 
     def probe(g: pd.DataFrame) -> pd.DataFrame:
-        ids, mat, buckets = ray.get(q_ref)
+        # per-worker cache: ray.get is zero-copy from plasma but still pays
+        # a lookup per call; map_groups calls this once per bucket group
+        key = q_ref.hex()
+        cached = _PROBE_CACHE.get(key)
+        if cached is None:
+            cached = _PROBE_CACHE[key] = ray.get(q_ref)
+        ids, mat, buckets = cached
         b = int(g["bucket"].iloc[0])
         q_sel = np.nonzero((buckets == b).any(axis=1))[0]
         if len(q_sel) == 0:

