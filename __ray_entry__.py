@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": T.q_ngram_jaccard_pairs,
         "langid": T.q_langid,
         "minhash_dedup": T.q_minhash_dedup,
+        "neardup_cluster": T.q_neardup_cluster,
         "simhash": T.q_simhash,
         "fingerprint": T.q_fingerprint,
         "ann_cosine": T.q_ann_cosine,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_text": T.SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": T.SQL_NGRAM_JACCARD,
         "langid": T.SQL_LANGID,
+        "neardup_cluster": T.SQL_NEARDUP_CLUSTER,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

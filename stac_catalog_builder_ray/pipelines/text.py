@@ -249,3 +249,73 @@ def q_embedding_dedup(sf_dir: str):
     planted = emb.map_batches(plant, batch_format="pyarrow")
     corpus = emb.union(planted)
     return embedding_neardup_pairs(corpus, threshold=0.95)
+
+
+NEARDUP_EDGE_THRESHOLD = 0.85
+
+
+def q_neardup_cluster(sf_dir: str):
+    """Near-duplicate CLUSTER dedup end-to-end (the training-data filter a
+    100 TB pipeline actually applies): verified near-dup pairs -> connected
+    components -> keep_id = min doc of each component, emitted for EVERY
+    doc (itself when unclustered).  Downstream keeps rows where
+    doc_id == keep_id.
+
+    Edge set here = consecutive-doc pairs with unrounded distinct-word
+    jaccard >= 0.85 — oracle-computable so the whole reduction (pair gen +
+    union-find + labeling) hash-checks against DuckDB's recursive-CTE
+    reachability."""
+    import numpy as np
+
+    from ..stages.dedup import neardup_cluster_labels
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        s = (
+            t["text"].to_pandas().fillna("").str.lower().str.split()
+            .map(lambda w: " ".join(sorted(set(w))))
+        )
+        return pa.table({"doc_id": t["doc_id"], "words": pa.array(s.tolist(), pa.string())})
+
+    w = ds.map_batches(words, batch_format="pyarrow")
+    left = w.map_batches(
+        lambda t: pa.table({"pair_key": pa.compute.add(t["doc_id"], 1), "id_a": t["doc_id"], "words_a": t["words"]}),
+        batch_format="pyarrow",
+    )
+    right = w.map_batches(
+        lambda t: pa.table({"pair_key": t["doc_id"], "id_b": t["doc_id"], "words_b": t["words"]}),
+        batch_format="pyarrow",
+    )
+    from ..pipelines.relational import cluster_partitions
+
+    joined = left.join(right, join_type="inner", num_partitions=cluster_partitions(),
+                       on=("pair_key",))
+
+    def edges(t: pa.Table) -> pa.Table:
+        keep = []
+        for a, b in zip(t["words_a"].to_pylist(), t["words_b"].to_pylist()):
+            sa, sb = set(a.split()), set(b.split())
+            denom = len(sa | sb)
+            j = len(sa & sb) / denom if denom else 0.0
+            keep.append(j >= NEARDUP_EDGE_THRESHOLD)  # UNROUNDED, like the SQL
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"]}).filter(pa.array(keep))
+
+    pairs = joined.map_batches(edges, batch_format="pyarrow")
+    return neardup_cluster_labels(ds, pairs, id_col="doc_id")
+
+
+SQL_NEARDUP_CLUSTER = (
+    "WITH RECURSIVE t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE "
+    "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS words FROM documents), "
+    "e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 "
+    "WHERE (CASE WHEN length(list_distinct(a.words || b.words)) = 0 THEN 0.0 ELSE "
+    "CAST(length(list_intersect(a.words, b.words)) AS DOUBLE) "
+    "/ length(list_distinct(a.words || b.words)) END) >= 0.85), "
+    "bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), "
+    "reach(src, dst) AS ("
+    "SELECT doc_id, doc_id FROM documents "
+    "UNION "
+    "SELECT r.src, b.v FROM reach r JOIN bi b ON b.u = r.dst) "
+    "SELECT src AS doc_id, MIN(dst) AS keep_id FROM reach GROUP BY src"
+)

@@ -541,3 +541,65 @@ def phash_neardup_pairs(images, id_col: str = "image_id", phash_col: str = "phas
 
     # a pair can surface in several bands: keep one row (hamming identical)
     return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --- near-duplicate clusters: connected components + keep-first -------------
+
+
+def union_find_min_labels(edges) -> dict:
+    """Union-find over an edge list -> {node: min id in its component}.
+
+    Driver-side by design: the edge list is O(duplicate pairs), small by
+    LSH/verify construction — the standard shape for industrial dedup
+    pipelines (the corpus itself never leaves the cluster; only the tiny
+    edge list is gathered).  For an edge list too big for one machine,
+    swap in iterative label propagation (join label<-min(neighbor label)
+    until fixpoint) over the same inputs."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    seen = set()
+    for a, b in edges:
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the keep id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}
+
+
+def neardup_cluster_labels(docs, pairs, id_col: str = "doc_id",
+                           pair_cols=("id_a", "id_b")):
+    """(docs, verified near-dup pairs) -> (id, keep_id) Dataset covering the
+    WHOLE corpus: keep_id = min id of the node's near-dup component (itself
+    when unpaired).  The reduction of near-dedup to a usable training-data
+    filter: keep rows where id == keep_id, drop the rest.
+
+    Pairs are collected (O(duplicates)); labels broadcast once; the corpus
+    streams through a vectorized lookup."""
+    import ray
+
+    pdf = pairs.select_columns(list(pair_cols)).to_pandas()
+    labels = union_find_min_labels(zip(pdf[pair_cols[0]], pdf[pair_cols[1]]))
+    ref = ray.put(labels)
+
+    class Label:
+        def __init__(self):
+            self.labels = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_pylist()
+            keep = [self.labels.get(i, i) for i in ids]
+            return pa.table({id_col: t[id_col],
+                             "keep_id": pa.array(keep, t[id_col].type)})
+
+    return docs.map_batches(Label, batch_format="pyarrow", concurrency=(1, 4))

@@ -405,3 +405,29 @@ class TestEmbeddingLSHRecall:
         assert want <= got  # every boundary pair found
         # nothing below threshold sneaks in
         assert (pairs["cosine"] >= 0.95).all()
+
+
+class TestNeardupCluster:
+    def test_union_find_min_labels(self):
+        from stac_catalog_builder_ray.stages.dedup import union_find_min_labels
+
+        # chain 1-2-3, pair (10, 11), singleton 99 untouched
+        labels = union_find_min_labels([(2, 1), (2, 3), (11, 10)])
+        assert labels[1] == labels[2] == labels[3] == 1
+        assert labels[10] == labels[11] == 10
+        assert 99 not in labels  # unpaired nodes default to themselves
+
+    def test_cluster_labels_cover_corpus(self, ray_session, docs_ds):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.dedup import neardup_cluster_labels
+
+        ds, pdf = docs_ds
+        pairs = ray.data.from_items([{"id_a": 0, "id_b": 100}, {"id_a": 0, "id_b": 1}])
+        out = neardup_cluster_labels(ds, pairs, id_col="doc_id").to_pandas()
+        assert len(out) == len(pdf)  # every doc labeled
+        lab = dict(zip(out["doc_id"], out["keep_id"]))
+        assert lab[0] == lab[1] == lab[100] == 0  # transitive component
+        assert lab[2] == 2  # unpaired keeps itself
+        survivors = out[out["doc_id"] == out["keep_id"]]
+        assert len(survivors) == len(pdf) - 2
