@@ -85,7 +85,10 @@ def q_knn(sf_dir: str):
     other points -> (event_id, neighbor_id).  The engine computes kNN for
     all points via the cell-ring shuffle; queries are filtered after (the
     oracle's QUALIFY does the same restriction)."""
-    got = knn_join(events_points(sf_dir), k=KNN_K, res=4, id_col="event_id")
+    # exact=True: the ring-widening backstop guarantees the oracle match at
+    # ANY scale factor / point density, not just where the ring assumption
+    # happens to hold
+    got = knn_join(events_points(sf_dir), k=KNN_K, res=4, id_col="event_id", exact=True)
 
     def keep(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy(zero_copy_only=False)

@@ -292,25 +292,36 @@ def q_join_hash(sf_dir: str):
 
 
 def q_anti_join(sf_dir: str):
-    """J2/M20 anti-join: customers with no order above 300k.  Key set of the
-    probe side is small (filtered first) -> broadcast it, filter with the
-    vectorized ``pc.is_in`` kernel (no per-row Python membership loop)."""
-    big = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
-        lambda r: r["o_totalprice"] > 300000.0
+    """J2/M20 anti-join as a PARTITIONED left-outer join: distinct probe
+    keys stay distributed, join against the build side, keep rows with no
+    match (null marker).  Scale-safe for any key cardinality — round 1
+    broadcast the key set, which only worked because the filter made it
+    small."""
+
+    def pred(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], 300000.0))
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "_hit": pa.array(np.ones(t.num_rows, dtype=np.int8))})
+
+    keys = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(pred, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("_hit", alias_name="_hit"))
     )
-    keys = pa.array(sorted(set(big.unique("o_custkey"))))
-    ref = ray.put(keys)
+    out = _t(sf_dir, "customer", ["c_custkey", "c_name"]).join(
+        keys,
+        join_type="left_outer",
+        num_partitions=cluster_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
 
-    class Drop:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["_hit"]))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys)))
-
-    return (
-        _t(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(Drop, batch_format="pyarrow", concurrency=(1, 2))
+    return out.map_batches(keep_unmatched, batch_format="pyarrow").select_columns(
+        ["c_custkey", "c_name"]
     )
 
 

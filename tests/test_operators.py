@@ -431,3 +431,24 @@ class TestNeardupCluster:
         assert lab[2] == 2  # unpaired keeps itself
         survivors = out[out["doc_id"] == out["keep_id"]]
         assert len(survivors) == len(pdf) - 2
+
+
+class TestDistributedCC:
+    def test_matches_union_find_on_random_graph(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.dedup import (
+            connected_components_distributed,
+            union_find_min_labels,
+        )
+
+        rng = np.random.default_rng(13)
+        # random sparse graph incl. a long chain (exercises multi-round
+        # propagation) and isolated pairs
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, 200, (80, 2)) if a != b]
+        edges += [(1000 + i, 1000 + i + 1) for i in range(12)]  # diameter-12 chain (log-round convergence)
+        ds_edges = ray.data.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+        got = connected_components_distributed(ds_edges).to_pandas()
+        want = union_find_min_labels(edges)
+        got_map = dict(zip(got["node"], got["lbl"]))
+        assert got_map == want
