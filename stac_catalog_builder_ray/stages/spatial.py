@@ -239,10 +239,13 @@ def _knn_widen(points, ranked, k: int, res: int, id_col: str, ring: int):
        deg (the minimum distance from anywhere in the home cell to outside
        the block) means a closer point could exist beyond the ring.
     """
-    from ray.data.aggregate import Count as _Count, Max as _Max
+    from ray.data.aggregate import Count as _Count
 
     cell_h = 180.0 / (1 << res)
     safe_r = ring * cell_h
+    # ranked feeds BOTH the clearance check and the final splice — without a
+    # materialize the whole upstream kNN pipeline would execute twice
+    ranked = ranked.materialize()
 
     # --- 1. ring-population check -------------------------------------------
     def home_cells(t: pa.Table) -> pa.Table:
@@ -256,47 +259,48 @@ def _knn_widen(points, ranked, k: int, res: int, id_col: str, ring: int):
     counts_df = (
         points.map_batches(home_cells, batch_format="pyarrow")
         .groupby("cell").aggregate(_Count(alias_name="n"))
-        .to_pandas()  # one row per OCCUPIED cell — small side, broadcast
+        .to_pandas()  # one row per OCCUPIED cell — small side
     )
+    # a point's ring availability depends only on its HOME cell, so compute
+    # the starved-CELL set driver-side over the (small) occupied-cell table
+    # and filter points with one vectorized is_in — no per-row Python
     counts = dict(zip(counts_df["cell"].astype(np.int64), counts_df["n"].astype(np.int64)))
-    counts_ref = ray.put(counts)
+    occ = counts_df["cell"].to_numpy(dtype=np.int64)
+    occ_rings = _ring_cells_vec(occ, ring)
+    starved_cells = []
+    for i, c in enumerate(occ):
+        cells_i = set(occ_rings[i].tolist())  # lat-clamp dedup
+        avail = sum(counts.get(cc, 0) for cc in cells_i)
+        if avail - 1 < k:  # excl. self
+            starved_cells.append(int(c))
+    starved_ref = ray.put(pa.array(starved_cells, pa.int64()))
 
-    class RingStarved:
-        def __init__(self):
-            self.counts = ray.get(counts_ref)
+    def ring_starved(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            lon = t["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
-            lat = t["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
-            home = cell_encode(lon, lat, res)
-            rings = _ring_cells_vec(home, ring)
-            avail = np.zeros(len(lon), dtype=np.int64)
-            for j in range(rings.shape[1]):
-                col = rings[:, j]
-                # lat-clamped ring cells repeat the home cell; count each
-                # distinct cell once
-                fresh = np.ones(len(col), dtype=bool)
-                for jj in range(j):
-                    fresh &= rings[:, jj] != col
-                counted = np.fromiter((self.counts.get(int(c), 0) for c in col),
-                                      dtype=np.int64, count=len(col))
-                avail += np.where(fresh, counted, 0)
-            return t.filter(pa.array(avail - 1 < k))  # excl. self
+        lon = t["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = t["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+        home = cell_encode(lon, lat, res)
+        return t.filter(pc.is_in(pa.array(home), value_set=ray.get(starved_ref)))
 
-    risky_pop = points.map_batches(RingStarved, batch_format="pyarrow",
-                                   concurrency=(1, 8)).to_pandas()
+    risky_pop = (
+        points.map_batches(ring_starved, batch_format="pyarrow").to_pandas()
+        if starved_cells
+        else pd.DataFrame({id_col: []})
+    )
 
     # --- 2. clearance check ---------------------------------------------------
-    stats = ranked.groupby(id_col).aggregate(
-        _Count(alias_name="_n"), _Max("dist", alias_name="_maxd")
-    )
+    # No groupby shuffle needed: knn_join's rerank emits ALL rows of a query
+    # inside one block (each query lives in exactly one qbucket group), so
+    # per-BLOCK stats are exact.  batch_size=None = whole-block batches.
+    def risky_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(id_col, sort=False)["dist"].agg(["size", "max"])
+        bad = agg[(agg["size"] < k) | (agg["max"] >= safe_r)]
+        return pd.DataFrame({id_col: bad.index.to_numpy()})
 
-    def risky_only(t: pa.Table) -> pa.Table:
-        n = t["_n"].to_numpy(zero_copy_only=False)
-        maxd = t["_maxd"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array((n < k) | (maxd >= safe_r)))
-
-    risky_df = stats.map_batches(risky_only, batch_format="pyarrow").to_pandas()
+    risky_df = ranked.map_batches(
+        risky_in_block, batch_format="pandas", batch_size=None
+    ).to_pandas()
     # an all-filtered dataset can come back as a columnless empty frame
     risky_ids2 = set(risky_df[id_col]) if id_col in risky_df.columns else set()
     risky_ids = risky_ids2 | (set(risky_pop[id_col]) if id_col in risky_pop.columns else set())
