@@ -119,6 +119,34 @@ def run_bench() -> dict:
     headline = time.monotonic() - t0
     ctx.op_resource_reservation_enabled = True
 
+    # The flagship is ALSO timed with the reservation left enabled (round-2
+    # review: the headline must not depend on a knob a real cluster might
+    # not tolerate) — both walls are published.
+    headline_resv = None
+    if not os.environ.get("SCBR_BENCH_FLAGSHIP_ONLY"):
+        t0 = time.monotonic()
+        index_and_join_fused(images)
+        headline_resv = round(time.monotonic() - t0, 3)
+
+    # Per-query timings run BEFORE the materializing flagship: round 2 ran
+    # them after it and the residual memory/object-store pressure inflated
+    # join_hash 4.95s -> 8.1s (isolated reruns confirmed ~5.4s); query
+    # timings must see the same cluster state every round.
+    queries = {}
+    qs = E.queries()
+    for name in ([] if os.environ.get("SCBR_BENCH_FLAGSHIP_ONLY") else QUERY_NAMES):
+        t0 = time.monotonic()
+        out = qs[name](SF_DIR)
+        # consume lazily-returned datasets
+        try:
+            import ray.data as rd
+
+            if isinstance(out, rd.Dataset):
+                out.count()
+        except Exception:
+            pass
+        queries[name] = round(time.monotonic() - t0, 3)
+
     # the MATERIALIZING flagship (real pip_join/assign_tiles operators with
     # full match rows + extent, not count partials) — published alongside per
     # round-1 review; skipped in scaling subprocesses to keep levels short
@@ -135,24 +163,10 @@ def run_bench() -> dict:
         mat_wall = round(time.monotonic() - t0, 3)
     n_items = res["n_items"]
 
-    queries = {}
-    qs = E.queries()
-    for name in ([] if os.environ.get("SCBR_BENCH_FLAGSHIP_ONLY") else QUERY_NAMES):
-        t0 = time.monotonic()
-        out = qs[name](SF_DIR)
-        # consume lazily-returned datasets
-        try:
-            import ray.data as rd
-
-            if isinstance(out, rd.Dataset):
-                out.count()
-        except Exception:
-            pass
-        queries[name] = round(time.monotonic() - t0, 3)
-
     result = {
         "metric": "flagship items indexed + spatially joined (sec, end-to-end)",
         "value": round(headline, 3),
+        "value_reservation_on": headline_resv,
         "value_materializing": mat_wall,
         "unit": "sec",
         "queries": queries,

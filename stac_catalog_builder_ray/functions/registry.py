@@ -98,7 +98,17 @@ def _antimeridian_split(items: pd.DataFrame) -> pd.DataFrame:
         | (items["west"] < -180.0)  # out-of-range unwrapped lons (engine CRS
         | (items["east"] > 180.0)  # keeps continuity instead of sign-flipping)
     )
-    utm = items["proj_epsg"].map(lambda e: 32600 < int(e) <= 32660 and int(e) % 100 in (1, 60))
+    def _is_edge_utm(e) -> bool:
+        # both hemispheres: 326xx (north) AND 327xx (south) zone 01/60 —
+        # the reference keys on the tile prefix regardless of hemisphere;
+        # null / non-numeric proj_epsg rows are skipped, not crashed on.
+        try:
+            epsg = int(e)
+        except (TypeError, ValueError):
+            return False
+        return (32600 < epsg <= 32660 or 32700 < epsg <= 32760) and epsg % 100 in (1, 60)
+
+    utm = items["proj_epsg"].map(_is_edge_utm)
     idx = items.index[wrapped & utm]
     if len(idx) == 0:
         return items

@@ -114,6 +114,10 @@ def ivf_topk(corpus, queries_df: pd.DataFrame, k: int = 5, n_centroids: int = 16
         key = q_ref.hex()
         cached = _PROBE_CACHE.get(key)
         if cached is None:
+            # keep only the CURRENT query set: an unbounded dict would pin
+            # every past (q_ids, q_mat, q_buckets) copy in each worker
+            # process for its lifetime
+            _PROBE_CACHE.clear()
             cached = _PROBE_CACHE[key] = ray.get(q_ref)
         ids, mat, buckets = cached
         b = int(g["bucket"].iloc[0])

@@ -216,7 +216,21 @@ def verify_jaccard(pairs, docs, id_col="doc_id", text_col="text",
     # construction — so collect it once: it provides the broadcast id set
     # AND a clean single-block arrow dataset for the joins (map_groups
     # output carries empty schema-less blocks that pyarrow's join rejects).
-    idtbl = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    idtbl = pairs.to_pandas()
+    if len(idtbl) == 0 or "id_a" not in idtbl.columns or "id_b" not in idtbl.columns:
+        # zero candidate pairs (clean corpus): map_groups' empty output
+        # loses its schema, so to_pandas() yields a columnless frame —
+        # return an empty TYPED result instead of KeyError'ing downstream.
+        try:
+            sch = docs.schema()
+            id_type = dict(zip(sch.names, sch.types))[id_col]
+        except Exception:
+            id_type = pa.string()
+        empty = pa.table({"id_a": pa.array([], id_type),
+                          "id_b": pa.array([], id_type),
+                          "jaccard": pa.array([], pa.float64())})
+        return rd.from_arrow(empty)
+    idtbl = idtbl[["id_a", "id_b"]]
     cand_ids = sorted(set(idtbl["id_a"]) | set(idtbl["id_b"]))
     ids_ref = ray.put(cand_ids)
     pairs = rd.from_arrow(pa.Table.from_pandas(idtbl[["id_a", "id_b"]], preserve_index=False))

@@ -187,8 +187,12 @@ class DecodeExtract:
                 if px.shape != (h[i], w[i]):
                     decode_ok[i] = False
                     continue
-                px_min[i] = int(px.min())
-                px_max[i] = int(px.max())
+                # floor/ceil, not int(): truncation toward zero records a
+                # float band min of -9.99 as -9; clip keeps huge float
+                # values from wrapping the int32 stats columns
+                _i32 = np.iinfo(np.int32)
+                px_min[i] = int(np.clip(np.floor(px.min()), _i32.min, _i32.max))
+                px_max[i] = int(np.clip(np.ceil(px.max()), _i32.min, _i32.max))
                 px_mean[i] = float(px.mean())
                 if phash_col is not None:
                     phash_ok[i] = phash64(px) == phash_col[i]

@@ -173,3 +173,30 @@ class TestMultiband:
             assert band_header(buf) == metas
             assert is_cloud_optimized(buf) is cog
             np.testing.assert_array_equal(planes[0], px)
+
+
+class TestFloatPixelStats:
+    def test_px_min_max_floor_ceil(self, ray_session):
+        """Round-2 advice: int() truncates toward zero, recording a float
+        band min of -9.99 as -9; the stats must floor the min / ceil the
+        max."""
+        import pyarrow as pa
+
+        from stac_catalog_builder_ray.codec.phash import phash64
+        from stac_catalog_builder_ray.codec.raster import encode_multiband
+        from stac_catalog_builder_ray.stages.extract import DecodeExtract
+
+        px = np.linspace(-9.99, 9.99, 48 * 64).reshape(48, 64)  # float64
+        batch = pa.table({
+            "image_id": pa.array(["2001/observations_2m-temp-monthly_2001-01-01.tif"]),
+            "bytes": pa.array([encode_multiband([px], cloud_optimized=True)], pa.binary()),
+            "w": pa.array([64], pa.int32()),
+            "h": pa.array([48], pa.int32()),
+            "fmt": pa.array(["mbnd"]),
+            "caption": pa.array(["float stats probe"]),
+            "phash": pa.array([phash64(px)], pa.int64()),
+        })
+        out = DecodeExtract()(batch).to_pylist()[0]
+        assert out["decode_ok"]
+        assert out["px_min"] == -10  # floor(-9.99), not trunc -> -9
+        assert out["px_max"] == 10  # ceil(9.99)

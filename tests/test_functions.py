@@ -138,3 +138,48 @@ class TestAntimeridianSplit:
         df = pd.DataFrame([row])
         out = get_postprocessor("antimeridian_split")(df)
         pd.testing.assert_frame_equal(out, df)
+
+
+    def test_zone1_south_utm_wrapped_bbox_fixed(self):
+        """Southern-hemisphere UTM (EPSG 327xx) zone 01/60 tiles wrap the
+        antimeridian exactly like their northern twins; round-2 advice: the
+        326xx-only gate silently skipped them."""
+        import numpy as np
+        import pandas as pd
+
+        from stac_catalog_builder_ray.functions.registry import get_postprocessor
+        from stac_catalog_builder_ray.geo.crs import project_points
+
+        xs, ys = project_points(np.array([179.6, -179.6]), np.array([-51.0, -50.0]), 4326, 32701)
+        pw, pe = sorted(xs)
+        ps, pn = sorted(ys)
+        row = {
+            "item_id": "s", "west": -180.47, "south": -51.0, "east": -179.5, "north": -50.0,
+            "bbox_lat_lon": [-180.47, -51.0, -179.5, -50.0],
+            "bbox_projected": [pw, ps, pe, pn], "proj_epsg": 32701,
+            "lon": -179.98, "lat": -50.5, "cell": int((6 << 58) | 0),
+        }
+        out = get_postprocessor("antimeridian_split")(pd.DataFrame([row]))
+        r = out.iloc[0]
+        assert -180 <= r["west"] <= r["east"] <= 180
+        assert r["east"] - r["west"] < 180
+        assert r["west"] < 0 and r["east"] < 0  # zone 01 -> negative-lon side
+
+    def test_null_epsg_rows_skipped_not_crashed(self):
+        import pandas as pd
+
+        from stac_catalog_builder_ray.functions.registry import get_postprocessor
+
+        rows = [
+            {"item_id": "n", "west": 1.0, "south": 2.0, "east": 3.0, "north": 4.0,
+             "bbox_lat_lon": [1.0, 2.0, 3.0, 4.0], "bbox_projected": [1.0, 2.0, 3.0, 4.0],
+             "proj_epsg": None, "lon": 2.0, "lat": 3.0, "cell": 0},
+            # wrapped-looking bbox + null epsg: must be skipped, not int(None)
+            {"item_id": "m", "west": -180.47, "south": 2.0, "east": 179.5, "north": 4.0,
+             "bbox_lat_lon": [-180.47, 2.0, 179.5, 4.0],
+             "bbox_projected": [0.0, 0.0, 1.0, 1.0],
+             "proj_epsg": None, "lon": 2.0, "lat": 3.0, "cell": 0},
+        ]
+        df = pd.DataFrame(rows)
+        out = get_postprocessor("antimeridian_split")(df)
+        pd.testing.assert_frame_equal(out, df)

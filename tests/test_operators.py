@@ -79,6 +79,28 @@ class TestDedup:
         assert set(map(tuple, pairs[["id_a", "id_b"]].values)) == {(0, 100)}
 
 
+    def test_verify_jaccard_clean_corpus_returns_empty_typed(self, ray_session):
+        """Round-2 advice: zero candidate pairs (a clean corpus) used to
+        KeyError('id_a') because the empty map_groups output loses its
+        schema; verify_jaccard must return an empty TYPED result."""
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.dedup import (
+            minhash_candidate_pairs,
+            verify_jaccard,
+        )
+
+        rows = [{"doc_id": i, "text": f"unique document number {i} about topic {i * 37} "
+                                      f"with body token{i}a token{i}b token{i}c"}
+                for i in range(30)]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        out = verify_jaccard(minhash_candidate_pairs(ds), ds, threshold=0.5)
+        # (ray's to_pandas() drops columns on ANY 0-row dataset; assert the
+        # dataset-level schema, which is what downstream joins consume)
+        assert out.schema().names == ["id_a", "id_b", "jaccard"]
+        assert out.count() == 0
+
+
 class TestANN:
     def _fixture(self):
         rng = np.random.default_rng(11)
