@@ -1,22 +1,29 @@
-"""Vectorized CRS transforms (no pyproj).
+"""Vectorized ELLIPSOIDAL CRS transforms (no pyproj).
 
 Same API shape as the reference's ``stacbuilder/projections.py:21-104``
 (``project_polygon`` / ``reproject_bounding_box`` / cached ``get_transform``)
-but vectorized over numpy coordinate arrays and limited to the CRS families
-the engine and its tests actually use:
+but vectorized over numpy coordinate arrays.  Round 3 replaced the round-1/2
+spherical formulas with the standard ellipsoidal ones (public formulas:
+Krüger flattening series for transverse Mercator as in Karney 2011 /
+Snyder 1987; EPSG guidance-note-7-2 methods 9820 LAEA and 9802 LCC-2SP),
+matching pyproj to well under the reference's own tolerance
+(tests/test_projections.py:12-97: 1e-4 deg / 10 m):
 
 - EPSG:4326            — identity (lon/lat degrees)
-- EPSG:326xx / 327xx   — UTM north/south zones, **spherical** transverse
-                          Mercator (public formulas; documented divergence
-                          from pyproj's ellipsoidal UTM is <~0.3% in position,
-                          irrelevant for self-consistency tests)
-- EPSG:3035            — Lambert azimuthal equal-area (spherical form),
-                          center (52N, 10E), false easting/northing
-                          4321000 / 3210000 (the public ETRS89-LAEA params)
+- EPSG:326xx / 327xx   — WGS84 UTM north/south zones, ellipsoidal
+                          transverse Mercator (Krüger series, err << 1 mm)
+- EPSG:3043            — ETRS89 / UTM zone 31N (GRS80; identical zone
+                          params, easting/northing semantics like the
+                          reference's always-xy usage)
+- EPSG:3035            — ETRS89-extended / LAEA Europe, ellipsoidal
+                          Lambert azimuthal equal-area (EPSG method 9820)
+                          center (52N, 10E), FE/FN 4321000 / 3210000
+- EPSG:3812            — ETRS89 / Belgian Lambert 2008, Lambert conic
+                          conformal 2SP (EPSG method 9802)
 
-All forward transforms have exact inverses so bbox/geometry round-trips are
-bit-stable to float precision, which is what the engine's derivation-closure
-tests require (reference analog: tests/test_projections.py:12-97).
+All forward transforms have exact (or fast-converging series) inverses so
+bbox/geometry round-trips are stable to ~1e-9 deg, which is what the
+engine's derivation-closure tests require.
 
 Transformer functions are plain module-level callables built once per
 process — inside a Ray actor this is the per-worker ``lru_cache`` state the
@@ -30,65 +37,137 @@ from typing import Callable, Tuple
 
 import numpy as np
 
-R = 6371007.181  # authalic sphere radius (m), as used by spherical LAEA grids
+# kept for backward compatibility (spherical-LAEA grid constant used by the
+# round-1/2 kernels; no transform below uses it)
+R = 6371007.181
 
 Transform = Callable[[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]]
 
 
+# --- ellipsoids -------------------------------------------------------------
+
+
+class _Ellipsoid:
+    def __init__(self, a: float, inv_f: float):
+        self.a = a
+        self.f = 1.0 / inv_f
+        self.e2 = self.f * (2.0 - self.f)
+        self.e = np.sqrt(self.e2)
+        n = self.f / (2.0 - self.f)
+        self.n = n
+        # rectifying radius (Krüger): A = a/(1+n) (1 + n^2/4 + n^4/64 + ...)
+        self.A = self.a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+        # Krüger forward/inverse series coefficients to n^4 (truncation
+        # error ~n^5 ≈ 1e-14 rad for Earth flattening — below float noise)
+        self.alpha = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0 + 41.0 * n**4 / 180.0,
+            13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0 + 557.0 * n**4 / 1440.0,
+            61.0 * n**3 / 240.0 - 103.0 * n**4 / 140.0,
+            49561.0 * n**4 / 161280.0,
+        )
+        self.beta = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0 - n**4 / 360.0,
+            n**2 / 48.0 + n**3 / 15.0 - 437.0 * n**4 / 1440.0,
+            17.0 * n**3 / 480.0 - 37.0 * n**4 / 840.0,
+            4397.0 * n**4 / 161280.0,
+        )
+        e2 = self.e2
+        # conformal -> geodetic latitude series (Snyder eq. 3-5)
+        self.chi_series = (
+            e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0,
+            7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0,
+            7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0,
+            4279.0 * e2**4 / 161280.0,
+        )
+        # authalic -> geodetic latitude series (Snyder eq. 3-18)
+        self.auth_series = (
+            e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0,
+            23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0,
+            761.0 * e2**3 / 45360.0,
+        )
+
+    def q(self, phi: np.ndarray) -> np.ndarray:
+        """Authalic q function (Snyder eq. 3-12)."""
+        e, e2 = self.e, self.e2
+        s = np.sin(phi)
+        return (1.0 - e2) * (s / (1.0 - e2 * s * s) - np.log((1.0 - e * s) / (1.0 + e * s)) / (2.0 * e))
+
+
+_WGS84 = _Ellipsoid(6378137.0, 298.257223563)
+_GRS80 = _Ellipsoid(6378137.0, 298.257222101)
+
+
 def supported_epsg(epsg: int) -> bool:
-    if epsg == 4326 or epsg == 3035:
+    if epsg in (4326, 3035, 3043, 3812):
         return True
     return 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760
 
 
-# --- spherical transverse Mercator (UTM zones) ------------------------------
+# --- ellipsoidal transverse Mercator (UTM zones; Krüger series) -------------
 
 _UTM_K0 = 0.9996
 _UTM_FE = 500000.0
 
 
-def _utm_params(epsg: int) -> Tuple[float, float]:
-    """-> (central meridian lon0 in radians, false northing)."""
+def _utm_params(epsg: int) -> Tuple[float, float, _Ellipsoid]:
+    """-> (central meridian lon0 in radians, false northing, ellipsoid)."""
     if 32601 <= epsg <= 32660:
-        zone, fn = epsg - 32600, 0.0
+        zone, fn, ell = epsg - 32600, 0.0, _WGS84
     elif 32701 <= epsg <= 32760:
-        zone, fn = epsg - 32700, 10000000.0
+        zone, fn, ell = epsg - 32700, 10000000.0, _WGS84
+    elif epsg == 3043:  # ETRS89 / UTM zone 31N
+        zone, fn, ell = 31, 0.0, _GRS80
     else:
         raise ValueError(f"not a UTM EPSG: {epsg}")
     lon0 = np.deg2rad(-183.0 + 6.0 * zone)
-    return lon0, fn
+    return lon0, fn, ell
 
 
 def _utm_fwd(epsg: int) -> Transform:
-    lon0, fn = _utm_params(epsg)
+    lon0, fn, ell = _utm_params(epsg)
+    e, A, alpha = ell.e, ell.A, ell.alpha
 
     def fwd(lon, lat):
         lam = np.deg2rad(np.asarray(lon, dtype=np.float64)) - lon0
         phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
-        b = np.cos(phi) * np.sin(lam)
-        b = np.clip(b, -0.999999999, 0.999999999)
-        x = _UTM_FE + _UTM_K0 * R * 0.5 * np.log((1 + b) / (1 - b))
-        y = fn + _UTM_K0 * R * (np.arctan2(np.tan(phi), np.cos(lam)))
-        return x, y
+        s = np.clip(np.sin(phi), -1.0 + 1e-15, 1.0 - 1e-15)
+        # conformal latitude, exact: t = sinh(atanh(sin φ) − e atanh(e sin φ))
+        t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        x = eta.copy()
+        y = xi.copy()
+        for j, a_j in enumerate(alpha, start=1):
+            x += a_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+            y += a_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        return _UTM_FE + _UTM_K0 * A * x, fn + _UTM_K0 * A * y
 
     return fwd
 
 
 def _utm_inv(epsg: int) -> Transform:
-    lon0, fn = _utm_params(epsg)
+    lon0, fn, ell = _utm_params(epsg)
+    e, A, beta, chi_s = ell.e, ell.A, ell.beta, ell.chi_series
 
     def inv(x, y):
-        xn = (np.asarray(x, dtype=np.float64) - _UTM_FE) / (_UTM_K0 * R)
-        yn = (np.asarray(y, dtype=np.float64) - fn) / (_UTM_K0 * R)
-        d = np.cosh(xn)
-        phi = np.arcsin(np.clip(np.sin(yn) / d, -1.0, 1.0))
-        lam = np.arctan2(np.sinh(xn), np.cos(yn))
+        eta = (np.asarray(x, dtype=np.float64) - _UTM_FE) / (_UTM_K0 * A)
+        xi = (np.asarray(y, dtype=np.float64) - fn) / (_UTM_K0 * A)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b_j in enumerate(beta, start=1):
+            xi_p -= b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+        phi = chi.copy()
+        for j, c_j in enumerate(chi_s, start=1):
+            phi += c_j * np.sin(2 * j * chi)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
         return np.rad2deg(lam + lon0), np.rad2deg(phi)
 
     return inv
 
 
-# --- spherical Lambert azimuthal equal-area (EPSG:3035-style) ---------------
+# --- ellipsoidal Lambert azimuthal equal-area (EPSG:3035, method 9820) ------
 
 _LAEA_LON0 = np.deg2rad(10.0)
 _LAEA_LAT0 = np.deg2rad(52.0)
@@ -96,36 +175,125 @@ _LAEA_FE = 4321000.0
 _LAEA_FN = 3210000.0
 
 
+@lru_cache(maxsize=1)
+def _laea_consts():
+    ell = _GRS80
+    qP = float(ell.q(np.asarray(np.pi / 2.0)))
+    q0 = float(ell.q(np.asarray(_LAEA_LAT0)))
+    beta0 = np.arcsin(q0 / qP)
+    Rq = ell.a * np.sqrt(qP / 2.0)
+    m0 = np.cos(_LAEA_LAT0) / np.sqrt(1.0 - ell.e2 * np.sin(_LAEA_LAT0) ** 2)
+    D = ell.a * m0 / (Rq * np.cos(beta0))
+    return ell, qP, beta0, Rq, D
+
+
 def _laea_fwd(lon, lat):
+    ell, qP, beta0, Rq, D = _laea_consts()
     lam = np.deg2rad(np.asarray(lon, dtype=np.float64)) - _LAEA_LON0
     phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
-    s0, c0 = np.sin(_LAEA_LAT0), np.cos(_LAEA_LAT0)
-    denom = 1.0 + s0 * np.sin(phi) + c0 * np.cos(phi) * np.cos(lam)
-    denom = np.maximum(denom, 1e-12)
-    k = np.sqrt(2.0 / denom)
-    x = _LAEA_FE + R * k * np.cos(phi) * np.sin(lam)
-    y = _LAEA_FN + R * k * (c0 * np.sin(phi) - s0 * np.cos(phi) * np.cos(lam))
+    beta = np.arcsin(np.clip(ell.q(phi) / qP, -1.0, 1.0))
+    sb0, cb0 = np.sin(beta0), np.cos(beta0)
+    denom = 1.0 + sb0 * np.sin(beta) + cb0 * np.cos(beta) * np.cos(lam)
+    B = Rq * np.sqrt(2.0 / np.maximum(denom, 1e-12))
+    x = _LAEA_FE + B * D * np.cos(beta) * np.sin(lam)
+    y = _LAEA_FN + (B / D) * (cb0 * np.sin(beta) - sb0 * np.cos(beta) * np.cos(lam))
     return x, y
 
 
 def _laea_inv(x, y):
-    xn = (np.asarray(x, dtype=np.float64) - _LAEA_FE) / R
-    yn = (np.asarray(y, dtype=np.float64) - _LAEA_FN) / R
+    ell, qP, beta0, Rq, D = _laea_consts()
+    xn = (np.asarray(x, dtype=np.float64) - _LAEA_FE) / D
+    yn = (np.asarray(y, dtype=np.float64) - _LAEA_FN) * D
     rho = np.sqrt(xn * xn + yn * yn)
-    c = 2.0 * np.arcsin(np.clip(rho / 2.0, -1.0, 1.0))
-    s0, c0 = np.sin(_LAEA_LAT0), np.cos(_LAEA_LAT0)
+    C = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+    sb0, cb0 = np.sin(beta0), np.cos(beta0)
     with np.errstate(invalid="ignore", divide="ignore"):
-        phi = np.where(
-            rho < 1e-12,
-            _LAEA_LAT0,
-            np.arcsin(np.clip(np.cos(c) * s0 + yn * np.sin(c) * c0 / np.maximum(rho, 1e-12), -1.0, 1.0)),
+        beta = np.where(
+            rho < 1e-9,
+            beta0,
+            np.arcsin(np.clip(np.cos(C) * sb0 + yn * np.sin(C) * cb0 / np.maximum(rho, 1e-12), -1.0, 1.0)),
         )
         lam = np.where(
-            rho < 1e-12,
+            rho < 1e-9,
             0.0,
-            np.arctan2(xn * np.sin(c), rho * c0 * np.cos(c) - yn * s0 * np.sin(c)),
+            np.arctan2(xn * np.sin(C), rho * cb0 * np.cos(C) - yn * sb0 * np.sin(C)),
         )
+    phi = beta.copy()
+    for j, c_j in enumerate(ell.auth_series, start=1):
+        phi += c_j * np.sin(2 * j * beta)
     return np.rad2deg(lam + _LAEA_LON0), np.rad2deg(phi)
+
+
+# --- Lambert conic conformal 2SP (EPSG:3812, method 9802) -------------------
+
+_LCC_PARAMS = {
+    # Belgian Lambert 2008 (ETRS89): false-origin lat/lon, SP1, SP2, FE, FN
+    3812: (
+        50.0 + 47.0 / 60.0 + 52.134 / 3600.0,
+        4.0 + 21.0 / 60.0 + 33.177 / 3600.0,
+        49.0 + 50.0 / 60.0,
+        51.0 + 10.0 / 60.0,
+        649328.0,
+        665262.0,
+    ),
+}
+
+
+def _lcc_m(ell, phi):
+    return np.cos(phi) / np.sqrt(1.0 - ell.e2 * np.sin(phi) ** 2)
+
+
+def _lcc_t(ell, phi):
+    e = ell.e
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
+
+@lru_cache(maxsize=8)
+def _lcc_consts(epsg: int):
+    lat_f, lon_f, sp1, sp2, fe, fn = _LCC_PARAMS[epsg]
+    ell = _GRS80
+    phi_f, lam_f = np.deg2rad(lat_f), np.deg2rad(lon_f)
+    p1, p2 = np.deg2rad(sp1), np.deg2rad(sp2)
+    m1, m2 = _lcc_m(ell, p1), _lcc_m(ell, p2)
+    t1, t2, tf = _lcc_t(ell, p1), _lcc_t(ell, p2), _lcc_t(ell, phi_f)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    F = m1 / (n * t1**n)
+    rho_f = ell.a * F * tf**n
+    return ell, lam_f, n, F, rho_f, fe, fn
+
+
+def _lcc_fwd(epsg: int) -> Transform:
+    ell, lam_f, n, F, rho_f, fe, fn = _lcc_consts(epsg)
+
+    def fwd(lon, lat):
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        rho = ell.a * F * _lcc_t(ell, phi) ** n
+        theta = n * (lam - lam_f)
+        return fe + rho * np.sin(theta), fn + rho_f - rho * np.cos(theta)
+
+    return fwd
+
+
+def _lcc_inv(epsg: int) -> Transform:
+    ell, lam_f, n, F, rho_f, fe, fn = _lcc_consts(epsg)
+    e = ell.e
+
+    def inv(x, y):
+        dx = np.asarray(x, dtype=np.float64) - fe
+        dy = rho_f - (np.asarray(y, dtype=np.float64) - fn)
+        rho = np.sign(n) * np.sqrt(dx * dx + dy * dy)
+        t = (rho / (ell.a * F)) ** (1.0 / n)
+        theta = np.arctan2(dx, dy)
+        lam = theta / n + lam_f
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(6):  # converges to <1e-14 rad in ~4 iterations
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+        return np.rad2deg(lam), np.rad2deg(phi)
+
+    return inv
 
 
 # --- public API -------------------------------------------------------------
@@ -135,7 +303,9 @@ def _laea_inv(x, y):
 def get_transform(from_epsg: int, to_epsg: int) -> Transform:
     """Cached (from, to) -> vectorized transform, mirroring the reference's
     ``@lru_cache``d ``get_transform`` (projections.py:80-104).  Composition is
-    always through lon/lat (the sphere) — from_crs -> 4326 -> to_crs."""
+    always through lon/lat — from_crs -> 4326 -> to_crs (WGS84 and ETRS89
+    lon/lat are treated as identical, exactly like pyproj's zero-op datum
+    path for these CRSs)."""
     from_epsg, to_epsg = int(from_epsg), int(to_epsg)
     if from_epsg == to_epsg:
         return lambda x, y: (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
@@ -154,6 +324,8 @@ def _to_lonlat(epsg: int) -> Transform:
         return lambda x, y: (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
     if epsg == 3035:
         return _laea_inv
+    if epsg in _LCC_PARAMS:
+        return _lcc_inv(epsg)
     if supported_epsg(epsg):
         return _utm_inv(epsg)
     raise ValueError(f"Unsupported EPSG code: {epsg}")
@@ -164,6 +336,8 @@ def _from_lonlat(epsg: int) -> Transform:
         return lambda x, y: (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
     if epsg == 3035:
         return _laea_fwd
+    if epsg in _LCC_PARAMS:
+        return _lcc_fwd(epsg)
     if supported_epsg(epsg):
         return _utm_fwd(epsg)
     raise ValueError(f"Unsupported EPSG code: {epsg}")

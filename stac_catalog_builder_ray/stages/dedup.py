@@ -56,6 +56,132 @@ def word_shingles(text: str, n: int = 3) -> List[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+# --- vectorized batch token hashing ----------------------------------------
+#
+# The round-2 minhash kernel called blake2b once per SHINGLE inside a
+# per-doc loop — measured as the dominant CPU of the 11 s minhash_dedup
+# stage.  The replacement hashes every token of a whole batch in ONE
+# numpy pass: rolling-polynomial prefix hashes over the concatenated byte
+# buffer (the classic Rabin-Karp substring-hash identity, made position-
+# independent by multiplying with the inverse-power prefix; P is odd so it
+# is invertible mod 2^64), finalized with splitmix64.  Shingle hashes are
+# then a window-combine of consecutive token hashes — shingle STRINGS are
+# never built.  Measured on this environment (1000 docs x 90 tokens,
+# shingle_n=3, num_perm=64, min-of-5): per-doc loop+blake2b 0.171 s ->
+# batched 0.077 s (2.2x; the full sf0.1 documents table of 5000 docs
+# hashes in 0.23 s).  The batched win is bounded because this numpy
+# build's big-array passes run at modest bandwidth (same reason the
+# simhash64 note below keeps ITS per-doc loop) — profiling the full
+# minhash_dedup query showed the stage wall is actually dominated by the
+# fixed per-operator cost of the candidate shuffle + verify plan, which
+# round 3 cut separately (see verify_jaccard).  Bucket outputs differ
+# from the blake2b kernel (different hash family) but the verified-pair
+# OUTPUT of the dedup pipeline is unchanged on the golden corpus (the
+# exact-Jaccard verify stage is hash-independent).
+
+_POLY_P = np.uint64(0x100000001B3)  # FNV-1a 64 prime, odd
+_POLY_PINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+_LEN_SALT = np.uint64(0xD6E8FEB86659FD93)
+
+
+def hash_token_array(tokens: List[bytes]) -> np.ndarray:
+    """Vectorized stable 64-bit hashes of many byte-strings in one numpy
+    pass (no per-token Python hashing).  Position-independent: equal tokens
+    hash equal wherever they sit in the batch."""
+    m = len(tokens)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), count=m, dtype=np.int64)
+    buf = b"".join(tokens)
+    c = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    n = c.size
+    with np.errstate(over="ignore"):
+        pinv_pows = np.cumprod(np.full(n, _POLY_PINV, dtype=np.uint64))  # PINV^1..PINV^n
+        pinv_pows = np.concatenate([np.ones(1, dtype=np.uint64), pinv_pows[:-1]])  # PINV^0..
+        p_pows = np.cumprod(np.full(n, _POLY_P, dtype=np.uint64))  # P^1..P^n
+        p_pows = np.concatenate([np.ones(1, dtype=np.uint64), p_pows])  # P^0..P^n
+        # S[k] = sum_{t<k} c[t] * PINV^t  (mod 2^64)
+        S = np.concatenate([np.zeros(1, dtype=np.uint64), np.cumsum(c * pinv_pows, dtype=np.uint64)])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # token [s, e): (S[e]-S[s]) * P^(e-1) = sum c[t] * P^(e-1-t) — the
+        # same value the token would get hashed alone
+        raw = (S[ends] - S[starts]) * p_pows[ends - 1]
+        return splitmix64(raw ^ splitmix64(lens.astype(np.uint64) * _LEN_SALT))
+
+
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """[3, 0, 2] -> [0, 1, 2, 0, 1] (intra-group position index)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def minhash_buckets(texts: List, num_perm: int = 64, num_bands: int = 16,
+                    shingle_n: int = 3) -> np.ndarray:
+    """Whole-batch minhash: texts -> (len(texts), num_bands) int64 LSH
+    bucket matrix, fully vectorized (see the kernel note above).
+
+    Per doc: word shingles of ``shingle_n`` tokens (short docs collapse to
+    one all-token shingle, empty docs to the empty signature — same
+    semantics as ``word_shingles``), ``num_perm`` permuted min-hashes via
+    the splitmix seed mix, bands folded to one bucket each."""
+    assert num_perm % num_bands == 0
+    rows_per_band = num_perm // num_bands
+    tok_lists = [(t or "").lower().split() for t in texts]
+    D = len(tok_lists)
+    n_toks = np.fromiter((len(t) for t in tok_lists), count=D, dtype=np.int64)
+    th = hash_token_array([w.encode("utf-8") for toks in tok_lists for w in toks])
+    tok_start = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(n_toks)])
+
+    full_cnt = np.maximum(n_toks - shingle_n + 1, 0)
+    short = (n_toks > 0) & (n_toks < shingle_n)
+    sh_cnt = np.where(short, 1, full_cnt)
+    sh_start = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(sh_cnt)])
+    total_sh = int(sh_cnt.sum())
+    SH = np.empty(total_sh, dtype=np.uint64)
+
+    # full windows: combine shingle_n consecutive token hashes, vectorized
+    # across every window of every doc at once
+    fmask = ~short & (full_cnt > 0)
+    fcnt = np.where(fmask, full_cnt, 0)
+    idx0 = np.repeat(tok_start[:-1], fcnt) + _grouped_arange(fcnt)
+    acc = th[idx0]
+    for j in range(1, shingle_n):
+        acc = splitmix64(acc) ^ th[idx0 + j]
+    SH[np.repeat(sh_start[:-1], fcnt) + _grouped_arange(fcnt)] = acc
+
+    # short docs (0 < tokens < shingle_n): one shingle over all tokens
+    for d in np.nonzero(short)[0]:
+        a = th[tok_start[d]]
+        for j in range(1, int(n_toks[d])):
+            a = splitmix64(a) ^ th[tok_start[d] + j]
+        SH[sh_start[d]] = a
+
+    # signatures: (num_perm, total_sh) permutation mix, segment-min per doc.
+    # Multiply-add permutations (a_k odd) instead of a full splitmix per
+    # (perm, shingle) cell: the mix is the kernel's largest array and the
+    # cheap universal-hash family costs 1 mul + 1 add per cell vs 6 ops —
+    # standard minhash practice, same LSH collision behavior.
+    sig = np.full((D, num_perm), MASK64, dtype=np.uint64)
+    nonempty = sh_cnt > 0
+    if nonempty.any():
+        ks = np.arange(1, num_perm + 1, dtype=np.uint64)
+        a = splitmix64(ks) | np.uint64(1)
+        b = splitmix64(ks ^ _LEN_SALT)
+        mixed = a[:, None] * SH[None, :] + b[:, None]
+        sig[nonempty] = np.minimum.reduceat(mixed, sh_start[:-1][nonempty], axis=1).T
+
+    bands = sig.reshape(D, num_bands, rows_per_band)
+    buckets = bands[:, :, 0]
+    for r in range(1, rows_per_band):
+        buckets = splitmix64(buckets ^ bands[:, :, r])
+    return buckets.astype(np.int64)
+
+
 # --- MinHash ---------------------------------------------------------------
 
 
@@ -83,26 +209,18 @@ class MinHashStage:
         self.shingle_n = shingle_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_bucket = [], [], []
-        for i, text in enumerate(texts):
-            sig = minhash_signature(
-                hash_tokens(word_shingles(text or "", self.shingle_n)), self.num_perm
-            )
-            bands = sig.reshape(self.num_bands, self.rows_per_band)
-            # fold each band slice into one bucket id
-            buckets = bands[:, 0]
-            for r in range(1, self.rows_per_band):
-                buckets = splitmix64(buckets ^ bands[:, r])
-            out_id.extend([ids[i]] * self.num_bands)
-            out_band.extend(range(self.num_bands))
-            out_bucket.extend(buckets.astype(np.int64).tolist())
+        # whole-batch vectorized kernel (see minhash_buckets note): one
+        # numpy pass hashes every token, no per-doc/per-shingle Python
+        buckets = minhash_buckets(texts, self.num_perm, self.num_bands, self.shingle_n)
+        n = len(texts)
+        ids = batch[self.id_col]
+        idx = np.repeat(np.arange(n, dtype=np.int64), self.num_bands)
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.int64()),
+                self.id_col: ids.take(pa.array(idx)),
+                "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.ravel()),
             }
         )
 
@@ -173,40 +291,25 @@ def minhash_candidate_pairs(docs, id_col="doc_id", text_col="text",
 _SHINGLE_SEP = "\x1f"
 
 
-class PackCandidateShingles:
-    """Actor stage: stream the corpus, KEEP only rows whose id is in the
-    broadcast candidate-id set (``pc.is_in``, vectorized), and pack each
-    kept doc's distinct shingle set into one separator-joined string (Ray's
-    hash join rejects list-typed non-key columns; strings pass through)."""
-
-    def __init__(self, ids_ref, id_col: str, text_col: str, shingle_n: int):
-        import ray
-
-        self.id_set = pa.array(ray.get(ids_ref))  # shipped once per actor
-        self.id_col, self.text_col, self.n = id_col, text_col, shingle_n
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.filter(pc.is_in(t[self.id_col], value_set=self.id_set))
-        packed = [
-            _SHINGLE_SEP.join(sorted(set(word_shingles(x or "", self.n))))
-            for x in t[self.text_col].to_pylist()
-        ]
-        return pa.table({self.id_col: t[self.id_col], "shingles": pa.array(packed, pa.string())})
-
-
 def verify_jaccard(pairs, docs, id_col="doc_id", text_col="text",
-                   shingle_n=3, threshold=0.7, num_partitions=None):
+                   shingle_n=3, threshold=0.7, num_partitions=None,
+                   broadcast_limit=2_000_000):
     """Exact-Jaccard verification of candidate pairs — scale-safe.
 
     Only the texts whose ids appear in the candidate-pair set are gathered:
     the candidate ID SET (O(pairs), small by LSH construction) is broadcast
-    once, the corpus streams through a vectorized ``is_in`` filter, and the
-    surviving (id, packed-shingles) rows — not the whole corpus — feed two
-    partitioned hash joins (pairs⋈docs on id_a, then id_b).  No driver-side
-    materialization of corpus rows (contrast round 1, which built a
-    whole-corpus text dict on the driver)."""
+    once and the corpus streams through a vectorized ``is_in`` filter.  The
+    surviving (id, packed-shingles) rows are the same size class as the
+    pair table we already hold on the driver, so for up to
+    ``broadcast_limit`` candidate ids they are broadcast as ONE id->shingles
+    dict and the verify is a single embarrassingly-parallel ``map_batches``
+    over the pairs dataset — no joins (round-2 ran two partitioned
+    Dataset.joins here, whose aggregator-actor startup dominated the stage
+    at small scale: measured 4.7 s -> 1.3 s).  Past the limit the two
+    partitioned hash joins (pairs⋈docs on id_a, then id_b) take over, so
+    nothing driver-held ever exceeds the O(pairs) edge list + candidate
+    shingle set.  The full corpus is never materialized anywhere (contrast
+    round 1, which built a whole-corpus text dict on the driver)."""
     import ray
 
     num_partitions = num_partitions or max(8, default_lsh_partitions() // 4)
@@ -214,8 +317,8 @@ def verify_jaccard(pairs, docs, id_col="doc_id", text_col="text",
 
     # The candidate-pair table is O(duplicate pairs) — small by LSH
     # construction — so collect it once: it provides the broadcast id set
-    # AND a clean single-block arrow dataset for the joins (map_groups
-    # output carries empty schema-less blocks that pyarrow's join rejects).
+    # AND a clean single-block arrow dataset (map_groups output carries
+    # empty schema-less blocks that pyarrow's join rejects).
     idtbl = pairs.to_pandas()
     if len(idtbl) == 0 or "id_a" not in idtbl.columns or "id_b" not in idtbl.columns:
         # zero candidate pairs (clean corpus): map_groups' empty output
@@ -235,13 +338,50 @@ def verify_jaccard(pairs, docs, id_col="doc_id", text_col="text",
     ids_ref = ray.put(cand_ids)
     pairs = rd.from_arrow(pa.Table.from_pandas(idtbl[["id_a", "id_b"]], preserve_index=False))
 
-    docs_f = docs.map_batches(
-        PackCandidateShingles,
-        fn_constructor_kwargs={"ids_ref": ids_ref, "id_col": id_col,
-                               "text_col": text_col, "shingle_n": shingle_n},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).materialize()  # candidate texts only; probed by both joins
+    # task-based (not actor-pool) corpus scan: the broadcast id set is a
+    # plasma ref fetched zero-copy per task, and a task pool avoids the
+    # ~2 s actor-pool startup that dominated this stage at small scale
+    def _pack(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        id_set = pa.array(ray.get(ids_ref))
+        t = t.filter(pc.is_in(t[id_col], value_set=id_set))
+        packed = [
+            _SHINGLE_SEP.join(sorted(set(word_shingles(x or "", shingle_n))))
+            for x in t[text_col].to_pylist()
+        ]
+        return pa.table({id_col: t[id_col], "shingles": pa.array(packed, pa.string())})
+
+    docs_f = docs.map_batches(_pack, batch_format="pyarrow").materialize()  # candidate texts only
+
+    from ..functions.rounding import round_half_away
+
+    def _jac_sets(sa_list, sb_list):
+        sims = np.empty(len(sa_list), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(sa_list, sb_list)):
+            sa = set(a.split(_SHINGLE_SEP)) if a else set()
+            sb = set(b.split(_SHINGLE_SEP)) if b else set()
+            denom = len(sa | sb)
+            sims[i] = len(sa & sb) / denom if denom else 0.0
+        return sims
+
+    if len(cand_ids) <= broadcast_limit:
+        sh_df = docs_f.to_pandas()
+        if len(sh_df) == 0:
+            sh_ref = ray.put({})
+        else:
+            sh_ref = ray.put(dict(zip(sh_df[id_col], sh_df["shingles"])))
+
+        def _jac_broadcast(t: pa.Table) -> pa.Table:
+            sh = ray.get(sh_ref)  # plasma-local per task
+            sa = [sh.get(i, "") for i in t["id_a"].to_pylist()]
+            sb = [sh.get(i, "") for i in t["id_b"].to_pylist()]
+            sims = _jac_sets(sa, sb)
+            out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                            "jaccard": pa.array(round_half_away(sims, 4))})
+            return out.filter(pa.array(sims >= threshold))
+
+        return pairs.map_batches(_jac_broadcast, batch_format="pyarrow")
 
     left = docs_f.map_batches(
         lambda t: pa.table({"id_a": t[id_col], "sh_a": t["shingles"]}),
@@ -255,15 +395,7 @@ def verify_jaccard(pairs, docs, id_col="doc_id", text_col="text",
     j = j.join(right, join_type="inner", num_partitions=num_partitions, on=("id_b",))
 
     def jac(t: pa.Table) -> pa.Table:
-        from ..functions.rounding import round_half_away
-
-        sims = []
-        for a, b in zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
-            sa = set(a.split(_SHINGLE_SEP)) if a else set()
-            sb = set(b.split(_SHINGLE_SEP)) if b else set()
-            denom = len(sa | sb)
-            sims.append(len(sa & sb) / denom if denom else 0.0)
-        sims = np.asarray(sims, dtype=np.float64)
+        sims = _jac_sets(t["sh_a"].to_pylist(), t["sh_b"].to_pylist())
         out = pa.table(
             {
                 "id_a": t["id_a"],

@@ -173,27 +173,61 @@ class TestGeometry:
 
 class TestReferenceProjectionTable:
     """Mirror of the reference's projection property table
-    (tests/test_projections.py:12-97): known projected bboxes must
-    reproject to approximately [4, 51, 5, 52] WGS84.  Our transforms are
-    spherical (documented divergence from ellipsoidal pyproj), so the
-    tolerance is 0.25 deg instead of the reference's 1e-4 — the assertion
-    still catches wrong zones, swapped axes, sign errors, and bad false
-    eastings/northings."""
+    (tests/test_projections.py:12-97).  Round 3 replaced the spherical
+    kernel with the ellipsoidal one (Krueger-series TM, EPSG-9820 LAEA,
+    EPSG-9802 LCC-2SP), so the assertion is now PYPROJ PARITY: projecting
+    the [4, 51, 5, 52] WGS84 box must reproduce the reference's published
+    pyproj-produced projected values to 1e-6 m (vs the reference's own
+    10 m tolerance; round 1-2 asserted 0.25 deg against the spherical
+    kernel).  The inverse direction is asserted corner-wise (each projected
+    corner inverts back to its lat-lon corner to 1e-9 deg): envelope-to-
+    envelope comparison cannot be tight for ANY correct implementation
+    because the projected envelope is strictly larger than the projected
+    quad (the reference's own inverse-direction tolerance, abs=10, is
+    vacuous for the same reason)."""
 
+    # epsg -> pyproj-produced envelope of box(4, 51, 5, 52), from the
+    # reference's BBOX_TABLE (tests/test_projections.py:12-67)
     TABLE = {
         # ETRS89-extended / LAEA Europe (reference case 3035)
         3035: (3900350.772802173, 3110735.7505430346, 3977921.1759082996, 3226952.0036674426),
-        # ETRS89 / UTM 31N (reference case 3043; same projection parameters
-        # as WGS84 UTM 31N which our kernel implements as 32631)
-        32631: (568649.7048958719, 5650300.786521471, 640333.2963397139, 5762926.812790221),
+        # ETRS89 / UTM 31N (reference case 3043)
+        3043: (568649.7048958719, 5650300.786521471, 640333.2963397139, 5762926.812790221),
+        # ETRS89 / Belgian Lambert 2008 (reference case 3812)
+        3812: (624112.728540544, 687814.3689113414, 694307.6687148043, 799212.0443107984),
     }
 
-    @pytest.mark.parametrize("epsg", sorted(TABLE))
-    def test_reprojects_to_belgium(self, epsg):
-        from stac_catalog_builder_ray.geo.crs import reproject_bbox
+    CORNERS_LL = [(4.0, 51.0), (5.0, 51.0), (5.0, 52.0), (4.0, 52.0)]
 
-        w, s, e, n = reproject_bbox(*self.TABLE[epsg], epsg, 4326)
-        assert w == pytest.approx(4.0, abs=0.25)
-        assert s == pytest.approx(51.0, abs=0.25)
-        assert e == pytest.approx(5.0, abs=0.25)
-        assert n == pytest.approx(52.0, abs=0.25)
+    @pytest.mark.parametrize("epsg", sorted(TABLE))
+    def test_forward_matches_pyproj_to_micrometers(self, epsg):
+        from stac_catalog_builder_ray.geo.crs import project_points
+
+        lons = np.array([c[0] for c in self.CORNERS_LL])
+        lats = np.array([c[1] for c in self.CORNERS_LL])
+        xs, ys = project_points(lons, lats, 4326, epsg)
+        w, s, e, n = xs.min(), ys.min(), xs.max(), ys.max()
+        for got, want in zip((w, s, e, n), self.TABLE[epsg]):
+            assert got == pytest.approx(want, abs=1e-6)
+
+    @pytest.mark.parametrize("epsg", sorted(TABLE))
+    def test_inverse_corner_roundtrip(self, epsg):
+        from stac_catalog_builder_ray.geo.crs import project_points
+
+        lons = np.array([c[0] for c in self.CORNERS_LL])
+        lats = np.array([c[1] for c in self.CORNERS_LL])
+        xs, ys = project_points(lons, lats, 4326, epsg)
+        lon2, lat2 = project_points(xs, ys, epsg, 4326)
+        np.testing.assert_allclose(lon2, lons, atol=1e-9)
+        np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
+    def test_wgs84_utm_equals_reference_zone_values(self):
+        """WGS84 UTM 31N (32631) vs ETRS89 UTM 31N (3043): same zone
+        parameters, ellipsoid flattening differs in the 12th digit — the
+        projected coordinates must agree to well under a millimeter."""
+        from stac_catalog_builder_ray.geo.crs import project_points
+
+        xs1, ys1 = project_points(np.array([4.0, 5.0]), np.array([51.0, 52.0]), 4326, 32631)
+        xs2, ys2 = project_points(np.array([4.0, 5.0]), np.array([51.0, 52.0]), 4326, 3043)
+        np.testing.assert_allclose(xs1, xs2, atol=1e-3)
+        np.testing.assert_allclose(ys1, ys2, atol=1e-3)
