@@ -91,8 +91,8 @@ def load_collection(collection_file: str) -> dict:
 def validate_collection(collection_file: str, check_items: bool = True) -> Dict:
     """Structural validation of a written collection tree
     (commandapi.py:257-265; pystac ``validate_all`` needs network — this is
-    the self-contained equivalent).  Raises ``ValueError`` listing every
-    problem found; returns summary counts when valid."""
+    the self-contained equivalent).  Raises ``DataValidationError``
+    (exceptions.py:40) listing every problem found; returns summary counts when valid."""
     problems: List[str] = []
     base = os.path.dirname(os.path.abspath(collection_file))
     doc = load_collection(collection_file)
@@ -149,7 +149,9 @@ def validate_collection(collection_file: str, check_items: bool = True) -> Dict:
                 problems.append(f"item bbox {b} outside collection extent {bboxes[0]}")
 
     if problems:
-        raise ValueError("collection validation failed:\n  " + "\n  ".join(problems))
+        from .exceptions import DataValidationError
+
+        raise DataValidationError("collection validation failed:\n  " + "\n  ".join(problems))
     return {"valid": True, "n_item_links": n_items, "n_child_links": n_children}
 
 
@@ -166,6 +168,13 @@ def _main(argv: List[str]) -> int:
     vc = sub.add_parser("validate"); vc.add_argument("collection_file")
     bc = sub.add_parser("build"); bc.add_argument("images_path"); bc.add_argument("out_dir"); bc.add_argument("--mode", default="linked", choices=["linked", "unlinked"])
     bg = sub.add_parser("build-grouped"); bg.add_argument("images_path"); bg.add_argument("out_dir")
+    # VPP introspection wrappers (commandapi_vpp.py:131-156)
+    for name in ("vpp-count-products", "vpp-count-products-per-slot", "vpp-collection-config"):
+        vp = sub.add_parser(name)
+        vp.add_argument("--start", default="2020-01-01"); vp.add_argument("--end", default="2020-06-01")
+        vp.add_argument("--product-types", default="default")
+        if name == "vpp-collection-config":
+            vp.add_argument("collection_id")
     a = p.parse_args(argv)
 
     if a.cmd == "list-files":
@@ -197,6 +206,24 @@ def _main(argv: List[str]) -> int:
 
             r = build_grouped_collections(a.images_path, a.out_dir)
             print(json.dumps(r, default=str))
+        elif a.cmd.startswith("vpp-"):
+            from .sources.slots import (
+                collection_config_from_products,
+                count_products,
+                count_products_per_query_slot,
+                generate_query_slots,
+            )
+
+            slots = generate_query_slots(
+                a.start, a.end, product_types=a.product_types.split(","))
+            if a.cmd == "vpp-count-products":
+                print(json.dumps(count_products(slots)))
+            elif a.cmd == "vpp-count-products-per-slot":
+                print(count_products_per_query_slot(slots).to_string(index=False))
+            else:
+                cfg = collection_config_from_products(a.collection_id, slots)
+                print(json.dumps({"collection_id": cfg.collection_id,
+                                  "item_assets": sorted(cfg.item_assets)}))
     finally:
         ray.shutdown()
     return 0

@@ -46,6 +46,12 @@ class CollectionConfig:
 
     @staticmethod
     def from_dict(data: dict) -> "CollectionConfig":
+        if "collection_id" not in data or not data["collection_id"]:
+            from .exceptions import InvalidConfiguration
+
+            raise InvalidConfiguration(
+                "collection config requires a non-empty 'collection_id'"
+            )
         assets = {
             k: AssetConfig(
                 title=v.get("title", k),

@@ -222,7 +222,9 @@ def q_duplicate_ids(sf_dir: str):
     """A5: duplicate detection — (user_id, event_type) pairs seen > 5 times."""
     ds = _t(sf_dir, "events", ["user_id", "event_type"])
     out = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="n"))
-    return out.filter(lambda r: r["n"] > 5)
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 5)), batch_format="pyarrow"
+    )
 
 
 # --- joins ------------------------------------------------------------------

@@ -205,8 +205,16 @@ def q_fingerprint(sf_dir: str):
 
 def q_ann_cosine(sf_dir: str):
     """Brute-force cosine top-5 for query vectors (vec_id % 50 == 0)."""
+    import numpy as np
+
     emb = _emb(sf_dir, ["vec_id", "embedding"])
-    queries = emb.filter(lambda r: r["vec_id"] % 50 == 0).to_pandas()
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        # vectorized mask (pyarrow.compute has no mod kernel; numpy does)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    queries = emb.map_batches(pick_queries, batch_format="pyarrow").to_pandas()
     return brute_force_topk(emb, queries, k=5)
 
 

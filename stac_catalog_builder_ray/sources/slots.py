@@ -56,21 +56,26 @@ def synthetic_product_fetcher(slot: Dict) -> Iterator[Dict]:
     t0 = pd.Timestamp(slot["t0"])
     t1 = pd.Timestamp(slot["t1"])
     days = (t1 - t0).days
-    for k in range(0, days, 3):
-        ts = t0 + pd.Timedelta(days=k)
-        yield {
+    def product(ts: pd.Timestamp) -> Dict:
+        k = int(ts.toordinal())
+        # every third product carries a conformsTo CRS URL, the rest only a
+        # tile id, some neither — covering the reference's full EPSG
+        # inference chain (terracatalog.py:654-672)
+        conforms = f"http://www.opengis.net/def/crs/EPSG/0/{32601 + k % 60}" if k % 3 == 0 else None
+        tile_id = f"{k % 60 + 1:02d}ABC" if k % 3 != 2 else None
+        return {
             "product_id": f"{slot['product_type']}_{ts:%Y%m%d}",
             "product_type": slot["product_type"],
             "datetime": str(ts),
             "slot_id": slot["slot_id"],
+            "conforms_to": conforms,
+            "tile_id": tile_id,
         }
+
+    for k in range(0, days, 3):
+        yield product(t0 + pd.Timedelta(days=k))
     if days >= 1:  # boundary product duplicated into the next window
-        yield {
-            "product_id": f"{slot['product_type']}_{t1:%Y%m%d}",
-            "product_type": slot["product_type"],
-            "datetime": str(t1),
-            "slot_id": slot["slot_id"],
-        }
+        yield product(t1)
 
 
 def read_slots(
@@ -98,6 +103,20 @@ def read_slots(
 
     ds = rd.from_items(slots)
     products = ds.flat_map(fetcher)
+
+    def with_epsg(t):
+        # proj_epsg per product during collection, like the reference's
+        # get_products_as_dataframe (terracatalog.py:654-672 chain)
+        import pyarrow as _pa
+
+        from ..functions.epsg import infer_epsg_batch
+
+        cols = set(t.column_names)
+        conforms = t["conforms_to"].to_pylist() if "conforms_to" in cols else [None] * t.num_rows
+        tiles = t["tile_id"].to_pylist() if "tile_id" in cols else [None] * t.num_rows
+        return t.append_column("proj_epsg", _pa.array(infer_epsg_batch(conforms, tiles)))
+
+    products = products.map_batches(with_epsg, batch_format="pyarrow")
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["product_id", "datetime", "slot_id"], kind="stable")
@@ -131,3 +150,71 @@ def checkpoint_slots(products_df: pd.DataFrame, checkpoint_root: str) -> int:
             store.mark_finished(str(slot_id), {"partition": str(slot_id), "rows": int(len(g))})
             n += 1
     return n
+
+
+# --- introspection wrappers (commandapi_vpp.py:131-156) ---------------------
+
+
+def count_products(
+    slots: List[Dict],
+    fetcher: Callable[[Dict], Iterator[Dict]] = synthetic_product_fetcher,
+) -> Dict[str, int]:
+    """Distinct-product count per product type — the engine twin of
+    ``vpp_count_products`` (commandapi_vpp.py:131-137, catalogue
+    ``get_product_count`` per collection).  Runs as a Dataset aggregate
+    (fetch -> dedup -> groupby count), never a driver-side list."""
+    from ray.data.aggregate import Count
+
+    ds = read_slots(slots, fetcher=fetcher)
+    if ds.count() == 0:
+        return {}
+    out = ds.groupby("product_type").aggregate(Count(alias_name="n")).to_pandas()
+    return dict(zip(out["product_type"], out["n"].astype(int)))
+
+
+def count_products_per_query_slot(
+    slots: List[Dict],
+    fetcher: Callable[[Dict], Iterator[Dict]] = synthetic_product_fetcher,
+) -> pd.DataFrame:
+    """Per-slot RAW product counts (before dedup) — the engine twin of
+    ``vpp_count_products_per_query_slot`` / ``list_num_prods_per_query_slot``
+    (commandapi_vpp.py:139-143): shows window overlap and per-slot load,
+    which is exactly what you tune slot frequency with."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    if not slots:
+        return pd.DataFrame({"slot_id": [], "n_products": []})
+    out = (
+        rd.from_items(slots)
+        .flat_map(fetcher)
+        .groupby("slot_id")
+        .aggregate(Count(alias_name="n_products"))
+        .to_pandas()
+    )
+    return out.sort_values("slot_id").reset_index(drop=True)
+
+
+def collection_config_from_products(
+    collection_id: str,
+    slots: List[Dict],
+    fetcher: Callable[[Dict], Iterator[Dict]] = synthetic_product_fetcher,
+):
+    """Derive a ``CollectionConfig`` from the fetched product stream — the
+    engine twin of ``vpp_get_collection_config`` (commandapi_vpp.py:146-154,
+    ``CollectionConfigBuilder.get_collection_config``): one item-asset entry
+    per distinct product type observed."""
+    from ..config import CollectionConfig
+
+    types = sorted(count_products(slots, fetcher=fetcher))
+    return CollectionConfig.from_dict(
+        {
+            "collection_id": collection_id,
+            "title": collection_id,
+            "description": f"Derived from {len(types)} product type(s)",
+            "item_assets": {
+                t: {"title": t, "description": f"{t} products", "media_type": "application/json"}
+                for t in types
+            },
+        }
+    )

@@ -30,7 +30,10 @@ from typing import Callable, Dict, List, Optional, Tuple
 Transport = Callable[..., Tuple[int, object]]
 
 
-class StacApiError(RuntimeError):
+from ..exceptions import EngineException, InvalidOperation
+
+
+class StacApiError(EngineException, RuntimeError):
     def __init__(self, status: int, message: str):
         super().__init__(f"HTTP {status}: {message}")
         self.status = status
@@ -42,6 +45,169 @@ def bearer_auth_header(token: Optional[str]) -> Dict[str, str]:
     attaches.  No network -> no OAuth flows; a real deployment plugs its
     token acquisition here."""
     return {"Authorization": f"Bearer {token}"} if token else {}
+
+
+# --- auth settings -> auth object (stacapi/auth.py:14-38 semantics) ---------
+
+
+class AuthSettings:
+    """Engine twin of the reference's ``AuthSettings`` pydantic model
+    (stacapi/config.py:7-14): same fields, same defaults."""
+
+    def __init__(self, enabled: bool = True, interactive: bool = True,
+                 authorization_url: Optional[str] = None,
+                 token_url: Optional[str] = None,
+                 client_id: Optional[str] = None,
+                 username: Optional[str] = None,
+                 password: Optional[str] = None):
+        self.enabled = enabled
+        self.interactive = interactive
+        self.authorization_url = authorization_url
+        self.token_url = token_url
+        self.client_id = client_id
+        self.username = username
+        self.password = password
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "AuthSettings":
+        return cls(**{k: d[k] for k in (
+            "enabled", "interactive", "authorization_url", "token_url",
+            "client_id", "username", "password") if k in d})
+
+
+class _OAuthBase:
+    """An auth object = header provider, the engine's reduction of
+    requests' ``AuthBase``.  ``token_transport`` is the same injected
+    request callable the endpoints use (no network in this sandbox; a real
+    deployment passes an HTTP transport) — the token POST goes through it
+    and the resulting access token becomes a bearer header, cached until
+    ``invalidate``."""
+
+    def __init__(self, token_transport: Transport):
+        self._t = token_transport
+        self._token: Optional[str] = None
+
+    def _fetch_token(self) -> str:
+        raise NotImplementedError
+
+    def invalidate(self) -> None:
+        self._token = None
+
+    def headers(self) -> Dict[str, str]:
+        if self._token is None:
+            self._token = self._fetch_token()
+        return bearer_auth_header(self._token)
+
+
+class OAuthAuthorizationCodePKCE(_OAuthBase):
+    """Interactive authorization-code-with-PKCE flow (auth.py:16-22).
+    The browser round-trip cannot run headless, so the transport is handed
+    the authorization_url and must return the code grant; the token POST
+    then redeems it."""
+
+    def __init__(self, token_transport: Transport, authorization_url: str,
+                 token_url: str, client_id: Optional[str]):
+        super().__init__(token_transport)
+        self.authorization_url = authorization_url
+        self.token_url = token_url
+        self.client_id = client_id
+
+    def _fetch_token(self) -> str:
+        status, body = self._t("GET", self.authorization_url,
+                               json={"client_id": self.client_id, "flow": "pkce"})
+        if status != 200:
+            raise StacApiError(status, "authorization code grant failed")
+        code = body["code"]
+        status, body = self._t("POST", self.token_url,
+                               json={"grant_type": "authorization_code",
+                                     "code": code, "client_id": self.client_id})
+        if status != 200:
+            raise StacApiError(status, "token redemption failed")
+        return body["access_token"]
+
+
+class OAuthResourceOwnerPassword(_OAuthBase):
+    """Resource-owner password-credentials flow (auth.py:23-31)."""
+
+    def __init__(self, token_transport: Transport, token_url: str,
+                 username: str, password: str, client_id: Optional[str]):
+        super().__init__(token_transport)
+        self.token_url = token_url
+        self.username = username
+        self.password = password
+        self.client_id = client_id
+
+    def _fetch_token(self) -> str:
+        status, body = self._t("POST", self.token_url,
+                               json={"grant_type": "password",
+                                     "username": self.username,
+                                     "password": self.password,
+                                     "client_id": self.client_id})
+        if status != 200:
+            raise StacApiError(status, "password-credentials token grant failed")
+        return body["access_token"]
+
+
+def get_auth(auth_settings: Optional[AuthSettings],
+             token_transport: Optional[Transport] = None):
+    """settings -> auth object or None — the reference's ``get_auth``
+    decision tree verbatim (auth.py:14-38): disabled -> None; interactive +
+    authorization_url -> authorization-code PKCE; username+password ->
+    resource-owner password credentials; otherwise SettingsInvalid."""
+    from ..exceptions import SettingsInvalid
+
+    if auth_settings is None or not auth_settings.enabled:
+        return None
+    if token_transport is None:
+        raise SettingsInvalid("auth enabled but no token transport injected")
+    if auth_settings.interactive and auth_settings.authorization_url:
+        return OAuthAuthorizationCodePKCE(
+            token_transport,
+            authorization_url=auth_settings.authorization_url,
+            token_url=auth_settings.token_url,
+            client_id=auth_settings.client_id,
+        )
+    if auth_settings.username and auth_settings.password:
+        return OAuthResourceOwnerPassword(
+            token_transport,
+            token_url=auth_settings.token_url,
+            username=auth_settings.username,
+            password=auth_settings.password,
+            client_id=auth_settings.client_id,
+        )
+    raise SettingsInvalid(
+        "Auth not properly configured: either use interactive login or "
+        "supply username and password."
+    )
+
+
+def authenticated_transport(transport: Transport, auth) -> Transport:
+    """Wrap a transport so every request carries the auth object's headers
+    (the engine's seam for requests' per-request AuthBase injection).  A
+    401 invalidates the cached token and retries once with a fresh one."""
+    if auth is None:
+        return transport
+
+    def request(method: str, path: str, json=None, headers=None):
+        h = dict(headers or {})
+        h.update(auth.headers())
+        status, body = _call_with_headers(transport, method, path, json, h)
+        if status == 401:
+            auth.invalidate()
+            h.update(auth.headers())
+            status, body = _call_with_headers(transport, method, path, json, h)
+        return status, body
+
+    return request
+
+
+def _call_with_headers(transport: Transport, method, path, json, headers):
+    try:
+        return transport(method, path, json=json, headers=headers)
+    except TypeError:
+        # header-unaware transports (e.g. MemoryTransport) still work —
+        # auth headers are then a no-op, exactly like an open test server
+        return transport(method, path, json=json)
 
 
 class MemoryTransport:
@@ -232,7 +398,8 @@ class ItemsEndpoint:
         'upsert'.  Items must all belong to ``collection_id``."""
         for it in items:
             if it.get("collection") not in (None, collection_id):
-                raise ValueError(
+                # typed like the reference (endpoints.py:456-472 InvalidOperation)
+                raise InvalidOperation(
                     f"bulk contains item of collection {it.get('collection')!r}, expected {collection_id!r}"
                 )
         payload = {"items": {it["id"]: it for it in items}, "method": "upsert"}

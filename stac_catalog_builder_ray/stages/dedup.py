@@ -724,31 +724,94 @@ def union_find_min_labels(edges) -> dict:
 
 
 def neardup_cluster_labels(docs, pairs, id_col: str = "doc_id",
-                           pair_cols=("id_a", "id_b")):
+                           pair_cols=("id_a", "id_b"),
+                           driver_edge_limit: int = 5_000_000):
     """(docs, verified near-dup pairs) -> (id, keep_id) Dataset covering the
     WHOLE corpus: keep_id = min id of the node's near-dup component (itself
     when unpaired).  The reduction of near-dedup to a usable training-data
     filter: keep rows where id == keep_id, drop the rest.
 
-    Pairs are collected (O(duplicates)); labels broadcast once; the corpus
-    streams through a vectorized lookup."""
+    AUTO-ROUTED by edge count (round-2 review: the scale path existed but
+    nothing switched to it):
+
+    - <= ``driver_edge_limit`` edges: collect the O(duplicates) edge list,
+      driver union-find, labels broadcast once, corpus streams through a
+      vectorized lookup.
+    - beyond it: ``connected_components_distributed`` (min-label + pointer-
+      halving over partitioned joins, O(log diameter) rounds) and the corpus
+      is labeled by a partitioned left-outer join — nothing driver-held.
+
+    Both paths produce identical labels (equality-tested)."""
     import ray
 
-    pdf = pairs.select_columns(list(pair_cols)).to_pandas()
-    labels = union_find_min_labels(zip(pdf[pair_cols[0]], pdf[pair_cols[1]]))
-    ref = ray.put(labels)
+    pairs = pairs.materialize()  # counted, then consumed by either path
+    n_edges = pairs.count()
 
-    class Label:
-        def __init__(self):
-            self.labels = ray.get(ref)
+    if n_edges == 0:
+        return docs.map_batches(
+            lambda t: pa.table({id_col: t[id_col], "keep_id": t[id_col]}),
+            batch_format="pyarrow",
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_pylist()
-            keep = [self.labels.get(i, i) for i in ids]
-            return pa.table({id_col: t[id_col],
-                             "keep_id": pa.array(keep, t[id_col].type)})
+    if n_edges <= driver_edge_limit:
+        pdf = pairs.select_columns(list(pair_cols)).to_pandas()
+        labels = union_find_min_labels(zip(pdf[pair_cols[0]], pdf[pair_cols[1]]))
+        ref = ray.put(labels)
 
-    return docs.map_batches(Label, batch_format="pyarrow", concurrency=(1, 4))
+        class Label:
+            def __init__(self):
+                self.labels = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ids = t[id_col].to_pylist()
+                keep = [self.labels.get(i, i) for i in ids]
+                return pa.table({id_col: t[id_col],
+                                 "keep_id": pa.array(keep, t[id_col].type)})
+
+        return docs.map_batches(Label, batch_format="pyarrow", concurrency=(1, 4))
+
+    import pyarrow.compute as _pc
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"id_a": t[pair_cols[0]], "id_b": t[pair_cols[1]]}),
+        batch_format="pyarrow",
+    )
+    lbls = connected_components_distributed(edges)
+    ids_only = docs.map_batches(
+        lambda t: pa.table({id_col: t[id_col]}), batch_format="pyarrow"
+    )
+    j = ids_only.join(lbls, join_type="left_outer",
+                      num_partitions=max(4, default_lsh_partitions() // 4),
+                      on=(id_col,), right_on=("node",))
+    return j.map_batches(
+        lambda t: pa.table({id_col: t[id_col],
+                            "keep_id": _pc.coalesce(t["lbl"], t[id_col])}),
+        batch_format="pyarrow",
+    )
+
+
+def _compact_nonempty(ds, fallback_schema: "pa.Schema" = None):
+    """Drop schema-LESS empty blocks from a small materialized dataset.
+
+    Ray's aggregate/map_groups emit 0-row blocks with EMPTY schemas when a
+    hash partition receives no rows; pyarrow's hash join then fails with
+    "No match for key field on right side".  This rebuilds the dataset from
+    the surviving block REFS (no data moves through the driver — refs
+    only).  When every block is empty, returns an empty dataset with
+    ``fallback_schema`` so downstream joins still see the key columns."""
+    import ray
+    import ray.data as rd
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        empty = pa.table({f.name: pa.array([], f.type) for f in fallback_schema}) \
+            if fallback_schema is not None else pa.table({})
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(refs)
 
 
 def connected_components_distributed(edges, node_ids=None, max_iters: int = 64,
@@ -796,14 +859,15 @@ def connected_components_distributed(edges, node_ids=None, max_iters: int = 64,
         ),
         batch_format="pyarrow",
     ).materialize()
+    bi = _compact_nonempty(bi)  # pairs datasets can carry schema-less empty blocks
 
     if node_ids is None:
         node_ids = bi.map_batches(
             lambda t: pa.table({"node": t["u"]}), batch_format="pyarrow"
         ).groupby("node").aggregate(_Min("node", alias_name="_m")).drop_columns(["_m"])
-    labels = node_ids.map_batches(
+    labels = _compact_nonempty(node_ids.map_batches(
         lambda t: pa.table({"node": t["node"], "lbl": t["node"]}), batch_format="pyarrow"
-    ).materialize()
+    ).materialize())
 
     for _ in range(max_iters):
         # 1. neighbour propagation: for every edge (u, v), v's current label
@@ -824,7 +888,12 @@ def connected_components_distributed(edges, node_ids=None, max_iters: int = 64,
             lambda t: pa.table({"node": t["orig"], "cand": t["lbl"]}),
             batch_format="pyarrow",
         )
-        both = cand.union(hop).groupby("node").aggregate(_Min("cand", alias_name="cand"))
+        both = _compact_nonempty(
+            cand.union(hop).groupby("node")
+            .aggregate(_Min("cand", alias_name="cand")).materialize(),
+            fallback_schema=pa.schema([("node", labels.schema().base_schema.field("node").type),
+                                       ("cand", labels.schema().base_schema.field("lbl").type)]),
+        )
         joined = labels.join(both, join_type="left_outer",
                              num_partitions=num_partitions, on=("node",))
 
@@ -835,7 +904,7 @@ def connected_components_distributed(edges, node_ids=None, max_iters: int = 64,
 
         stepped = joined.map_batches(step, batch_format="pyarrow").materialize()
         n_changed = int(stepped.aggregate(_Sum("_chg", alias_name="n"))["n"] or 0)
-        labels = stepped.drop_columns(["_chg"]).materialize()
+        labels = _compact_nonempty(stepped.drop_columns(["_chg"]).materialize())
         if n_changed == 0:
             break
     return labels

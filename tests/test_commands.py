@@ -66,7 +66,9 @@ class TestValidateCollection:
         json.dump(item, open(item_path, "w"))
         os.remove(os.path.normpath(os.path.join(
             out, [l["href"] for l in doc["links"] if l["rel"] == "item"][1])))
-        with pytest.raises(ValueError) as e:
+        from stac_catalog_builder_ray.exceptions import DataValidationError
+
+        with pytest.raises(DataValidationError) as e:
             validate_collection(coll)
         msg = str(e.value)
         assert "dangling item link" in msg and "properties.datetime missing" in msg

@@ -183,3 +183,45 @@ class TestAntimeridianSplit:
         df = pd.DataFrame(rows)
         out = get_postprocessor("antimeridian_split")(df)
         pd.testing.assert_frame_equal(out, df)
+
+
+class TestEpsgInference:
+    """terracatalog.py:654-672 chain (M13, completed in round 3)."""
+
+    def test_conforms_to_url_wins(self):
+        from stac_catalog_builder_ray.functions.epsg import infer_epsg
+
+        assert infer_epsg("http://www.opengis.net/def/crs/EPSG/0/3035", "E09N27") == 3035
+        assert infer_epsg("https://x/EPSG/0/32631", None) == 32631
+
+    def test_unparsable_url_falls_through_to_tile(self):
+        from stac_catalog_builder_ray.functions.epsg import infer_epsg
+
+        assert infer_epsg("http://x/EPSG/0/not-a-number", "31UFS") == 32631
+        # URL without EPSG marker is ignored entirely
+        assert infer_epsg("http://x/crs/whatever/99", "05VMG") == 32605
+
+    def test_tile_digits_make_northern_utm(self):
+        from stac_catalog_builder_ray.functions.epsg import infer_epsg
+
+        assert infer_epsg(None, "20LLQ") == 32620
+        assert infer_epsg(None, "E09N27") == 32609  # first digit run
+
+    def test_default_4326(self):
+        from stac_catalog_builder_ray.functions.epsg import infer_epsg
+
+        assert infer_epsg(None, None) == 4326
+        assert infer_epsg(None, "NODIGITS") == 4326
+        assert infer_epsg("", "") == 4326
+
+    def test_batch(self):
+        import numpy as np
+
+        from stac_catalog_builder_ray.functions.epsg import infer_epsg_batch
+
+        got = infer_epsg_batch(
+            ["http://x/EPSG/0/3035", None, None],
+            ["E09N27", "20LLQ", None],
+        )
+        np.testing.assert_array_equal(got, [3035, 32620, 4326])
+        assert got.dtype == np.int32

@@ -455,6 +455,39 @@ class TestNeardupCluster:
         assert len(survivors) == len(pdf) - 2
 
 
+    @pytest.mark.parametrize("limit", [5_000_000, 0])
+    def test_cluster_labels_identical_via_both_paths(self, ray_session, docs_ds, limit):
+        """Round-2 directive: the distributed-components path must be
+        AUTO-ROUTED (edge-count threshold), and both paths must produce
+        identical labels — limit=0 forces the distributed path."""
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.dedup import neardup_cluster_labels
+
+        ds, pdf = docs_ds
+        pairs = ray.data.from_items([{"id_a": 0, "id_b": 100}, {"id_a": 0, "id_b": 1}])
+        out = neardup_cluster_labels(ds, pairs, id_col="doc_id",
+                                     driver_edge_limit=limit).to_pandas()
+        assert len(out) == len(pdf)
+        lab = dict(zip(out["doc_id"], out["keep_id"]))
+        assert lab[0] == lab[1] == lab[100] == 0
+        assert lab[2] == 2
+        assert (out[out["doc_id"] == out["keep_id"]].shape[0]) == len(pdf) - 2
+
+    def test_cluster_labels_empty_pairs(self, ray_session, docs_ds):
+        import ray.data
+        import pyarrow as pa_
+
+        from stac_catalog_builder_ray.stages.dedup import neardup_cluster_labels
+
+        ds, pdf = docs_ds
+        empty = ray.data.from_arrow(pa_.table({"id_a": pa_.array([], pa_.int64()),
+                                               "id_b": pa_.array([], pa_.int64())}))
+        out = neardup_cluster_labels(ds, empty, id_col="doc_id").to_pandas()
+        assert len(out) == len(pdf)
+        assert (out["doc_id"] == out["keep_id"]).all()
+
+
 class TestDistributedCC:
     def test_matches_union_find_on_random_graph(self, ray_session):
         import ray.data

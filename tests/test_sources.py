@@ -163,7 +163,12 @@ class TestStacApiClient:
         assert len(api.items["c1"]) == 6
         items.delete_by_id("c1", "i1")
         assert items.exists("c1", "i1") is False
-        with pytest.raises(ValueError, match="expected 'c1'"):
+        from stac_catalog_builder_ray.exceptions import EngineException, InvalidOperation
+
+        with pytest.raises(InvalidOperation, match="expected 'c1'"):
+            items.ingest_bulk("c1", [{"id": "z", "collection": "other"}])
+        # typed hierarchy: engine failures are distinguishable as a family
+        with pytest.raises(EngineException):
             items.ingest_bulk("c1", [{"id": "z", "collection": "other"}])
 
     def test_upload_collection_tree(self, ray_session, smoke_images_dir, tmp_path):
@@ -181,3 +186,167 @@ class TestStacApiClient:
         assert res["n_items_upserted"] == 6
         assert len(api.items[res["collection_id"]]) == 6
         assert res["collection_id"] in api.collections
+
+
+class TestAuthFlows:
+    """auth.py:14-38 decision tree on the injected-transport seam."""
+
+    @staticmethod
+    def _token_transport(log):
+        def request(method, path, json=None, headers=None):
+            log.append((method, path, json))
+            if path == "https://auth/authorize":
+                return 200, {"code": "grant-123"}
+            if path == "https://auth/token":
+                if json.get("grant_type") == "authorization_code":
+                    assert json["code"] == "grant-123"
+                    return 200, {"access_token": "tok-pkce"}
+                if json.get("grant_type") == "password":
+                    if json["password"] != "s3cret":
+                        return 401, {}
+                    return 200, {"access_token": "tok-pwd"}
+            return 404, {}
+        return request
+
+    def test_disabled_returns_none(self):
+        from stac_catalog_builder_ray.sources.stacapi import AuthSettings, get_auth
+
+        assert get_auth(AuthSettings(enabled=False)) is None
+        assert get_auth(None) is None
+
+    def test_misconfigured_raises_typed(self):
+        from stac_catalog_builder_ray.exceptions import SettingsInvalid
+        from stac_catalog_builder_ray.sources.stacapi import AuthSettings, get_auth
+
+        with pytest.raises(SettingsInvalid, match="not properly configured"):
+            get_auth(AuthSettings(enabled=True, interactive=False),
+                     token_transport=lambda *a, **k: (200, {}))
+
+    def test_password_flow_headers(self):
+        from stac_catalog_builder_ray.sources.stacapi import (
+            AuthSettings, OAuthResourceOwnerPassword, get_auth)
+
+        log = []
+        auth = get_auth(
+            AuthSettings(enabled=True, interactive=False,
+                         token_url="https://auth/token",
+                         username="u", password="s3cret", client_id="cid"),
+            token_transport=self._token_transport(log),
+        )
+        assert isinstance(auth, OAuthResourceOwnerPassword)
+        assert auth.headers() == {"Authorization": "Bearer tok-pwd"}
+        auth.headers()
+        assert len(log) == 1  # token cached, not re-fetched
+
+    def test_pkce_flow_headers(self):
+        from stac_catalog_builder_ray.sources.stacapi import (
+            AuthSettings, OAuthAuthorizationCodePKCE, get_auth)
+
+        log = []
+        auth = get_auth(
+            AuthSettings(enabled=True, interactive=True,
+                         authorization_url="https://auth/authorize",
+                         token_url="https://auth/token", client_id="cid"),
+            token_transport=self._token_transport(log),
+        )
+        assert isinstance(auth, OAuthAuthorizationCodePKCE)
+        assert auth.headers() == {"Authorization": "Bearer tok-pkce"}
+        assert [p for _, p, _ in log] == ["https://auth/authorize", "https://auth/token"]
+
+    def test_authenticated_transport_injects_and_retries(self):
+        from stac_catalog_builder_ray.sources.stacapi import (
+            AuthSettings, authenticated_transport, get_auth)
+
+        log = []
+        auth = get_auth(
+            AuthSettings(enabled=True, interactive=False,
+                         token_url="https://auth/token",
+                         username="u", password="s3cret"),
+            token_transport=self._token_transport(log),
+        )
+        seen = []
+        flaky = {"n": 0}
+
+        def backend(method, path, json=None, headers=None):
+            seen.append(headers)
+            # first call rejects the token (expired), second accepts
+            flaky["n"] += 1
+            if flaky["n"] == 1:
+                return 401, {}
+            return 200, {"ok": True}
+
+        t = authenticated_transport(backend, auth)
+        status, body = t("GET", "collections")
+        assert status == 200 and body == {"ok": True}
+        assert all(h["Authorization"] == "Bearer tok-pwd" for h in seen)
+        assert len(seen) == 2  # retried once after 401
+        assert len(log) == 2  # token re-fetched after invalidate
+
+    def test_header_unaware_transport_still_works(self):
+        from stac_catalog_builder_ray.sources.stacapi import (
+            AuthSettings, CollectionsEndpoint, MemoryTransport,
+            authenticated_transport, get_auth)
+
+        log = []
+        auth = get_auth(
+            AuthSettings(enabled=True, interactive=False,
+                         token_url="https://auth/token",
+                         username="u", password="s3cret"),
+            token_transport=self._token_transport(log),
+        )
+        api = MemoryTransport()
+        coll = CollectionsEndpoint(authenticated_transport(api.request, auth))
+        coll.create({"id": "c9"})
+        assert coll.exists("c9")
+
+
+class TestTypedExceptions:
+    def test_config_missing_id_raises_invalid_configuration(self):
+        from stac_catalog_builder_ray.config import CollectionConfig
+        from stac_catalog_builder_ray.exceptions import (
+            EngineException, InvalidConfiguration)
+
+        with pytest.raises(InvalidConfiguration):
+            CollectionConfig.from_dict({"title": "no id"})
+        with pytest.raises(EngineException):
+            CollectionConfig.from_dict({})
+        # back-compat: pre-round-3 call sites caught ValueError
+        with pytest.raises(ValueError):
+            CollectionConfig.from_dict({})
+
+
+class TestVppIntrospection:
+    """Engine twins of commandapi_vpp.py:131-156 over the slot source."""
+
+    def test_count_products(self, ray_session):
+        from stac_catalog_builder_ray.sources.slots import (
+            count_products, generate_query_slots)
+
+        slots = generate_query_slots("2020-01-01", "2020-04-01",
+                                     product_types=["ndvi", "fapar"])
+        counts = count_products(slots)
+        assert set(counts) == {"ndvi", "fapar"}
+        # deduped: boundary products shared by adjacent slots count once
+        assert counts["ndvi"] == counts["fapar"] > 0
+
+    def test_count_per_slot_shows_overlap(self, ray_session):
+        from stac_catalog_builder_ray.sources.slots import (
+            count_products, count_products_per_query_slot, generate_query_slots)
+
+        slots = generate_query_slots("2020-01-01", "2020-04-01",
+                                     product_types=["ndvi"])
+        per_slot = count_products_per_query_slot(slots)
+        assert list(per_slot.columns) == ["slot_id", "n_products"]
+        assert len(per_slot) == len(slots)
+        # raw per-slot totals exceed the deduped count (window overlap)
+        assert per_slot["n_products"].sum() > count_products(slots)["ndvi"]
+
+    def test_collection_config_from_products(self, ray_session):
+        from stac_catalog_builder_ray.sources.slots import (
+            collection_config_from_products, generate_query_slots)
+
+        slots = generate_query_slots("2020-01-01", "2020-03-01",
+                                     product_types=["ndvi", "fapar"])
+        cfg = collection_config_from_products("vpp-test", slots)
+        assert cfg.collection_id == "vpp-test"
+        assert sorted(cfg.item_assets) == ["fapar", "ndvi"]
