@@ -20,6 +20,9 @@ matching pyproj to well under the reference's own tolerance
                           center (52N, 10E), FE/FN 4321000 / 3210000
 - EPSG:3812            — ETRS89 / Belgian Lambert 2008, Lambert conic
                           conformal 2SP (EPSG method 9802)
+- EPSG:28992           — Amersfoort / RD New, oblique (double)
+                          stereographic on Bessel 1841 (EPSG method 9809)
+                          + 7-parameter position-vector Helmert to WGS84
 
 All forward transforms have exact (or fast-converging series) inverses so
 bbox/geometry round-trips are stable to ~1e-9 deg, which is what the
@@ -98,7 +101,7 @@ _GRS80 = _Ellipsoid(6378137.0, 298.257222101)
 
 
 def supported_epsg(epsg: int) -> bool:
-    if epsg in (4326, 3035, 3043, 3812):
+    if epsg in (4326, 3035, 3043, 3812, 28992):
         return True
     return 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760
 
@@ -224,6 +227,131 @@ def _laea_inv(x, y):
     return np.rad2deg(lam + _LAEA_LON0), np.rad2deg(phi)
 
 
+# --- oblique stereographic + datum shift (EPSG:28992, method 9809) ----------
+#
+# Amersfoort / RD New: double (conformal-sphere) stereographic on Bessel
+# 1841, then the published 7-parameter position-vector Helmert to
+# WGS84/ETRS89 (the towgs84 set PROJ registers for Amersfoort).  Public
+# formulas: EPSG guidance note 7-2 method 9809, Bowring XYZ->geodetic.
+
+_BESSEL = _Ellipsoid(6377397.155, 299.1528128)
+_RD_PHI0 = np.deg2rad(52.0 + 9.0 / 60.0 + 22.178 / 3600.0)
+_RD_LAM0 = np.deg2rad(5.0 + 23.0 / 60.0 + 15.5 / 3600.0)
+_RD_K0 = 0.9999079
+_RD_FE, _RD_FN = 155000.0, 463000.0
+# Amersfoort -> WGS84 position-vector parameters (tx ty tz m; rx ry rz arc-sec; ds ppm)
+_AMERSFOORT_HELMERT = (565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725)
+
+
+@lru_cache(maxsize=1)
+def _rd_consts():
+    ell = _BESSEL
+    e, e2 = ell.e, ell.e2
+    s0, c0 = np.sin(_RD_PHI0), np.cos(_RD_PHI0)
+    rho0 = ell.a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = ell.a / np.sqrt(1.0 - e2 * s0 * s0)
+    Rc = np.sqrt(rho0 * nu0)  # conformal sphere radius
+    n = np.sqrt(1.0 + e2 * c0**4 / (1.0 - e2))
+    S1 = (1.0 + s0) / (1.0 - s0)
+    S2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (S1 * S2**e) ** n
+    sin_chi0 = (w1 - 1.0) / (w1 + 1.0)
+    c = (n + s0) * (1.0 - sin_chi0) / ((n - s0) * (1.0 + sin_chi0))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1.0) / (w2 + 1.0))
+    return ell, Rc, n, c, chi0
+
+
+def _rd_fwd_bessel(lon, lat):
+    """(Bessel geodetic lon/lat deg) -> RD easting/northing."""
+    ell, Rc, n, c, chi0 = _rd_consts()
+    e = ell.e
+    lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    Sa = (1.0 + s) / (1.0 - s)
+    Sb = (1.0 - e * s) / (1.0 + e * s)
+    w = c * (Sa * Sb**e) ** n
+    chi = np.arcsin((w - 1.0) / (w + 1.0))
+    L = n * (lam - _RD_LAM0)
+    B = 1.0 + np.sin(chi) * np.sin(chi0) + np.cos(chi) * np.cos(chi0) * np.cos(L)
+    x = _RD_FE + 2.0 * Rc * _RD_K0 * np.cos(chi) * np.sin(L) / B
+    y = _RD_FN + 2.0 * Rc * _RD_K0 * (np.sin(chi) * np.cos(chi0) - np.cos(chi) * np.sin(chi0) * np.cos(L)) / B
+    return x, y
+
+
+def _rd_inv_bessel(x, y):
+    """RD easting/northing -> (Bessel geodetic lon/lat deg)."""
+    ell, Rc, n, c, chi0 = _rd_consts()
+    e = ell.e
+    dx = np.asarray(x, dtype=np.float64) - _RD_FE
+    dy = np.asarray(y, dtype=np.float64) - _RD_FN
+    g = 2.0 * Rc * _RD_K0 * np.tan(np.pi / 4.0 - chi0 / 2.0)
+    h = 4.0 * Rc * _RD_K0 * np.tan(chi0) + g
+    i = np.arctan2(dx, h + dy)
+    j = np.arctan2(dx, g - dy) - i
+    chi = chi0 + 2.0 * np.arctan((dy - dx * np.tan(j / 2.0)) / (2.0 * Rc * _RD_K0))
+    L = j + 2.0 * i
+    lam = L / n + _RD_LAM0
+    # geodetic latitude from conformal: isometric-latitude iteration (9809)
+    sin_chi = np.sin(chi)
+    psi = 0.5 * np.log((1.0 + sin_chi) / (c * (1.0 - sin_chi))) / n
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(6):
+        s = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2.0 + np.pi / 4.0) * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - ell.e2 * s * s) / (1.0 - ell.e2)
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
+def _geodetic_to_xyz(ell, lon_deg, lat_deg):
+    lam = np.deg2rad(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
+    s, cph = np.sin(phi), np.cos(phi)
+    nu = ell.a / np.sqrt(1.0 - ell.e2 * s * s)
+    return nu * cph * np.cos(lam), nu * cph * np.sin(lam), nu * (1.0 - ell.e2) * s
+
+
+def _xyz_to_geodetic(ell, X, Y, Z):
+    b = ell.a * (1.0 - ell.f)
+    ep2 = (ell.a**2 - b**2) / b**2
+    p = np.sqrt(X * X + Y * Y)
+    theta = np.arctan2(Z * ell.a, p * b)
+    phi = np.arctan2(Z + ep2 * b * np.sin(theta) ** 3, p - ell.e2 * ell.a * np.cos(theta) ** 3)
+    lam = np.arctan2(Y, X)
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
+def _helmert_pv(X, Y, Z, params, inverse=False):
+    """7-parameter position-vector transform (EPSG 9606)."""
+    tx, ty, tz, rx_s, ry_s, rz_s, ds_ppm = params
+    rx, ry, rz = (np.deg2rad(v / 3600.0) for v in (rx_s, ry_s, rz_s))
+    m = 1.0 + ds_ppm * 1e-6
+    if not inverse:
+        Xp = tx + m * (X - rz * Y + ry * Z)
+        Yp = ty + m * (rz * X + Y - rx * Z)
+        Zp = tz + m * (-ry * X + rx * Y + Z)
+        return Xp, Yp, Zp
+    X, Y, Z = (X - tx) / m, (Y - ty) / m, (Z - tz) / m  # exact small-angle inverse = transpose rotation
+    return X + rz * Y - ry * Z, -rz * X + Y + rx * Z, ry * X - rx * Y + Z
+
+
+def _rd_inv(x, y):
+    """RD New -> WGS84 lon/lat (projection inverse + datum shift)."""
+    lon_b, lat_b = _rd_inv_bessel(x, y)
+    X, Y, Z = _geodetic_to_xyz(_BESSEL, lon_b, lat_b)
+    X, Y, Z = _helmert_pv(X, Y, Z, _AMERSFOORT_HELMERT)
+    return _xyz_to_geodetic(_WGS84, X, Y, Z)
+
+
+def _rd_fwd(lon, lat):
+    """WGS84 lon/lat -> RD New (datum shift + projection forward)."""
+    X, Y, Z = _geodetic_to_xyz(_WGS84, lon, lat)
+    X, Y, Z = _helmert_pv(X, Y, Z, _AMERSFOORT_HELMERT, inverse=True)
+    lon_b, lat_b = _xyz_to_geodetic(_BESSEL, X, Y, Z)
+    return _rd_fwd_bessel(lon_b, lat_b)
+
+
 # --- Lambert conic conformal 2SP (EPSG:3812, method 9802) -------------------
 
 _LCC_PARAMS = {
@@ -324,6 +452,8 @@ def _to_lonlat(epsg: int) -> Transform:
         return lambda x, y: (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
     if epsg == 3035:
         return _laea_inv
+    if epsg == 28992:
+        return _rd_inv
     if epsg in _LCC_PARAMS:
         return _lcc_inv(epsg)
     if supported_epsg(epsg):
@@ -336,6 +466,8 @@ def _from_lonlat(epsg: int) -> Transform:
         return lambda x, y: (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
     if epsg == 3035:
         return _laea_fwd
+    if epsg == 28992:
+        return _rd_fwd
     if epsg in _LCC_PARAMS:
         return _lcc_fwd(epsg)
     if supported_epsg(epsg):
