@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": R.q_shipping_priority,
         "sessionize": R.q_sessionize,
         "salted_agg": R.q_salted_agg,
+        "asof_join": R.q_asof_join,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) "
             "AS sum_value_e4, COUNT(*) AS n FROM events GROUP BY event_type"
         ),
+        "asof_join": R.SQL_ASOF_JOIN,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
         "pip_join": (
             f"WITH pts AS ({_PTS}) SELECT event_id, a.aoi_id FROM pts, (VALUES "

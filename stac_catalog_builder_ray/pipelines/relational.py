@@ -617,3 +617,100 @@ def q_salted_agg(sf_dir: str):
     pdf["sum_value_e4"] = pdf["sum_value_e4"].astype("int64")
     pdf["n"] = pdf["n"].astype("int64")
     return pdf
+
+
+def asof_join_bucketed(left, right, by: str, on: str,
+                       direction: str = "backward", num_buckets: int = 64):
+    """Generic AS-OF join — an operator Ray Data lacks (SURVEY.md §2.8
+    "custom operators"): for every left row, the single right row with the
+    greatest ``on`` <= left ``on`` (direction='backward') sharing the same
+    ``by`` key; inner semantics (left rows with no match are dropped),
+    matching DuckDB's ``ASOF JOIN``.
+
+    Composition: tag sides -> ONE shuffle on ``hash(by) % num_buckets`` ->
+    per-bucket vectorized ``pd.merge_asof`` (sort within bucket).
+    Partitioning assumption (documented per the task brief): all rows of
+    one ``by`` key land in the same bucket, so the per-bucket merge is
+    exact; bucket count bounds reducer fan-in at any corpus size.
+
+    ``left`` / ``right`` are Datasets whose non-key columns are disjoint
+    (rename upstream if not); right's ``on`` is re-emitted as
+    ``{on}_right`` so callers keep the matched timestamp."""
+    l_cols = [c for c in left.schema().names if c not in (by, on)]
+    r_cols = [c for c in right.schema().names if c not in (by, on)]
+
+    def tag(side: int, other_cols, keep_cols):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {by: t[by], on: t[on],
+                    "_side": pa.array(np.full(n, side, dtype=np.int8))}
+            uid = t[by].to_numpy(zero_copy_only=False)
+            cols["_bucket"] = pa.array((uid * 2654435761) % num_buckets)
+            for c in keep_cols:
+                cols[c] = t[c]
+            for c in other_cols:  # null-fill the other side's columns
+                cols[c] = pa.nulls(n)
+            if side == 1:
+                cols[f"{on}_right"] = t[on]
+            else:
+                cols[f"{on}_right"] = pa.nulls(n, pa.timestamp("us"))
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(tag(0, r_cols, l_cols), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, l_cols, r_cols), batch_format="pyarrow")
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][[by, on] + l_cols].sort_values(on, kind="stable")
+        rg = g[g["_side"] == 1][[by, on, f"{on}_right"] + r_cols].sort_values(on, kind="stable")
+        if len(lg) == 0 or len(rg) == 0:
+            return pd.DataFrame(columns=[by, on] + l_cols + [f"{on}_right"] + r_cols)
+        m = pd.merge_asof(lg, rg, on=on, by=by, direction=direction,
+                          allow_exact_matches=True)
+        m = m.dropna(subset=[f"{on}_right"])  # inner semantics
+        return m[[by, on] + l_cols + [f"{on}_right"] + r_cols]
+
+    return lt.union(rt).groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def q_asof_join(sf_dir: str):
+    """AS-OF join over the event log: for every 'view' event, the latest
+    'click' (ts, value) of the same user at or before it.  The right side
+    is pre-aggregated to one row per (user_id, ts) so ties are
+    deterministic on both engines."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+
+    views = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view")).select(
+            ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    clicks = (
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+                ["user_id", "ts", "value"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("value", alias_name="click_value"))
+    )
+    out = asof_join_bucketed(views, clicks, by="user_id", on="ts")
+    return out.map_batches(
+        # event_id comes back float64 (the tag stage null-fills the other
+        # side's columns, so pandas promotes int64 + NaN) — cast back
+        lambda t: pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                            "user_id": t["user_id"],
+                            "ts": t["ts"], "click_ts": t["ts_right"],
+                            "click_value": t["click_value"]}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ASOF_JOIN = (
+    "WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'), "
+    "c AS (SELECT user_id, ts, max(value) AS click_value FROM events "
+    "WHERE event_type = 'click' GROUP BY 1, 2) "
+    "SELECT v.event_id, v.user_id, v.ts, c.ts AS click_ts, c.click_value "
+    "FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts"
+)

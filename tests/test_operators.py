@@ -507,3 +507,34 @@ class TestDistributedCC:
         want = union_find_min_labels(edges)
         got_map = dict(zip(got["node"], got["lbl"]))
         assert got_map == want
+
+
+class TestAsofJoin:
+    def test_backward_inner_semantics(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.pipelines.relational import asof_join_bucketed
+
+        ts = pd.to_datetime
+        left = ray.data.from_pandas(pd.DataFrame({
+            "uid": [1, 1, 1, 2, 3],
+            "ts": [ts("2024-01-01 10:00"), ts("2024-01-01 11:00"),
+                   ts("2024-01-01 09:00"), ts("2024-01-01 10:00"),
+                   ts("2024-01-01 10:00")],
+            "ev": ["a", "b", "c", "d", "e"],
+        }))
+        right = ray.data.from_pandas(pd.DataFrame({
+            "uid": [1, 1, 2],
+            "ts": [ts("2024-01-01 09:30"), ts("2024-01-01 10:30"),
+                   ts("2024-01-01 10:00")],
+            "val": [10.0, 20.0, 30.0],
+        }))
+        out = asof_join_bucketed(left, right, by="uid", on="ts").to_pandas()
+        got = {r.ev: (r.ts_right, r.val) for r in out.itertuples()}
+        # latest right at-or-before each left ts, per uid
+        assert got["a"] == (ts("2024-01-01 09:30"), 10.0)
+        assert got["b"] == (ts("2024-01-01 10:30"), 20.0)
+        assert "c" not in got  # no right row at/before 09:00 -> dropped (inner)
+        assert got["d"] == (ts("2024-01-01 10:00"), 30.0)  # exact match allowed
+        assert "e" not in got  # uid 3 has no right rows
+        assert len(out) == 3
