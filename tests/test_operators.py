@@ -538,3 +538,30 @@ class TestAsofJoin:
         assert got["d"] == (ts("2024-01-01 10:00"), 30.0)  # exact match allowed
         assert "e" not in got  # uid 3 has no right rows
         assert len(out) == 3
+
+
+class TestMinhashKernel:
+    def test_batched_kernel_edges_and_determinism(self):
+        from stac_catalog_builder_ray.stages.dedup import (
+            hash_token_array, minhash_buckets)
+
+        # identical texts -> identical buckets regardless of batch position
+        b = minhash_buckets(["a b c d e", "x y z", "a b c d e"], 64, 16, 3)
+        assert (b[0] == b[2]).all()
+        assert (b[0] != b[1]).any()
+        # edge cases: empty / None / short docs don't crash and are stable
+        e1 = minhash_buckets(["", None, "one", "two words"], 64, 16, 3)
+        e2 = minhash_buckets(["", None, "one", "two words"], 64, 16, 3)
+        np.testing.assert_array_equal(e1, e2)
+        assert (e1[0] == e1[1]).all()  # empty and None share the empty signature
+        # token hashes: position-independent + length-sensitive
+        h = hash_token_array([b"abc", b"xabc", b"abc", b"ab", b"cab"])
+        assert h[0] == h[2]
+        assert len({h[0], h[1], h[3], h[4]}) == 4
+
+    def test_near_dup_docs_share_a_band(self):
+        from stac_catalog_builder_ray.stages.dedup import minhash_buckets
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away today"
+        b = minhash_buckets([base, base.replace("dog", "cat")], 64, 16, 3)
+        assert (b[0] == b[1]).sum() >= 1  # high-jaccard pair collides in >=1 band
