@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": R.q_sessionize,
         "salted_agg": R.q_salted_agg,
         "asof_join": R.q_asof_join,
+        "topk_per_group": R.q_topk_per_group,
+        "grouped_quantiles": R.q_grouped_quantiles,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -205,6 +207,8 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_value_e4, COUNT(*) AS n FROM events GROUP BY event_type"
         ),
         "asof_join": R.SQL_ASOF_JOIN,
+        "topk_per_group": R.SQL_TOPK_PER_GROUP,
+        "grouped_quantiles": R.SQL_GROUPED_QUANTILES,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
         "pip_join": (
             f"WITH pts AS ({_PTS}) SELECT event_id, a.aoi_id FROM pts, (VALUES "

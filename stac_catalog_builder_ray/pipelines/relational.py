@@ -714,3 +714,108 @@ SQL_ASOF_JOIN = (
     "SELECT v.event_id, v.user_id, v.ts, c.ts AS click_ts, c.click_value "
     "FROM v ASOF JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts"
 )
+
+
+def grouped_topk(ds, group_cols, order_col: str, k: int,
+                 tie_cols=None, descending: bool = True):
+    """Per-group top-k — the A-series combiner pattern applied to ranking:
+    each batch keeps at most k rows per group BEFORE the shuffle (so the
+    exchange moves O(groups x k) rows per batch, never the corpus), then a
+    final per-group top-k.  Deterministic under ties via ``tie_cols``."""
+    group_cols = list(group_cols)
+    tie_cols = list(tie_cols or [])
+    sort_cols = [order_col] + tie_cols
+    ascending = [not descending] + [True] * len(tie_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(sort_cols, ascending=ascending, kind="stable")
+        return pa.Table.from_pandas(df.groupby(group_cols, sort=False).head(k),
+                                    preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="stable")
+        return g.groupby(group_cols, sort=False).head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_topk_per_group(sf_dir: str):
+    """Per-segment top-3 orders by totalprice (deterministic o_orderkey
+    tie-break) — the windowed-rank shape (ROW_NUMBER() OVER) as a
+    combine-then-reduce top-k, no global sort."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+
+    class Seg:
+        def __init__(self):
+            self.seg = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            return pa.Table.from_pandas(
+                df[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False)
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    tagged = orders.map_batches(Seg, batch_format="pyarrow", concurrency=(1, 4))
+    return grouped_topk(tagged, ["c_mktsegment"], "o_totalprice", k=3,
+                        tie_cols=["o_orderkey"])
+
+
+SQL_TOPK_PER_GROUP = (
+    "SELECT c_mktsegment, o_orderkey, o_totalprice FROM ("
+    "SELECT c_mktsegment, o_orderkey, o_totalprice, "
+    "ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3"
+)
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Discrete quantiles per group over a BOUNDED-cardinality value column
+    (l_quantity has <= 50 distinct values): per-batch value_counts partials
+    -> one tiny groupby-sum -> quantile from cumulative counts.  Exact at
+    any scale with O(groups x distinct-values) shuffle — never a sort of
+    the corpus.  Matches DuckDB's ``quantile_disc`` (value at 1-based rank
+    ceil(q * n))."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "l_quantity": t["l_quantity"].to_numpy(zero_copy_only=False)})
+        p = df.value_counts(["l_returnflag", "l_quantity"]).reset_index(name="n")
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_quantity", kind="stable")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["l_quantity"].to_numpy()
+        out = {"l_returnflag": [g["l_returnflag"].iloc[0]], "n": [total]}
+        for q, name in ((0.5, "p50"), (0.9, "p90")):
+            rank = int(np.ceil(q * total))
+            out[name] = [float(vals[np.searchsorted(cum, rank)])]
+        return pd.DataFrame(out)
+
+    out = counts.groupby("l_returnflag").map_groups(quantiles, batch_format="pandas")
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf[["l_returnflag", "p50", "p90", "n"]]
+
+
+SQL_GROUPED_QUANTILES = (
+    "SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS p50, "
+    "quantile_disc(l_quantity, 0.9) AS p90, COUNT(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag"
+)

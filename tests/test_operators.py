@@ -565,3 +565,25 @@ class TestMinhashKernel:
         base = "the quick brown fox jumps over the lazy dog and runs far away today"
         b = minhash_buckets([base, base.replace("dog", "cat")], 64, 16, 3)
         assert (b[0] == b[1]).sum() >= 1  # high-jaccard pair collides in >=1 band
+
+
+class TestGroupedTopK:
+    def test_combiner_equals_global(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.pipelines.relational import grouped_topk
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "grp": rng.integers(0, 5, 500),
+            "score": rng.integers(0, 40, 500),  # heavy ties
+            "rid": np.arange(500),
+        })
+        # many small blocks so per-batch partials actually prune
+        ds = ray.data.from_pandas([df.iloc[i:i+50] for i in range(0, 500, 50)])
+        got = grouped_topk(ds, ["grp"], "score", k=3, tie_cols=["rid"]).to_pandas()
+        want = (df.sort_values(["score", "rid"], ascending=[False, True], kind="stable")
+                  .groupby("grp", sort=False).head(3))
+        g = got.sort_values(["grp", "score", "rid"], ascending=[True, False, True]).reset_index(drop=True)
+        w = want.sort_values(["grp", "score", "rid"], ascending=[True, False, True]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g[["grp", "score", "rid"]], w[["grp", "score", "rid"]])
