@@ -819,3 +819,97 @@ SQL_GROUPED_QUANTILES = (
     "quantile_disc(l_quantity, 0.9) AS p90, COUNT(*) AS n "
     "FROM lineitem GROUP BY l_returnflag"
 )
+
+
+# --- KMV distinct-count sketch (the brief's "novel sketch" custom op) -------
+
+_KMV_P = (1 << 61) - 1  # Mersenne prime; all intermediates fit int64
+_KMV_A = 2654435761
+_KMV_A2 = 2245908103
+_KMV_B = 1013904223
+
+
+def _kmv_hash(x: np.ndarray) -> np.ndarray:
+    """Two multiplicative rounds mod the Mersenne prime P = 2^61-1,
+    int64-safe (and therefore BIGINT-safe for the SQL twin): round 1
+    (x*A+B) doesn't wrap for small ids, so round 2 multiplies by a 32-bit
+    constant using the split identity t*2^30 ≡ (t & (2^31-1))*2^30 +
+    (t >> 31) (mod P, because 2^61 ≡ 1) — every product stays < 2^63."""
+    h1 = (x.astype(np.int64) * _KMV_A + _KMV_B) % _KMV_P
+    lo = h1 & ((1 << 30) - 1)
+    hi = h1 >> 30
+    term1 = (lo * _KMV_A2) % _KMV_P
+    t = (hi * _KMV_A2) % _KMV_P
+    term2 = (((t & ((1 << 31) - 1)) << 30) + (t >> 31)) % _KMV_P
+    return (term1 + term2) % _KMV_P
+
+
+def kmv_partial(values: np.ndarray, k: int) -> np.ndarray:
+    """k smallest DISTINCT deterministic hashes of ``values`` — the
+    mergeable KMV (k-minimum-values) sketch partial.  Bounded state: k
+    int64s per group regardless of input size; merging = union + re-take
+    k smallest (associative + commutative + idempotent)."""
+    hv = np.unique(_kmv_hash(values))  # sorted distinct
+    return hv[:k]
+
+
+def kmv_estimate(mins: np.ndarray, k: int) -> int:
+    """<k hashes -> exact distinct count; else the KMV estimator
+    floor((k-1) * P / h_k) (Bar-Yossef et al. 2002), integer division so
+    the SQL twin reproduces it bit-for-bit."""
+    if len(mins) < k:
+        return int(len(mins))
+    return ((k - 1) * _KMV_P) // int(mins[k - 1])
+
+
+def q_distinct_sketch(sf_dir: str):
+    """Approximate distinct users per event type via a mergeable KMV
+    sketch: per-batch partials (k smallest distinct hashes) -> per-group
+    merge -> estimator.  The shuffle moves <= k int64s per (batch, group)
+    — never the id universe — and the whole computation is DETERMINISTIC,
+    so the DuckDB oracle reproduces the sketch itself (same hash, same
+    rank-k selection, same integer division), not just a tolerance band.
+    k=256 -> ~6% relative error (1/sqrt(k)); exact below k distinct."""
+    K = 256
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "user_id": t["user_id"].to_numpy(zero_copy_only=False)})
+        rows = [(et, hv) for et, g in df.groupby("event_type", sort=False)
+                for hv in kmv_partial(g["user_id"].to_numpy(), K)]
+        return pa.table({"event_type": pa.array([r[0] for r in rows]),
+                         "hv": pa.array(np.array([r[1] for r in rows], dtype=np.int64))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        mins = np.unique(g["hv"].to_numpy())[:K]
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "approx_distinct_users": [kmv_estimate(mins, K)]})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+    pdf = out.to_pandas()
+    pdf["approx_distinct_users"] = pdf["approx_distinct_users"].astype("int64")
+    return pdf
+
+
+SQL_DISTINCT_SKETCH = (
+    # the SAME deterministic sketch in SQL: hash (two mod-P rounds via the
+    # Mersenne split, BIGINT-safe), rank-k distinct minimum, integer-
+    # division estimator — byte-identical to the Ray side
+    f"WITH h1 AS (SELECT DISTINCT event_type, "
+    f"(user_id * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h FROM events), "
+    f"t AS (SELECT event_type, ((h % 1073741824) * {_KMV_A2}) % {_KMV_P} AS term1, "
+    f"(((h // 1073741824) * {_KMV_A2}) % {_KMV_P}) AS tt FROM h1), "
+    f"h AS (SELECT DISTINCT event_type, "
+    f"(term1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) % {_KMV_P}) % {_KMV_P} AS hv FROM t), "
+    "r AS (SELECT event_type, hv, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h) "
+    f"SELECT event_type, CAST(CASE WHEN nd < 256 THEN nd "
+    f"ELSE (255::HUGEINT * {_KMV_P}) // hv END AS BIGINT) AS approx_distinct_users "
+    "FROM r WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END"
+)

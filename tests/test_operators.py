@@ -587,3 +587,29 @@ class TestGroupedTopK:
         g = got.sort_values(["grp", "score", "rid"], ascending=[True, False, True]).reset_index(drop=True)
         w = want.sort_values(["grp", "score", "rid"], ascending=[True, False, True]).reset_index(drop=True)
         pd.testing.assert_frame_equal(g[["grp", "score", "rid"]], w[["grp", "score", "rid"]])
+
+
+class TestKmvSketch:
+    def test_exact_below_k_and_bounded_error_above(self):
+        from stac_catalog_builder_ray.pipelines.relational import (
+            kmv_estimate, kmv_partial)
+
+        # below k: exact
+        vals = np.arange(100)
+        mins = kmv_partial(vals, 256)
+        assert kmv_estimate(mins, 256) == 100
+        # above k: estimator within ~3/sqrt(k) of truth for 20k distinct
+        vals = np.arange(20_000)
+        mins = kmv_partial(vals, 256)
+        est = kmv_estimate(mins, 256)
+        assert abs(est - 20_000) / 20_000 < 3 / np.sqrt(256)
+
+    def test_merge_equals_single_pass(self):
+        from stac_catalog_builder_ray.pipelines.relational import kmv_partial
+
+        vals = np.arange(5000)
+        whole = kmv_partial(vals, 256)
+        a = kmv_partial(vals[:3000], 256)
+        b = kmv_partial(vals[2000:], 256)  # overlapping partials (idempotent)
+        merged = np.unique(np.concatenate([a, b]))[:256]
+        np.testing.assert_array_equal(whole, merged)
