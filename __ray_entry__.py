@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": R.q_topk_per_group,
         "grouped_quantiles": R.q_grouped_quantiles,
         "distinct_sketch": R.q_distinct_sketch,
+        "interval_join": R.q_interval_join,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": R.SQL_TOPK_PER_GROUP,
         "grouped_quantiles": R.SQL_GROUPED_QUANTILES,
         "distinct_sketch": R.SQL_DISTINCT_SKETCH,
+        "interval_join": R.SQL_INTERVAL_JOIN,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
         "pip_join": (
             f"WITH pts AS ({_PTS}) SELECT event_id, a.aoi_id FROM pts, (VALUES "

@@ -913,3 +913,94 @@ SQL_DISTINCT_SKETCH = (
     f"ELSE (255::HUGEINT * {_KMV_P}) // hv END AS BIGINT) AS approx_distinct_users "
     "FROM r WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END"
 )
+
+
+def interval_join_bucketed(points, intervals, t_col: str, id_col: str,
+                           t0_col: str, t1_col: str,
+                           bucket_us: int = 3_600_000_000):
+    """Generic INTERVAL (range) join — another operator Ray Data lacks:
+    match every point row to every interval with ``t0 <= t < t1``, with NO
+    equi-key.  Composition: the time axis is cut into fixed buckets;
+    intervals REPLICATE to each bucket they overlap (flat_map — an
+    interval costs ceil(span/bucket) rows), points hash to one bucket,
+    one shuffle on bucket, then a vectorized within-bucket band filter.
+    Partitioning assumption (documented): bucket width is chosen so that
+    per-bucket point x interval products stay small; replication factor =
+    mean interval span / bucket width."""
+    import pyarrow.compute as _pc
+
+    def pt(t: pa.Table) -> pa.Table:
+        ts = t[t_col].to_numpy(zero_copy_only=False).astype("M8[us]").astype("int64")
+        return pa.table({"_bucket": pa.array(ts // bucket_us),
+                         t_col: t[t_col],
+                         "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                         id_col: pa.nulls(t.num_rows, pa.int64()),
+                         t0_col: pa.nulls(t.num_rows, pa.timestamp("us")),
+                         t1_col: pa.nulls(t.num_rows, pa.timestamp("us"))})
+
+    def iv(t: pa.Table) -> pa.Table:
+        t0 = t[t0_col].to_numpy(zero_copy_only=False).astype("M8[us]").astype("int64")
+        t1 = t[t1_col].to_numpy(zero_copy_only=False).astype("M8[us]").astype("int64")
+        b0 = t0 // bucket_us
+        b1 = np.maximum((t1 - 1) // bucket_us, b0)  # t1 exclusive
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        tb = t.take(pa.array(idx))
+        return pa.table({"_bucket": pa.array(b0[idx] + offs),
+                         t_col: pa.nulls(len(idx), pa.timestamp("us")),
+                         "_side": pa.array(np.ones(len(idx), dtype=np.int8)),
+                         id_col: tb[id_col],
+                         t0_col: tb[t0_col],
+                         t1_col: tb[t1_col]})
+
+    both = points.map_batches(pt, batch_format="pyarrow").union(
+        intervals.map_batches(iv, batch_format="pyarrow"))
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["_side"] == 0]
+        w = g[g["_side"] == 1]
+        if len(p) == 0 or len(w) == 0:
+            return pd.DataFrame(columns=[t_col, id_col])
+        ts = p[t_col].to_numpy().astype("M8[us]").astype("int64")[:, None]
+        t0 = w[t0_col].to_numpy().astype("M8[us]").astype("int64")[None, :]
+        t1 = w[t1_col].to_numpy().astype("M8[us]").astype("int64")[None, :]
+        pi, wi = np.nonzero((ts >= t0) & (ts < t1))
+        return pd.DataFrame({t_col: p[t_col].to_numpy()[pi],
+                             id_col: w[id_col].to_numpy()[wi]})
+
+    return both.groupby("_bucket").map_groups(match, batch_format="pandas")
+
+
+def q_interval_join(sf_dir: str):
+    """Windows = the top-20 events by (value desc, event_id) opening a
+    1-hour window each; count events inside every window (no equi-key —
+    a pure range join)."""
+    ds = _t(sf_dir, "events", ["event_id", "ts", "value"])
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+
+    def mk_win(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("M8[us]")
+        return pa.table({"window_id": t["event_id"],
+                         "t0": pa.array(ts, pa.timestamp("us")),
+                         "t1": pa.array(ts + np.timedelta64(1, "h"), pa.timestamp("us"))})
+
+    windows = top.map_batches(mk_win, batch_format="pyarrow")
+    points = _t(sf_dir, "events", ["ts"])
+    joined = interval_join_bucketed(points, windows, t_col="ts",
+                                    id_col="window_id", t0_col="t0", t1_col="t1")
+    out = joined.groupby("window_id").aggregate(Count(alias_name="n_events"))
+    pdf = out.to_pandas()
+    pdf["window_id"] = pdf["window_id"].astype("int64")
+    pdf["n_events"] = pdf["n_events"].astype("int64")
+    return pdf
+
+
+SQL_INTERVAL_JOIN = (
+    "WITH w AS (SELECT event_id AS window_id, ts AS t0, "
+    "ts + INTERVAL 1 HOUR AS t1 FROM events "
+    "ORDER BY value DESC, event_id LIMIT 20) "
+    "SELECT w.window_id, COUNT(*) AS n_events FROM w "
+    "JOIN events e ON e.ts >= w.t0 AND e.ts < w.t1 GROUP BY 1"
+)

@@ -613,3 +613,30 @@ class TestKmvSketch:
         b = kmv_partial(vals[2000:], 256)  # overlapping partials (idempotent)
         merged = np.unique(np.concatenate([a, b]))[:256]
         np.testing.assert_array_equal(whole, merged)
+
+
+class TestIntervalJoin:
+    def test_bucket_spanning_windows(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.pipelines.relational import interval_join_bucketed
+
+        ts = pd.to_datetime
+        points = ray.data.from_pandas(pd.DataFrame({
+            "ts": [ts("2024-01-01 00:30"), ts("2024-01-01 01:30"),
+                   ts("2024-01-01 02:30"), ts("2024-01-01 05:00")],
+        }))
+        # w1 spans three 1-hour buckets; w2 is empty; w3's end is exclusive
+        intervals = ray.data.from_pandas(pd.DataFrame({
+            "window_id": [1, 2, 3],
+            "t0": [ts("2024-01-01 00:15"), ts("2024-01-02 00:00"), ts("2024-01-01 04:00")],
+            "t1": [ts("2024-01-01 02:45"), ts("2024-01-02 01:00"), ts("2024-01-01 05:00")],
+        }))
+        out = interval_join_bucketed(points, intervals, t_col="ts",
+                                     id_col="window_id", t0_col="t0", t1_col="t1").to_pandas()
+        # the tagged-union null-fill promotes int ids to float in the
+        # per-bucket frames (same artifact q_interval_join casts away)
+        out["window_id"] = out["window_id"].astype("int64")
+        got = sorted(map(tuple, out[["window_id", "ts"]].astype(str).values))
+        assert got == [("1", "2024-01-01 00:30:00"), ("1", "2024-01-01 01:30:00"),
+                       ("1", "2024-01-01 02:30:00")]
