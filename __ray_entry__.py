@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": G.q_knn,
         "tile_assign": G.q_tile_assign,
         "cell_extents": G.q_cell_extents,
+        "zonal_stats": G.q_zonal_stats,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,

@@ -141,3 +141,21 @@ def q_cell_extents(sf_dir: str):
             Max("lat", alias_name="north"),
         )
     )
+
+
+def q_zonal_stats(sf_dir: str):
+    """Raster x vector zonal statistics (rows-only: pixel decode is not
+    SQL-expressible): per-AOI pixel count/mean/min/max over the
+    deterministic images table derived from the documents rowcount (the
+    same derivation ``entry()`` uses — no external data).  Independent
+    numpy oracle: tests/test_spatial.py::TestZonalStats."""
+    from ..datagen import generate_aois
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.zonal import zonal_stats
+    import ray.data as rd
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    ds = rd.read_parquet(images)
+    out = zonal_stats(ds, generate_aois())
+    pdf = out.to_pandas().sort_values("aoi_id").reset_index(drop=True)
+    return pdf

@@ -1,0 +1,141 @@
+"""Zonal statistics — the raster x vector fusion operator for the
+image+geospatial tier: per-AOI statistics over the PIXELS of every raster
+that overlaps it (the rasterio/rasterstats ``zonal_stats`` shape, computed
+distributed).
+
+Shape: actor-pool ``map_batches`` over the images table (decode + per-pixel
+georeferencing once per row, AOI masks vectorized, partial (aoi, sum, count,
+min, max) rows out — a few rows per image, never pixels) -> one tiny
+``groupby(aoi_id)`` aggregate -> mean/min/max per AOI.  The AOI list is
+broadcast via ``ray.put`` once per actor (J1 pattern); the wide ``bytes``
+column is consumed in the stage and never shuffled (the same discipline as
+the flagship decode, SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..codec.raster import decode_image
+from ..datagen import tile_geo
+from ..functions.pathparse import RegexPathParser, make_parser
+from ..geo.crs import project_points
+
+
+class ZonalPartials:
+    """(images batch) -> per-(aoi, batch) partial stat rows."""
+
+    def __init__(self, aois_ref, parser: str = "TiledObservationsParser"):
+        aois = ray.get(aois_ref) if isinstance(aois_ref, ray.ObjectRef) else aois_ref
+        self.aoi_ids = [a["aoi_id"] for a in aois]
+        self.boxes = np.array(
+            [[a["west"], a["south"], a["east"], a["north"]] for a in aois],
+            dtype=np.float64,
+        )
+        self.parser: RegexPathParser = make_parser(parser)
+        self._geo_cache: dict = {}
+        self._grid_cache: dict = {}
+
+    def _lonlat_grid(self, tile: str, w: int, h: int):
+        """Per-pixel lon/lat centers for a tile's raster grid — cached per
+        (tile, shape) per actor (transform + inverse projection once)."""
+        key = (tile, w, h)
+        g = self._grid_cache.get(key)
+        if g is None:
+            geo = self._geo_cache.get(tile)
+            if geo is None:
+                geo = self._geo_cache[tile] = tile_geo(tile)
+            a, _, c, _, e, f = geo["transform"]
+            cols = (np.arange(w, dtype=np.float64) + 0.5) * a + c
+            rows = (np.arange(h, dtype=np.float64) + 0.5) * e + f
+            px = np.repeat(rows, w)  # y per pixel, row-major
+            py = np.tile(cols, h)  # x per pixel
+            lon, lat = project_points(py, px, geo["epsg"], 4326)
+            g = self._grid_cache[key] = (lon, lat)
+        return g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"]
+        parsed = self.parser.parse_column(ids)
+        tiles = parsed.get("tile", pa.nulls(batch.num_rows, pa.string())).to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n_aoi = len(self.aoi_ids)
+        sums = np.zeros(n_aoi, dtype=np.float64)
+        cnts = np.zeros(n_aoi, dtype=np.int64)
+        mins = np.full(n_aoi, np.inf)
+        maxs = np.full(n_aoi, -np.inf)
+        for i, buf in enumerate(bufs):
+            tile = tiles[i]
+            if tile is None:
+                continue
+            px = decode_image(buf, fmts[i]).astype(np.float64)
+            h, w = px.shape
+            lon, lat = self._lonlat_grid(tile, w, h)
+            flat = px.ravel()
+            geo = self._geo_cache[tile]
+            for j in range(n_aoi):
+                bw, bs, be, bn = self.boxes[j]
+                # tile-level reject before any per-pixel work
+                if geo["east"] < bw or geo["west"] > be or geo["north"] < bs or geo["south"] > bn:
+                    continue
+                m = (lon >= bw) & (lon <= be) & (lat >= bs) & (lat <= bn)
+                if not m.any():
+                    continue
+                v = flat[m]
+                sums[j] += float(v.sum())
+                cnts[j] += int(v.size)
+                mins[j] = min(mins[j], float(v.min()))
+                maxs[j] = max(maxs[j], float(v.max()))
+        keep = cnts > 0
+        return pa.table(
+            {
+                "aoi_id": pa.array([a for a, k in zip(self.aoi_ids, keep) if k]),
+                "px_sum": pa.array(sums[keep]),
+                "n_pixels": pa.array(cnts[keep]),
+                "px_min": pa.array(mins[keep]),
+                "px_max": pa.array(maxs[keep]),
+            }
+        )
+
+
+def zonal_stats(images, aois: List[dict],
+                parser: str = "TiledObservationsParser",
+                concurrency=(1, 8), batch_size: Optional[int] = 64):
+    """images Dataset x AOI list -> per-AOI (n_pixels, px_mean, px_min,
+    px_max) over every overlapping raster pixel."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    aois_ref = ray.put(aois)
+    partials = images.map_batches(
+        ZonalPartials,
+        fn_constructor_kwargs={"aois_ref": aois_ref, "parser": parser},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    out = partials.groupby("aoi_id").aggregate(
+        Sum("px_sum", alias_name="px_sum"),
+        Sum("n_pixels", alias_name="n_pixels"),
+        Min("px_min", alias_name="px_min"),
+        Max("px_max", alias_name="px_max"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["px_sum"].to_numpy(zero_copy_only=False)
+        n = t["n_pixels"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "aoi_id": t["aoi_id"],
+                "n_pixels": pa.array(n.astype(np.int64)),
+                "px_mean": pa.array(s / np.maximum(n, 1)),
+                "px_min": t["px_min"],
+                "px_max": t["px_max"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -26,6 +26,9 @@ GOLDEN = {
     "fingerprint": ("47c4b400b3212206", 500),
     "minhash_dedup": ("15eb567fe2cc4c72", 28),
     "embedding_dedup": ("b478dcefa111ddb1", 20),
+    # raster x vector zonal stats over the documents-derived images table
+    # (independent numpy oracle: test_spatial.py::TestZonalStats)
+    "zonal_stats": ("ab92925bb41faddc", 4),
 }
 
 

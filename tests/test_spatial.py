@@ -177,3 +177,62 @@ class TestKnnExactWidening:
         b = knn_join(ds, k=3, res=4, exact=True).to_pandas().sort_values(
             ["item_id", "neighbor_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a[["item_id", "neighbor_id"]], b[["item_id", "neighbor_id"]])
+
+
+class TestZonalStats:
+    def test_matches_numpy_oracle(self, ray_session, scale_images_dir):
+        """Distributed per-AOI pixel stats == a direct single-process numpy
+        pass over the same rows (masks, partial merge, min/max/mean)."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.datagen import generate_aois, tile_geo
+        from stac_catalog_builder_ray.functions.pathparse import make_parser
+        from stac_catalog_builder_ray.geo.crs import project_points
+        from stac_catalog_builder_ray.stages.zonal import zonal_stats
+
+        aois = generate_aois()
+        ds = ray.data.read_parquet(scale_images_dir)
+        got = zonal_stats(ds, aois).to_pandas().set_index("aoi_id")
+
+        # independent accumulation (plain dict loop, no bucketing/partials)
+        t = pq.read_table(scale_images_dir)
+        parser = make_parser("TiledObservationsParser")
+        acc = {}
+        grids = {}
+        import pyarrow as pa_
+
+        tiles_col = parser.parse_column(t["image_id"].combine_chunks())["tile"].to_pylist()
+        for row, tile in zip(t.to_pylist(), tiles_col):
+            px = decode_image(row["bytes"], row["fmt"]).astype(np.float64)
+            h, w = px.shape
+            if (tile, w, h) not in grids:
+                g = tile_geo(tile)
+                a, _, c, _, e, f = g["transform"]
+                lon, lat = project_points(
+                    np.tile((np.arange(w) + 0.5) * a + c, h),
+                    np.repeat((np.arange(h) + 0.5) * e + f, w),
+                    g["epsg"], 4326)
+                grids[(tile, w, h)] = (lon, lat)
+            lon, lat = grids[(tile, w, h)]
+            for aoi in aois:
+                m = ((lon >= aoi["west"]) & (lon <= aoi["east"])
+                     & (lat >= aoi["south"]) & (lat <= aoi["north"]))
+                if not m.any():
+                    continue
+                v = px.ravel()[m]
+                s = acc.setdefault(aoi["aoi_id"], [0.0, 0, np.inf, -np.inf])
+                s[0] += v.sum(); s[1] += v.size
+                s[2] = min(s[2], v.min()); s[3] = max(s[3], v.max())
+
+        assert set(got.index) == set(acc)
+        for aoi_id, (s, n, lo, hi) in acc.items():
+            r = got.loc[aoi_id]
+            assert int(r["n_pixels"]) == n
+            assert r["px_mean"] == pytest.approx(s / n, rel=1e-12)
+            assert r["px_min"] == pytest.approx(lo) and r["px_max"] == pytest.approx(hi)
+        # the world AOI sees every pixel of every image
+        n_rows = t.num_rows
+        h, w = decode_image(t.to_pylist()[0]["bytes"], t.to_pylist()[0]["fmt"]).shape
+        assert int(got.loc["aoi_0", "n_pixels"]) == n_rows * h * w
