@@ -87,15 +87,22 @@ def q_knn(sf_dir: str):
     oracle's QUALIFY does the same restriction)."""
     # exact=True: the ring-widening backstop guarantees the oracle match at
     # ANY scale factor / point density, not just where the ring assumption
-    # happens to hold
-    got = knn_join(events_points(sf_dir), k=KNN_K, res=4, id_col="event_id", exact=True)
-
-    def keep(t: pa.Table) -> pa.Table:
+    # happens to hold.  query_ids: only the (event_id % 97 == 0) subset is
+    # ranked — every point stays a candidate, but the ring explode, rerank
+    # and widen stages carry ~1/97th of the rows (round-3: 5.1 s -> see
+    # BENCH; round 1-2 computed kNN for all 10k points then filtered)
+    def pick(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(eid % KNN_QUERY_MOD == 0))
-        return pa.table({"event_id": t["event_id"], "neighbor_id": t["neighbor_id"]})
+        return t.filter(pa.array(eid % KNN_QUERY_MOD == 0)).select(["event_id"])
 
-    return got.map_batches(keep, batch_format="pyarrow")
+    pts = events_points(sf_dir)
+    qids = pts.map_batches(pick, batch_format="pyarrow").to_pandas()["event_id"]
+    got = knn_join(pts, k=KNN_K, res=4, id_col="event_id", exact=True,
+                   query_ids=qids.tolist())
+    return got.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"], "neighbor_id": t["neighbor_id"]}),
+        batch_format="pyarrow",
+    )
 
 
 def q_tile_assign(sf_dir: str):

@@ -108,6 +108,7 @@ def knn_join(
     id_col: str = "item_id",
     ring: int = 1,
     exact: bool = False,
+    query_ids=None,
 ):
     """Self-kNN: for each point, its k nearest OTHER points (Euclidean on
     lon/lat degrees — documented choice so the DuckDB oracle is expressible).
@@ -125,25 +126,48 @@ def knn_join(
     degrees — are re-answered by a brute-force broadcast scan (queries
     broadcast, corpus streams, per-batch partial top-k).  Cost is
     O(starved x N); starved queries are rare when ``res`` matches density,
-    so this is the correctness backstop, not the hot path."""
+    so this is the correctness backstop, not the hot path.
+
+    ``query_ids`` (optional): restrict the QUERY side to these ids while
+    every point stays a CANDIDATE — the kNN-JOIN shape (Q queries against
+    N points, Q << N).  Non-query points then cost one home-cell row
+    instead of the full ring explode, and the rerank/widen stages only see
+    query rows; with the default ``None`` every point is a query
+    (self-kNN, the round-1/2 behavior)."""
+    qset_ref = None
+    if query_ids is not None:
+        qset_ref = ray.put(pa.array(sorted(query_ids)))
 
     def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         lon = batch["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
         lat = batch["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
         ids = batch[id_col]
         home = cell_encode(lon, lat, res)
+        if qset_ref is None:
+            is_q = np.ones(len(lon), dtype=bool)
+        else:
+            is_q = pc.is_in(ids, value_set=ray.get(qset_ref)).to_numpy(
+                zero_copy_only=False).astype(bool)
         rings = _ring_cells_vec(home, ring)  # (N, 9)
         n, m = rings.shape
         rep = np.repeat(np.arange(n), m)
+        # query points explode to their full ring; non-query points emit
+        # only the home row (candidate role only)
+        keep = is_q[rep] | (rings.ravel() == home[rep])
+        rep = rep[keep]
+        cell_key = rings.ravel()[keep]
         tbl = pa.table(
             {
-                "cell_key": pa.array(rings.ravel()),
+                "cell_key": pa.array(cell_key),
                 id_col: ids.take(pa.array(rep)),
                 "lon": pa.array(lon[rep]),
                 "lat": pa.array(lat[rep]),
-                # a row is a CANDIDATE only in its home cell; it is a QUERY in
-                # every ring cell (including home)
-                "is_home": pa.array(rings.ravel() == home[rep]),
+                # a row is a CANDIDATE only in its home cell; a QUERY row
+                # appears in every ring cell (including home)
+                "is_home": pa.array(cell_key == home[rep]),
+                "is_query": pa.array(is_q[rep]),
             }
         )
         return tbl
@@ -154,9 +178,12 @@ def knn_join(
 
     def local_topk(g: pd.DataFrame, q_chunk: int = 1024) -> pd.DataFrame:
         # lat-clamped ring cells duplicate rows (see _ring_cells_vec); dedup
-        # so a duplicate candidate can't eat a top-k slot
+        # so a duplicate candidate can't eat a top-k slot (home rows kept
+        # preferentially so the candidate role survives the dedup)
+        g = g.sort_values("is_home", ascending=False, kind="stable")
         g = g.drop_duplicates(subset=[id_col])
         cand = g[g["is_home"]]
+        g = g[g["is_query"]]
         if len(cand) == 0 or len(g) == 0:
             return pd.DataFrame({id_col: [], "neighbor_id": [], "dist": []})
         # candidates sorted by id + stable argsort below = deterministic
@@ -222,10 +249,12 @@ def knn_join(
     )
     if not exact:
         return ranked
-    return _knn_widen(points, ranked, k=k, res=res, id_col=id_col, ring=ring)
+    return _knn_widen(points, ranked, k=k, res=res, id_col=id_col, ring=ring,
+                      qset_ref=qset_ref)
 
 
-def _knn_widen(points, ranked, k: int, res: int, id_col: str, ring: int):
+def _knn_widen(points, ranked, k: int, res: int, id_col: str, ring: int,
+               qset_ref=None):
     """Exact backstop for :func:`knn_join`: detect queries whose ring block
     cannot guarantee the true top-k, re-answer them by brute force, splice.
 
@@ -278,6 +307,8 @@ def _knn_widen(points, ranked, k: int, res: int, id_col: str, ring: int):
     def ring_starved(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if qset_ref is not None:  # only QUERY points need re-answering
+            t = t.filter(pc.is_in(t[id_col], value_set=ray.get(qset_ref)))
         lon = t["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
         lat = t["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
         home = cell_encode(lon, lat, res)
