@@ -43,6 +43,10 @@ QUERY_NAMES = [
     "minhash_dedup",
     "ann_cosine",
     "token_count",
+    # round-3 additions (extra keys; the round-over-round comparison uses
+    # the nine above)
+    "neardup_cluster",
+    "asof_join",
 ]
 
 
