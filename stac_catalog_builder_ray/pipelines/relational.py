@@ -620,7 +620,7 @@ def q_salted_agg(sf_dir: str):
 
 
 def asof_join_bucketed(left, right, by: str, on: str,
-                       direction: str = "backward", num_buckets: int = 64):
+                       direction: str = "backward", num_buckets: int = None):
     """Generic AS-OF join — an operator Ray Data lacks (SURVEY.md §2.8
     "custom operators"): for every left row, the single right row with the
     greatest ``on`` <= left ``on`` (direction='backward') sharing the same
@@ -636,6 +636,8 @@ def asof_join_bucketed(left, right, by: str, on: str,
     ``left`` / ``right`` are Datasets whose non-key columns are disjoint
     (rename upstream if not); right's ``on`` is re-emitted as
     ``{on}_right`` so callers keep the matched timestamp."""
+    if num_buckets is None:
+        num_buckets = max(64, cluster_partitions(per_cpu=2.0))
     l_cols = [c for c in left.schema().names if c not in (by, on)]
     r_cols = [c for c in right.schema().names if c not in (by, on)]
 
