@@ -960,17 +960,24 @@ def interval_join_bucketed(points, intervals, t_col: str, id_col: str,
     both = points.map_batches(pt, batch_format="pyarrow").union(
         intervals.map_batches(iv, batch_format="pyarrow"))
 
-    def match(g: pd.DataFrame) -> pd.DataFrame:
+    def match(g: pd.DataFrame, p_chunk: int = 8192) -> pd.DataFrame:
         p = g[g["_side"] == 0]
         w = g[g["_side"] == 1]
         if len(p) == 0 or len(w) == 0:
             return pd.DataFrame(columns=[t_col, id_col])
-        ts = p[t_col].to_numpy().astype("M8[us]").astype("int64")[:, None]
         t0 = w[t0_col].to_numpy().astype("M8[us]").astype("int64")[None, :]
         t1 = w[t1_col].to_numpy().astype("M8[us]").astype("int64")[None, :]
-        pi, wi = np.nonzero((ts >= t0) & (ts < t1))
-        return pd.DataFrame({t_col: p[t_col].to_numpy()[pi],
-                             id_col: w[id_col].to_numpy()[wi]})
+        wids = w[id_col].to_numpy()
+        pts_all = p[t_col].to_numpy()
+        outs = []
+        # chunk the point axis so a hot bucket's point x interval matrix
+        # stays bounded (skew safety, same q_chunk lesson as knn_join)
+        for s0 in range(0, len(p), p_chunk):
+            pts = pts_all[s0:s0 + p_chunk]
+            ts = pts.astype("M8[us]").astype("int64")[:, None]
+            pi, wi = np.nonzero((ts >= t0) & (ts < t1))
+            outs.append(pd.DataFrame({t_col: pts[pi], id_col: wids[wi]}))
+        return pd.concat(outs, ignore_index=True)
 
     return both.groupby("_bucket").map_groups(match, batch_format="pandas")
 

@@ -30,12 +30,17 @@ class ZonalPartials:
     """(images batch) -> per-(aoi, batch) partial stat rows."""
 
     def __init__(self, aois_ref, parser: str = "TiledObservationsParser"):
+        from ..geo.geometry import STRtree
+
         aois = ray.get(aois_ref) if isinstance(aois_ref, ray.ObjectRef) else aois_ref
         self.aoi_ids = [a["aoi_id"] for a in aois]
         self.boxes = np.array(
             [[a["west"], a["south"], a["east"], a["north"]] for a in aois],
             dtype=np.float64,
         )
+        # STRtree over AOI bboxes: per-image AOI candidates are a tree
+        # query on the tile bbox, not a scan of every AOI (large AOI sets)
+        self.tree = STRtree(self.boxes)
         self.parser: RegexPathParser = make_parser(parser)
         self._geo_cache: dict = {}
         self._grid_cache: dict = {}
@@ -78,11 +83,12 @@ class ZonalPartials:
             lon, lat = self._lonlat_grid(tile, w, h)
             flat = px.ravel()
             geo = self._geo_cache[tile]
-            for j in range(n_aoi):
+            # tile-level AOI candidates from the STRtree (replaces the
+            # per-image scan over every AOI)
+            qbox = np.array([[geo["west"], geo["south"], geo["east"], geo["north"]]])
+            _, cand_j = self.tree.query(qbox)
+            for j in cand_j:
                 bw, bs, be, bn = self.boxes[j]
-                # tile-level reject before any per-pixel work
-                if geo["east"] < bw or geo["west"] > be or geo["north"] < bs or geo["south"] > bn:
-                    continue
                 m = (lon >= bw) & (lon <= be) & (lat >= bs) & (lat <= bn)
                 if not m.any():
                     continue
