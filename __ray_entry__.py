@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": T.q_simhash,
         "fingerprint": T.q_fingerprint,
         "ann_cosine": T.q_ann_cosine,
+        "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
     }
 

@@ -184,7 +184,8 @@ def _main(argv: List[str]) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
         if a.cmd == "list-metadata":
@@ -225,5 +226,6 @@ def _main(argv: List[str]) -> int:
                 print(json.dumps({"collection_id": cfg.collection_id,
                                   "item_assets": sorted(cfg.item_assets)}))
     finally:
-        ray.shutdown()
+        if owns_ray:  # never tear down a session we didn't start
+            ray.shutdown()
     return 0

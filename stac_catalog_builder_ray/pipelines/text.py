@@ -327,3 +327,27 @@ SQL_NEARDUP_CLUSTER = (
     "SELECT r.src, b.v FROM reach r JOIN bi b ON b.u = r.dst) "
     "SELECT src AS doc_id, MIN(dst) AS keep_id FROM reach GROUP BY src"
 )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the documented scale path next to the brute-force
+    q_ann_cosine baseline): deterministic Lloyd centroids on a sample,
+    corpus bucketed by nearest centroid, n_probe buckets probed per query.
+    Rows-only (approximate by design); recall vs the exact baseline is
+    asserted in tests/test_operators.py::TestANN::test_ivf_recall and the
+    output is golden-pinned (fully deterministic: fixed rng seed, fixed
+    sample)."""
+    import numpy as np
+
+    from ..stages.ann import ivf_topk
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    queries = emb.map_batches(pick_queries, batch_format="pyarrow").to_pandas()
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    pdf = out.to_pandas().sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    return pdf[["query_id", "neighbor_id"]]

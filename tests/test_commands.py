@@ -128,3 +128,22 @@ class TestMediaTypeClassification:
         # fmt cycles raw/zlib/png -> exactly 1/3 of rows are cloud-optimized
         frac = (md["media_type"].str.contains("cloud-optimized")).mean()
         assert abs(frac - 1 / 3) < 0.01
+
+
+class TestVppCli:
+    def test_vpp_subcommands_smoke(self, ray_session, capsys):
+        """CLI surface for the VPP introspection wrappers
+        (commandapi_vpp.py:131-156 twins)."""
+        import json as _json
+
+        from stac_catalog_builder_ray.commands import _main
+
+        assert _main(["vpp-count-products", "--start", "2020-01-01",
+                      "--end", "2020-03-01"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert _json.loads(out) == {"default": 22}
+        assert _main(["vpp-collection-config", "demo",
+                      "--product-types", "ndvi,fapar"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert _json.loads(out) == {"collection_id": "demo",
+                                    "item_assets": ["fapar", "ndvi"]}

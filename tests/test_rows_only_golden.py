@@ -29,6 +29,9 @@ GOLDEN = {
     # raster x vector zonal stats over the documents-derived images table
     # (independent numpy oracle: test_spatial.py::TestZonalStats)
     "zonal_stats": ("ab92925bb41faddc", 4),
+    # IVF ANN scale path (deterministic centroids; recall vs exact asserted
+    # in test_operators::TestANN::test_ivf_recall)
+    "ann_ivf": ("6762ddfedbb2d258", 50),
 }
 
 
