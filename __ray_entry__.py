@@ -76,6 +76,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": R.q_grouped_quantiles,
         "distinct_sketch": R.q_distinct_sketch,
         "interval_join": R.q_interval_join,
+        "moving_avg": R.q_moving_avg,
+        "pivot_events": R.q_pivot_events,
+        "rollup_counts": R.q_rollup_counts,
+        "intersect_except": R.q_intersect_except,
+        "stratified_sample": R.q_stratified_sample,
+        "split_assign": R.q_split_assign,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -215,6 +221,12 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": R.SQL_GROUPED_QUANTILES,
         "distinct_sketch": R.SQL_DISTINCT_SKETCH,
         "interval_join": R.SQL_INTERVAL_JOIN,
+        "moving_avg": R.SQL_MOVING_AVG,
+        "pivot_events": R.SQL_PIVOT_EVENTS,
+        "rollup_counts": R.SQL_ROLLUP_COUNTS,
+        "intersect_except": R.SQL_INTERSECT_EXCEPT,
+        "stratified_sample": R.SQL_STRATIFIED_SAMPLE,
+        "split_assign": R.SQL_SPLIT_ASSIGN,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
         "pip_join": (
             f"WITH pts AS ({_PTS}) SELECT event_id, a.aoi_id FROM pts, (VALUES "

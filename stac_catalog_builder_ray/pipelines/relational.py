@@ -1013,3 +1013,237 @@ SQL_INTERVAL_JOIN = (
     "SELECT w.window_id, COUNT(*) AS n_events FROM w "
     "JOIN events e ON e.ts >= w.t0 AND e.ts < w.t1 GROUP BY 1"
 )
+
+
+# --- frame windows / pivot / grouping sets / set ops / sampling (round 3) ----
+
+
+def q_moving_avg(sf_dir: str):
+    """Frame-window aggregates per user over the ordered event log: a
+    4-row moving sum (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) and a
+    lag-delta (value - previous value, 0 for the first row).  Same bucketed
+    execution as ``q_running_sum``: ONE shuffle on a crc-mixed user bucket,
+    then one vectorized pandas rolling/shift pass per bucket — never a
+    Python call per user, never a global sort.  Values are per-row-rounded
+    integer e4 so partial order can't perturb the result."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 64))
+
+    def win_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        v4 = pd.Series(
+            round_half_away(g["value"].to_numpy() * 10000.0).astype("int64"),
+            index=g.index,
+        )
+        grp = v4.groupby(g["user_id"], sort=False)
+        g["moving_sum4_e4"] = grp.rolling(4, min_periods=1).sum().reset_index(
+            level=0, drop=True).astype("int64")
+        g["delta_e4"] = (v4 - grp.shift(1).fillna(v4)).astype("int64")
+        return g[["event_id", "user_id", "moving_sum4_e4", "delta_e4"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("bucket")
+        .map_groups(win_bucket, batch_format="pandas")
+    )
+
+
+SQL_MOVING_AVG = (
+    "WITH v AS (SELECT event_id, user_id, ts, "
+    "CAST(ROUND(value * 10000, 0) AS BIGINT) AS v4 FROM events) "
+    "SELECT event_id, user_id, "
+    "CAST(SUM(v4) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum4_e4, "
+    "CAST(v4 - COALESCE(lag(v4) OVER (PARTITION BY user_id ORDER BY ts, event_id), v4) "
+    "AS BIGINT) AS delta_e4 FROM v"
+)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT: event_type fanned out into one count column per type, one row
+    per user.  Per-batch partial crosstab (rows reduce to <= users-per-batch
+    BEFORE the shuffle), then a Sum-per-column groupby — the wide shuffle
+    moves k int64s per (user, batch), never the event rows."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                           "event_type": t["event_type"].to_pandas()})
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        out = {"user_id": ct.index.to_numpy()}
+        for ty in _PIVOT_TYPES:
+            col = ct[ty].to_numpy() if ty in ct.columns else np.zeros(len(ct), dtype=np.int64)
+            out[f"n_{ty}"] = col.astype(np.int64)
+        return pa.table(out)
+
+    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in _PIVOT_TYPES]
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(*aggs)
+    pdf = out.to_pandas()
+    for ty in _PIVOT_TYPES:
+        pdf[f"n_{ty}"] = pdf[f"n_{ty}"].astype("int64")
+    return pdf
+
+
+SQL_PIVOT_EVENTS = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{ty}"
+        for ty in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUPING SETS / ROLLUP: per-event_type counts + exact-cents value sum
+    PLUS the grand-total row, in one pass.  The partial combiner emits BOTH
+    grouping levels per batch (per-type rows and an '__all__' row), so the
+    rollup costs one tiny groupby — no second scan for the total."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas()})
+        df["v4"] = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 10000.0).astype("int64")
+        g = df.groupby("event_type", sort=False)["v4"].agg(["sum", "size"]).reset_index()
+        rows_type = pa.table({"event_type": pa.array(g["event_type"], pa.string()),
+                              "sum_value_e4": pa.array(g["sum"].to_numpy()),
+                              "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+        rows_all = pa.table({"event_type": pa.array(["__all__"]),
+                             "sum_value_e4": pa.array([int(df["v4"].sum())]),
+                             "n": pa.array([len(df)])})
+        return pa.concat_tables([rows_type, rows_all])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_value_e4", alias_name="sum_value_e4"), Sum("n", alias_name="n"))
+    )
+    pdf = out.to_pandas()
+    pdf["sum_value_e4"] = pdf["sum_value_e4"].astype("int64")
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf
+
+
+SQL_ROLLUP_COUNTS = (
+    "SELECT COALESCE(event_type, '__all__') AS event_type, "
+    "CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_value_e4, "
+    "COUNT(*) AS n FROM events "
+    "GROUP BY GROUPING SETS ((event_type), ())"
+)
+
+
+def q_intersect_except(sf_dir: str):
+    """Distributed INTERSECT/EXCEPT as ONE bitmask aggregation: customers
+    with an open ('O') order INTERSECT customers with a filled ('F') order
+    EXCEPT customers owning any order > 400000.  Each batch reduces to one
+    3-bit membership mask per customer (bitwise-OR partials via Max), so
+    the set algebra costs a single small shuffle — not three distincts plus
+    two joins."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                           "st": t["o_orderstatus"].to_pandas(),
+                           "tp": t["o_totalprice"].to_numpy(zero_copy_only=False)})
+        df["m"] = ((df["st"] == "O").to_numpy().astype(np.int64)
+                   | ((df["st"] == "F").to_numpy().astype(np.int64) << 1)
+                   | ((df["tp"] > 400000.0).astype(np.int64).to_numpy() << 2))
+        g = df.groupby("o_custkey", sort=False)["m"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        return pa.table({"o_custkey": pa.array(g.index.to_numpy()),
+                         "m": pa.array(g.to_numpy(dtype=np.int64))})
+
+    # bitwise-OR of masks == Max per bit only when partials already OR their
+    # bits together; after the per-batch OR above, a per-bit OR across
+    # partials is NOT Max(m) — finish with a tiny map_groups OR instead.
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = int(np.bitwise_or.reduce(g["m"].to_numpy()))
+        return pd.DataFrame({"o_custkey": [g["o_custkey"].iloc[0]], "m": [m]})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy(zero_copy_only=False)
+        mask = (m & 1).astype(bool) & (m & 2).astype(bool) & ~(m & 4).astype(bool)
+        return pa.table({"o_custkey": pa.array(t["o_custkey"].to_numpy(
+            zero_copy_only=False)[mask])})
+
+    return out.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_INTERSECT_EXCEPT = (
+    "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+    "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+    "EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000"
+)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: ~10% of events per event_type
+    stratum, selected by the engine's Mersenne-mod multiplicative hash of
+    event_id (``_kmv_hash`` — the same hash the KMV sketch uses), so the
+    sample is reproducible on any cluster size / partition layout and the
+    SQL oracle reproduces the exact row set.  Embarrassingly parallel: a
+    vectorized per-batch mask, no shuffle at all."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "user_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        mask = (_kmv_hash(ids) % 10) == 0
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = (
+    f"WITH h1 AS (SELECT event_id, event_type, user_id, "
+    f"(event_id * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h FROM events), "
+    f"t AS (SELECT *, ((h % 1073741824) * {_KMV_A2}) % {_KMV_P} AS term1, "
+    f"(((h // 1073741824) * {_KMV_A2}) % {_KMV_P}) AS tt FROM h1) "
+    "SELECT event_id, event_type, user_id FROM t WHERE "
+    f"((term1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) % {_KMV_P}) % {_KMV_P}) "
+    "% 10 = 0"
+)
+
+
+def q_split_assign(sf_dir: str):
+    """Train/val/test split assignment (90/5/5) by deterministic hash of
+    doc_id — the standard training-data-pipeline split that must be stable
+    across reruns, resumes and cluster sizes.  Pure per-batch projection."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = _kmv_hash(ids) % 100
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        return pa.table({"doc_id": t["doc_id"], "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_SPLIT_ASSIGN = (
+    f"WITH h1 AS (SELECT doc_id, (doc_id * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h "
+    "FROM documents), "
+    f"t AS (SELECT doc_id, ((h % 1073741824) * {_KMV_A2}) % {_KMV_P} AS term1, "
+    f"(((h // 1073741824) * {_KMV_A2}) % {_KMV_P}) AS tt FROM h1), "
+    f"b AS (SELECT doc_id, ((term1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) "
+    f"% {_KMV_P}) % {_KMV_P}) % 100 AS bkt FROM t) "
+    "SELECT doc_id, CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' "
+    "ELSE 'test' END AS split FROM b"
+)

@@ -640,3 +640,79 @@ class TestIntervalJoin:
         got = sorted(map(tuple, out[["window_id", "ts"]].astype(str).values))
         assert got == [("1", "2024-01-01 00:30:00"), ("1", "2024-01-01 01:30:00"),
                        ("1", "2024-01-01 02:30:00")]
+
+
+class TestRound3Windows:
+    """Frame windows / pivot / rollup / set ops / deterministic sampling
+    (round-3 additions; oracle-checked vs DuckDB by the driver, semantic
+    invariants here)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_moving_avg_window_semantics(self, ray_session):
+        from stac_catalog_builder_ray.pipelines.relational import q_moving_avg
+
+        out = q_moving_avg(self.SF).to_pandas().set_index("event_id")
+        # independent pandas recomputation of both window frames
+        ev = pd.read_parquet(f"{self.SF}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+        ev = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        v4 = (ev["value"] * 10000).round().astype("int64")
+        grp = v4.groupby(ev["user_id"], sort=False)
+        want_ms = grp.rolling(4, min_periods=1).sum().reset_index(level=0, drop=True)
+        want_d = (v4 - grp.shift(1).fillna(v4)).astype("int64")
+        ev = ev.assign(ms=want_ms.astype("int64").values, d=want_d.values).set_index("event_id")
+        assert len(out) == len(ev)
+        pd.testing.assert_series_equal(
+            out["moving_sum4_e4"].sort_index(), ev["ms"].sort_index(),
+            check_names=False)
+        pd.testing.assert_series_equal(
+            out["delta_e4"].sort_index(), ev["d"].sort_index(), check_names=False)
+
+    def test_pivot_row_sums_equal_event_counts(self, ray_session):
+        from stac_catalog_builder_ray.pipelines.relational import (
+            _PIVOT_TYPES, q_pivot_events)
+
+        out = q_pivot_events(self.SF)
+        ev = pd.read_parquet(f"{self.SF}/events.parquet", columns=["user_id", "event_type"])
+        assert set(ev["event_type"].unique()) <= set(_PIVOT_TYPES)
+        # row sums = per-user event counts; column sums = per-type counts
+        total = out[[f"n_{t}" for t in _PIVOT_TYPES]].to_numpy().sum()
+        assert total == len(ev)
+        by_user = ev.groupby("user_id").size()
+        got_user = out.set_index("user_id")[[f"n_{t}" for t in _PIVOT_TYPES]].sum(axis=1)
+        pd.testing.assert_series_equal(got_user.sort_index(), by_user.sort_index(),
+                                       check_names=False, check_dtype=False)
+
+    def test_rollup_grand_total_consistency(self, ray_session):
+        from stac_catalog_builder_ray.pipelines.relational import q_rollup_counts
+
+        out = q_rollup_counts(self.SF).set_index("event_type")
+        per_type = out.drop(index="__all__")
+        assert out.loc["__all__", "n"] == per_type["n"].sum()
+        assert out.loc["__all__", "sum_value_e4"] == per_type["sum_value_e4"].sum()
+
+    def test_intersect_except_bitmask(self, ray_session):
+        from stac_catalog_builder_ray.pipelines.relational import q_intersect_except
+
+        got = set(q_intersect_except(self.SF).to_pandas()["o_custkey"])
+        od = pd.read_parquet(f"{self.SF}/orders.parquet",
+                             columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+        want = (set(od.loc[od.o_orderstatus == "O", "o_custkey"])
+                & set(od.loc[od.o_orderstatus == "F", "o_custkey"])
+                - set(od.loc[od.o_totalprice > 400000.0, "o_custkey"]))
+        assert got == want
+
+    def test_sampling_and_split_deterministic(self, ray_session):
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_split_assign, q_stratified_sample)
+
+        s1 = q_stratified_sample(self.SF).to_pandas()
+        s2 = q_stratified_sample(self.SF).to_pandas()
+        assert sorted(s1["event_id"]) == sorted(s2["event_id"])
+        assert 0.05 < len(s1) / 1000 < 0.15  # ~10% rate
+
+        sp = q_split_assign(self.SF).to_pandas()
+        frac = sp["split"].value_counts(normalize=True)
+        assert 0.8 < frac.get("train", 0) < 0.97
+        assert set(sp["split"].unique()) <= {"train", "val", "test"}
