@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cluster": T.q_neardup_cluster,
         "simhash": T.q_simhash,
         "fingerprint": T.q_fingerprint,
+        "tfidf_top_terms": T.q_tfidf_top_terms,
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": T.SQL_NGRAM_JACCARD,
         "langid": T.SQL_LANGID,
         "neardup_cluster": T.SQL_NEARDUP_CLUSTER,
+        "tfidf_top_terms": T.SQL_TFIDF_TOP_TERMS,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

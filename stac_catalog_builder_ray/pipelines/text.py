@@ -351,3 +351,96 @@ def q_ann_ivf(sf_dir: str):
     out = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
     pdf = out.to_pandas().sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
     return pdf[["query_id", "neighbor_id"]]
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF-style top-3 salient terms per document, INTEGER-EXACT so the
+    SQL twin matches bit-for-bit: score_e6 = tf * 1_000_000 // df (term
+    frequency scaled by inverse document frequency as integer division —
+    monotone in tf/df like tf*log(N/df) for ranking, but with no
+    transcendental float whose libm rounding could diverge between engines).
+
+    Execution shape (the 100 TB discipline):
+    - tf: per-batch (doc, word) value_counts partials -> one groupby-sum
+      (rows shuffled = distinct (doc,word) pairs per batch, not tokens);
+    - df: per-batch DISTINCT (word, doc) from the tf table -> word groupby
+      count — the tf table already holds one row per (doc, word), so df is
+      a Count per word with no re-tokenize;
+    - score join: tf ⋈ df is a PARTITIONED hash join on word (vocab can be
+      larger than driver memory at scale — never broadcast);
+    - ranking: ``grouped_topk`` combiner (each batch keeps <= k rows per
+      doc before the shuffle).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import cluster_partitions, grouped_topk
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                           "text": t["text"].to_pandas().fillna("")})
+        s = df.set_index("doc_id")["text"].str.strip()
+        s = s[s != ""].str.lower().str.split().explode()
+        vc = s.reset_index().value_counts(["doc_id", "text"]).reset_index(name="tf")
+        return pa.table({"doc_id": pa.array(vc["doc_id"].to_numpy()),
+                         "word": pa.array(vc["text"].to_numpy(dtype=object), pa.string()),
+                         "tf": pa.array(vc["tf"].to_numpy().astype(np.int64))})
+
+    from ..stages.dedup import _compact_nonempty
+
+    tf = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby(["doc_id", "word"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    # consumed twice (df aggregate + join probe); empty hash partitions emit
+    # schema-less blocks that break the word join on tiny corpora
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("word", pa.string()),
+                           ("tf", pa.int64())])
+    tf = _compact_nonempty(tf.materialize(), fallback_schema=tf_schema)
+    if tf.count() == 0:  # empty corpus: Ray's hash-shuffle join chokes on it
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "word": pd.Series([], dtype=object),
+                             "score_e6": pd.Series([], dtype="int64")})
+
+    df_counts = _compact_nonempty(
+        tf.groupby("word").aggregate(Count(alias_name="df")).materialize(),
+        fallback_schema=pa.schema([("word", pa.string()), ("df", pa.int64())]))
+
+    scored = tf.join(df_counts, join_type="inner", on=("word",),
+                     num_partitions=cluster_partitions())
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "word": t["word"],
+                         "score_e6": pa.array(tfv * 1_000_000 // dfv)})
+
+    ranked = grouped_topk(scored.map_batches(score, batch_format="pyarrow"),
+                          ["doc_id"], "score_e6", k=3, tie_cols=["word"])
+    pdf = ranked.to_pandas()
+    if pdf.empty:  # Ray drops columns on 0-row to_pandas
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "word": pd.Series([], dtype=object),
+                             "score_e6": pd.Series([], dtype="int64")})
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["score_e6"] = pdf["score_e6"].astype("int64")
+    return pdf[["doc_id", "word", "score_e6"]]
+
+
+SQL_TFIDF_TOP_TERMS = (
+    "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), "
+    "'\\s+')) AS word FROM documents WHERE trim(text) <> ''), "
+    "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2), "
+    "df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1) "
+    "SELECT doc_id, word, score_e6 FROM ("
+    "SELECT tf.doc_id, tf.word, "
+    "CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score_e6, "
+    "ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+    "ORDER BY tf.tf * 1000000 // df.df DESC, tf.word) AS rn "
+    "FROM tf JOIN df USING (word)) t WHERE rn <= 3"
+)

@@ -716,3 +716,32 @@ class TestRound3Windows:
         frac = sp["split"].value_counts(normalize=True)
         assert 0.8 < frac.get("train", 0) < 0.97
         assert set(sp["split"].unique()) <= {"train", "val", "test"}
+
+
+class TestTfidfTopTerms:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_pandas_recompute(self, ray_session):
+        from stac_catalog_builder_ray.pipelines.text import q_tfidf_top_terms
+
+        out = q_tfidf_top_terms(self.SF)
+        docs = pd.read_parquet(f"{self.SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        s = docs.set_index("doc_id")["text"].fillna("").str.strip()
+        words = s[s != ""].str.lower().str.split().explode()
+        tf = words.reset_index().value_counts(["doc_id", "text"]).rename("tf").reset_index()
+        df = tf.groupby("text").size().rename("df").reset_index()
+        sc = tf.merge(df, on="text")
+        sc["score_e6"] = sc["tf"].astype("int64") * 1_000_000 // sc["df"].astype("int64")
+        want = (sc.sort_values(["score_e6", "text"], ascending=[False, True], kind="stable")
+                  .groupby("doc_id", sort=False).head(3)
+                  .rename(columns={"text": "word"})[["doc_id", "word", "score_e6"]])
+        key = ["doc_id", "score_e6", "word"]
+        g = out.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g[["doc_id", "word", "score_e6"]], w,
+                                      check_dtype=False)
+        # exactly 3 terms for any doc with >=3 distinct words
+        n_words = words.groupby(level=0).nunique()
+        full = n_words[n_words >= 3].index
+        assert (g[g.doc_id.isin(full)].groupby("doc_id").size() == 3).all()
