@@ -444,3 +444,37 @@ SQL_TFIDF_TOP_TERMS = (
     "ORDER BY tf.tf * 1000000 // df.df DESC, tf.word) AS rn "
     "FROM tf JOIN df USING (word)) t WHERE rn <= 3"
 )
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-rule quality flags per document (stateless vectorized pass,
+    integer-exact ratios — see ``stages.text.gopher_quality_batch``)."""
+    from ..stages.text import gopher_quality_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_quality_batch, batch_format="pyarrow")
+
+
+SQL_GOPHER_QUALITY = (
+    "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), "
+    "'\\s+')) AS word FROM documents WHERE trim(text) <> ''), "
+    "st AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(length(word)) AS wl, "
+    "SUM(CASE WHEN word IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS stop_hits, "
+    "SUM(CASE WHEN regexp_matches(word, '[a-z]') THEN 1 ELSE 0 END) AS alpha_hits "
+    "FROM words GROUP BY doc_id), "
+    "tw AS (SELECT doc_id, MAX(c) AS top_count FROM "
+    "(SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2) GROUP BY doc_id) "
+    "SELECT d.doc_id, "
+    "CAST(COALESCE(st.n_tokens, 0) AS BIGINT) AS n_tokens, "
+    "CAST(COALESCE(st.wl * 1000000 // st.n_tokens, 0) AS BIGINT) AS mean_wordlen_e6, "
+    "CAST(COALESCE(tw.top_count * 1000000 // st.n_tokens, 0) AS BIGINT) AS top_word_frac_e6, "
+    "CAST(COALESCE(st.stop_hits, 0) AS BIGINT) AS stop_hits, "
+    "CAST(COALESCE(st.alpha_hits * 1000000 // st.n_tokens, 0) AS BIGINT) AS alpha_frac_e6, "
+    "CAST(CASE WHEN COALESCE(st.n_tokens, 0) BETWEEN 20 AND 100000 "
+    "AND COALESCE(st.wl * 1000000 // st.n_tokens, 0) BETWEEN 2000000 AND 10000000 "
+    "AND COALESCE(tw.top_count * 1000000 // st.n_tokens, 0) <= 200000 "
+    "AND COALESCE(st.stop_hits, 0) >= 1 "
+    "AND COALESCE(st.alpha_hits * 1000000 // st.n_tokens, 0) >= 800000 "
+    "THEN 1 ELSE 0 END AS BIGINT) AS keep "
+    "FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN tw USING (doc_id)"
+)

@@ -112,3 +112,56 @@ def fingerprint_batch(batch: pa.Table, id_col="doc_id", text_col="text",
         v = int(roll.min() & MASK64)
         out[i] = v - (1 << 64) if v >= (1 << 63) else v
     return pa.table({id_col: batch[id_col], "fingerprint": pa.array(out)})
+
+
+def gopher_quality_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
+    """Gopher-style document-quality filter flags (Rae et al. 2021 §A1.1
+    heuristics adapted to the whitespace-token model shared with the SQL
+    oracle).  All ratios are integer-exact (``x * 1e6 // n_tokens``) so the
+    DuckDB twin matches bit-for-bit.
+
+    Emitted per doc: n_tokens, mean_wordlen_e6, top_word_frac_e6 (repetition
+    signal: most frequent word's share), stop_hits, alpha_frac_e6, and the
+    combined ``keep`` flag:
+      20 <= n_tokens <= 100_000, mean word length in [2, 10] chars,
+      top word <= 20% of tokens, >= 1 stopword, >= 80% words contain a-z.
+    One stateless vectorized pass; a doc never spans batches, so no shuffle.
+    """
+    s = batch[text_col].to_pandas().fillna("").str.lower().str.strip()
+    toks = s.str.split()
+    n_tokens = toks.str.len().fillna(0).astype("int64")
+
+    ex = toks.explode().dropna()
+    idx = np.arange(len(s))
+
+    def per_doc(series, fill=0):
+        return series.reindex(idx, fill_value=fill).astype("int64").to_numpy()
+
+    wl_sum = per_doc(ex.str.len().groupby(level=0).sum())
+    top_count = per_doc(ex.groupby([ex.index, ex]).size().groupby(level=0).max())
+    stop_hits = per_doc(ex.isin(EN_STOPWORDS).groupby(level=0).sum())
+    alpha_hits = per_doc(ex.str.contains("[a-z]", regex=True).groupby(level=0).sum())
+
+    nt = n_tokens.to_numpy()
+    safe = np.maximum(nt, 1)
+    mean_wordlen_e6 = np.where(nt > 0, wl_sum * 1_000_000 // safe, 0)
+    top_word_frac_e6 = np.where(nt > 0, top_count * 1_000_000 // safe, 0)
+    alpha_frac_e6 = np.where(nt > 0, alpha_hits * 1_000_000 // safe, 0)
+
+    keep = (
+        (nt >= 20) & (nt <= 100_000)
+        & (mean_wordlen_e6 >= 2_000_000) & (mean_wordlen_e6 <= 10_000_000)
+        & (top_word_frac_e6 <= 200_000)
+        & (stop_hits >= 1)
+        & (alpha_frac_e6 >= 800_000)
+    ).astype(np.int64)
+
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(nt),
+        "mean_wordlen_e6": pa.array(mean_wordlen_e6.astype(np.int64)),
+        "top_word_frac_e6": pa.array(top_word_frac_e6.astype(np.int64)),
+        "stop_hits": pa.array(stop_hits),
+        "alpha_frac_e6": pa.array(alpha_frac_e6.astype(np.int64)),
+        "keep": pa.array(keep),
+    })

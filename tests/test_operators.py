@@ -745,3 +745,31 @@ class TestTfidfTopTerms:
         n_words = words.groupby(level=0).nunique()
         full = n_words[n_words >= 3].index
         assert (g[g.doc_id.isin(full)].groupby("doc_id").size() == 3).all()
+
+
+class TestGopherQuality:
+    def test_rule_flags_on_planted_docs(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.text import gopher_quality_batch
+
+        good = "the " + " ".join(f"word{i % 19}x" for i in range(40))  # 41 toks, has stopword
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                good,                                   # passes all rules
+                "short doc the end",                    # < 20 tokens
+                "the " + "spam " * 40,                  # top word 40/41 > 20%
+                " ".join("verylongsyllableword" for _ in range(60)) + " " + good,  # mean len > 10
+                good.replace("the ", "zz "),            # no stopword
+                "",                                     # empty
+            ],
+        })
+        out = (ray.data.from_pandas(docs)
+               .map_batches(gopher_quality_batch, batch_format="pyarrow")
+               .to_pandas().set_index("doc_id").sort_index())
+        assert out.loc[0, "keep"] == 1
+        assert list(out.loc[1:, "keep"]) == [0, 0, 0, 0, 0]
+        assert out.loc[5, "n_tokens"] == 0 and out.loc[5, "mean_wordlen_e6"] == 0
+        assert out.loc[2, "top_word_frac_e6"] > 200_000
+        assert out.loc[4, "stop_hits"] == 0
