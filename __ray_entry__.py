@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
+        "kmeans": T.q_kmeans,
     }
 
 

@@ -478,3 +478,16 @@ SQL_GOPHER_QUALITY = (
     "THEN 1 ELSE 0 END AS BIGINT) AS keep "
     "FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN tw USING (doc_id)"
 )
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed k-means cluster assignment over the embeddings table
+    (rows-only: iterative float-free Lloyd's — see ``stages.cluster``).
+    Deterministic and block-boundary-independent by integer quantization,
+    so the output is golden-pinnable."""
+    from ..stages.cluster import kmeans
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    asg, _cents, _it = kmeans(emb, k=10, n_iters=25)
+    pdf = asg.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return pdf[["vec_id", "cluster"]]

@@ -1,0 +1,148 @@
+"""Distributed k-means over an embedding column (training-data curation
+primitive: SemDeDup-style cluster-then-dedup, data-mix bucketing, IVF
+coarse quantizers all start from exactly this loop).
+
+Scale shape (the 100 TB discipline):
+- centroids are broadcast once per Lloyd iteration (``ray.put``, k x d
+  int64 — tiny); the corpus STREAMS through ``map_batches`` and never
+  shuffles;
+- each batch emits k partial rows (cluster, sum_vec, count) — the driver
+  reduces O(num_blocks x k) partials, never rows;
+- all arithmetic is INTEGER: vectors are quantized once to
+  ``round(v * 2^20)`` int64, distances and partial sums are exact int64,
+  centroid update is ``sum // count``.  Integer sums are associative, so
+  the result is bit-identical regardless of block boundaries, execution
+  order, or cluster size — the same trick as the engine's integer-cents
+  TPC-H aggregates, applied to an iterative ML kernel.  (Float partial
+  sums would make the fixpoint depend on reduction order.)
+- init is driver-side farthest-point over a deterministic 1/m id-sample
+  (<= ``max_sample`` points), the standard seeding shortcut at scale; the
+  Lloyd iterations themselves are fully distributed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+QUANT_SCALE = 1 << 20
+
+
+def quantize_vectors(t: pa.Table, vec_col: str = "embedding",
+                     scale: int = QUANT_SCALE) -> np.ndarray:
+    """list<float> column -> exact int64 matrix (rows x dim)."""
+    m = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+    return np.rint(m * scale).astype(np.int64)
+
+
+def _nearest(qmat: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 squared distances; ties -> lowest cluster index.
+
+    Chunked over rows so the (rows x k x d) diff tensor stays small."""
+    n = qmat.shape[0]
+    assign = np.empty(n, dtype=np.int64)
+    dist = np.empty(n, dtype=np.int64)
+    step = max(1, 2_000_000 // max(1, cents.shape[0] * cents.shape[1]))
+    for s in range(0, n, step):
+        d = qmat[s:s + step, None, :] - cents[None, :, :]  # int64, |v| ~ 2^21
+        dd = np.einsum("bkd,bkd->bk", d, d)  # ~2^48 at dim 64 — int64-safe
+        assign[s:s + step] = np.argmin(dd, axis=1)
+        dist[s:s + step] = np.min(dd, axis=1)
+    return assign, dist
+
+
+def _farthest_point_init(sample: np.ndarray, sample_ids: np.ndarray,
+                         k: int) -> np.ndarray:
+    """Greedy k-center seeding: start at the min-id point, repeatedly take
+    the point with max min-distance to chosen seeds (tie -> min id)."""
+    order = np.argsort(sample_ids, kind="stable")
+    sample, sample_ids = sample[order], sample_ids[order]
+    chosen = [0]
+    mind = ((sample - sample[0]) ** 2).sum(axis=1)
+    for _ in range(1, min(k, len(sample))):
+        nxt = int(np.argmax(mind))  # first max = min id (id-sorted)
+        chosen.append(nxt)
+        d = ((sample - sample[nxt]) ** 2).sum(axis=1)
+        np.minimum(mind, d, out=mind)
+    return sample[chosen]
+
+
+def kmeans_fit(emb, k: int = 10, n_iters: int = 20,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               sample_mod: int = 1, max_sample: int = 4096):
+    """Fit k centroids; returns (centroids int64 (k, d), iters_run).
+
+    ``emb`` streams once per iteration; convergence = centroids unchanged
+    (exact integer comparison, well-defined thanks to integer arithmetic).
+    """
+    emb = emb.materialize()  # consumed k_iters + 1 times
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist())
+        keep = (ids % sample_mod) == 0
+        q = quantize_vectors(t, vec_col)[keep]
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "q": pa.array(list(q), pa.list_(pa.int64()))})
+
+    sm = emb.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
+    sm = sm.sort_values(id_col, kind="stable").head(max_sample)
+    cents = _farthest_point_init(
+        np.stack(sm["q"].to_numpy()).astype(np.int64),
+        sm[id_col].to_numpy(), k)
+
+    it = 0
+    for it in range(1, n_iters + 1):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            q = quantize_vectors(t, vec_col)
+            a, _ = _nearest(q, c)
+            rows_c, rows_s, rows_n = [], [], []
+            for ci in np.unique(a):
+                rows_c.append(int(ci))
+                rows_s.append(q[a == ci].sum(axis=0, dtype=np.int64))
+                rows_n.append(int((a == ci).sum()))
+            return pa.table({
+                "cluster": pa.array(rows_c, pa.int64()),
+                "vsum": pa.array([list(map(int, v)) for v in rows_s],
+                                 pa.list_(pa.int64())),
+                "n": pa.array(rows_n, pa.int64()),
+            })
+
+        parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new = cents.copy()
+        for ci, g in parts.groupby("cluster"):
+            tot = np.sum(np.stack(g["vsum"].to_numpy()).astype(np.int64), axis=0)
+            cnt = int(g["n"].sum())
+            if cnt:
+                new[int(ci)] = tot // cnt  # floor div: exact, deterministic
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return cents, it
+
+
+def kmeans_assign(emb, cents: np.ndarray, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Final assignment pass -> Dataset (vec_id, cluster, dist_q)."""
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        q = quantize_vectors(t, vec_col)
+        a, d = _nearest(q, c)
+        return pa.table({id_col: t[id_col], "cluster": pa.array(a),
+                         "dist_q": pa.array(d)})
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans(emb, k: int = 10, n_iters: int = 20, id_col: str = "vec_id",
+           vec_col: str = "embedding", **kw):
+    """Fit + assign; returns (assignments Dataset, centroids, iters_run)."""
+    emb = emb.materialize()
+    cents, it = kmeans_fit(emb, k, n_iters, id_col, vec_col, **kw)
+    return kmeans_assign(emb, cents, id_col, vec_col), cents, it

@@ -773,3 +773,54 @@ class TestGopherQuality:
         assert out.loc[5, "n_tokens"] == 0 and out.loc[5, "mean_wordlen_e6"] == 0
         assert out.loc[2, "top_word_frac_e6"] > 200_000
         assert out.loc[4, "stop_hits"] == 0
+
+
+class TestKmeans:
+    def _numpy_twin(self, ids, vecs, k, n_iters):
+        """Single-process replication of stages/cluster.py — must be
+        BIT-IDENTICAL (integer quantization makes the distributed reduction
+        order-independent, so one process is a valid oracle)."""
+        from stac_catalog_builder_ray.stages.cluster import (
+            QUANT_SCALE, _farthest_point_init, _nearest)
+
+        q = np.rint(np.asarray(vecs, dtype=np.float64) * QUANT_SCALE).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        cents = _farthest_point_init(q[order][:4096], np.asarray(ids)[order][:4096], k)
+        for _ in range(n_iters):
+            a, _ = _nearest(q, cents)
+            new = cents.copy()
+            for ci in range(k):
+                m = a == ci
+                if m.any():
+                    new[ci] = q[m].sum(axis=0, dtype=np.int64) // m.sum()
+            if np.array_equal(new, cents):
+                break
+            cents = new
+        a, d = _nearest(q, cents)
+        return a, d
+
+    def test_planted_blobs_recovered_and_twin_identical(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.cluster import kmeans
+
+        rng = np.random.default_rng(7)
+        k, per, dim = 4, 100, 16
+        centers = rng.normal(0, 10, (k, dim))
+        vecs = np.concatenate([c + rng.normal(0, 0.1, (per, dim)) for c in centers])
+        ids = np.arange(k * per)
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+        # ragged blocks to exercise block-boundary independence
+        ds = ray.data.from_pandas([df.iloc[i:i + 33] for i in range(0, len(df), 33)])
+        asg, cents, it = kmeans(ds, k=k, n_iters=25)
+        got = asg.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+        # blobs recovered exactly: each planted blob maps to one cluster id
+        blob = ids // per
+        m = pd.crosstab(blob, got["cluster"].to_numpy())
+        assert (m.max(axis=1) == per).all() and got["cluster"].nunique() == k
+
+        # bit-identical to the single-process numpy twin
+        a_twin, d_twin = self._numpy_twin(ids, vecs, k, 25)
+        np.testing.assert_array_equal(got["cluster"].to_numpy(), a_twin)
+        np.testing.assert_array_equal(got["dist_q"].to_numpy(), d_twin)

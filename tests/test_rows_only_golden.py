@@ -32,6 +32,9 @@ GOLDEN = {
     # IVF ANN scale path (deterministic centroids; recall vs exact asserted
     # in test_operators::TestANN::test_ivf_recall)
     "ann_ivf": ("6762ddfedbb2d258", 50),
+    # distributed integer-quantized k-means (block-boundary-independent by
+    # construction — exactness proven in test_operators::TestKmeans)
+    "kmeans": ("146337c5f7cf0454", 500),
 }
 
 
