@@ -491,3 +491,25 @@ def q_kmeans(sf_dir: str):
     asg, _cents, _it = kmeans(emb, k=10, n_iters=25)
     pdf = asg.to_pandas().sort_values("vec_id").reset_index(drop=True)
     return pdf[["vec_id", "cluster"]]
+
+
+def q_pii_redact(sf_dir: str):
+    """Email/phone detection + redaction per document (compiled-regex actor
+    pool; see ``stages.text.PiiRedactStage``)."""
+    from ..stages.text import PiiRedactStage
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PiiRedactStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_PII_REDACT = (
+    "SELECT doc_id, "
+    "CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+    "CAST(length(regexp_extract_all(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\+?\\d[\\d\\- ]{7,}\\d')) AS BIGINT) AS n_phones, "
+    "regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted "
+    "FROM documents"
+)

@@ -165,3 +165,37 @@ def gopher_quality_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> p
         "alpha_frac_e6": pa.array(alpha_frac_e6.astype(np.int64)),
         "keep": pa.array(keep),
     })
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+class PiiRedactStage:
+    """PII scrub (emails, phone numbers) — the standard pre-training text
+    hygiene pass.  Regexes compile once per actor (T2 state); per batch one
+    vectorized pandas ``str.count`` / ``str.replace`` pass.  Replacement
+    order (emails first, then phones) is part of the contract and mirrored
+    in SQL_PII_REDACT; both engines use leftmost-first greedy semantics
+    (Python re / RE2), asserted on planted fixtures in
+    ``test_operators::TestPiiRedact``."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        import re
+
+        self.id_col, self.text_col = id_col, text_col
+        self.email = re.compile(PII_EMAIL_RE)
+        self.phone = re.compile(PII_PHONE_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col].to_pandas().fillna("")
+        n_emails = s.str.count(self.email).astype("int64")
+        red = s.str.replace(self.email, "<EMAIL>", regex=True)
+        n_phones = red.str.count(self.phone).astype("int64")
+        red = red.str.replace(self.phone, "<PHONE>", regex=True)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_emails": pa.array(n_emails.to_numpy()),
+            "n_phones": pa.array(n_phones.to_numpy()),
+            "redacted": pa.array(red.tolist(), pa.string()),
+        })

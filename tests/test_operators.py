@@ -824,3 +824,44 @@ class TestKmeans:
         a_twin, d_twin = self._numpy_twin(ids, vecs, k, 25)
         np.testing.assert_array_equal(got["cluster"].to_numpy(), a_twin)
         np.testing.assert_array_equal(got["dist_q"].to_numpy(), d_twin)
+
+
+class TestPiiRedact:
+    def test_planted_pii_both_engines_agree(self, ray_session):
+        """The sf corpora contain no PII, so the driver's oracle check is
+        trivially green there — this test plants real emails/phones and runs
+        BOTH the Ray stage and SQL_PII_REDACT on them, pinning the regex
+        semantics (leftmost-first greedy, email-then-phone order) across
+        engines."""
+        import tempfile
+
+        import duckdb
+        import ray.data
+
+        from stac_catalog_builder_ray.pipelines.text import SQL_PII_REDACT
+        from stac_catalog_builder_ray.stages.text import PiiRedactStage
+
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "contact me at john.doe+spam@example.co.uk for details",
+                "call +1 555-123-4567 or 020 7946 0958 today",
+                "both: a@b.io and 12345678901, plus x_y%z@sub.domain.org",
+                "no pii here just words",
+                "edge 1234567 too-short and a@b.c too-short-tld",
+            ],
+        })
+        got = (ray.data.from_pandas(docs)
+               .map_batches(PiiRedactStage, batch_format="pyarrow", concurrency=(1, 2))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = con.execute(SQL_PII_REDACT).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        assert got.loc[0, "n_emails"] == 1 and "<EMAIL>" in got.loc[0, "redacted"]
+        assert got.loc[1, "n_phones"] == 2 and got.loc[1, "redacted"].count("<PHONE>") == 2
+        assert got.loc[2, "n_emails"] == 2 and got.loc[2, "n_phones"] == 1
+        assert got.loc[3, "redacted"] == docs.loc[3, "text"]
+        assert got.loc[4, "n_emails"] == 0 and got.loc[4, "n_phones"] == 0
