@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
         "kmeans": T.q_kmeans,
+        "image_neardup_cluster": T.q_image_neardup_cluster,
     }
 
 

@@ -513,3 +513,22 @@ SQL_PII_REDACT = (
     "'\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted "
     "FROM documents"
 )
+
+
+def q_image_neardup_cluster(sf_dir: str):
+    """IMAGE near-dup cluster dedup: phash Hamming-band candidate pairs ->
+    connected components -> (image_id, keep_id) over the whole images table
+    (the image-payload twin of ``neardup_cluster``; rows-only — phash bit
+    ops are not SQL-expressible).  Reuses the auto-routed driver/distributed
+    component labeling; correctness of the banding is pigeonhole-guaranteed
+    (``stages.dedup.phash_neardup_pairs``)."""
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.dedup import neardup_cluster_labels, phash_neardup_pairs
+
+    images = rd.read_parquet(
+        images_from_documents(sf_dir, "/tmp/scbr-query-cache"),
+        columns=["image_id", "phash"])
+    pairs = phash_neardup_pairs(images, max_hamming=3)
+    out = neardup_cluster_labels(images, pairs, id_col="image_id")
+    pdf = out.to_pandas().sort_values("image_id").reset_index(drop=True)
+    return pdf[["image_id", "keep_id"]]

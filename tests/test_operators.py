@@ -865,3 +865,23 @@ class TestPiiRedact:
         assert got.loc[2, "n_emails"] == 2 and got.loc[2, "n_phones"] == 1
         assert got.loc[3, "redacted"] == docs.loc[3, "text"]
         assert got.loc[4, "n_emails"] == 0 and got.loc[4, "n_phones"] == 0
+
+
+class TestImageNeardupCluster:
+    def test_transitive_cluster_collapses_to_min_id(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.dedup import (
+            neardup_cluster_labels, phash_neardup_pairs)
+
+        # phashes: a=b (0 bits apart), b~c (2 bits), d far away
+        h = 0x0123456789ABCDEF
+        imgs = pd.DataFrame({
+            "image_id": ["a", "b", "c", "d"],
+            "phash": np.array([h, h, h ^ 0b11, ~h & (2**63 - 1)], dtype=np.int64),
+        })
+        ds = ray.data.from_pandas(imgs)
+        pairs = phash_neardup_pairs(ds, max_hamming=3)
+        out = (neardup_cluster_labels(ds, pairs, id_col="image_id")
+               .to_pandas().set_index("image_id")["keep_id"].sort_index())
+        assert out.to_dict() == {"a": "a", "b": "a", "c": "a", "d": "d"}

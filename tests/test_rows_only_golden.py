@@ -35,6 +35,9 @@ GOLDEN = {
     # distributed integer-quantized k-means (block-boundary-independent by
     # construction — exactness proven in test_operators::TestKmeans)
     "kmeans": ("146337c5f7cf0454", 500),
+    # image phash-band near-dup clustering (pair semantics pigeonhole-tested
+    # in test_operators; transitivity in TestImageNeardupCluster)
+    "image_neardup_cluster": ("94dd6c5dee21273a", 500),
 }
 
 
