@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": T.q_tfidf_top_terms,
         "gopher_quality": T.q_gopher_quality,
         "pii_redact": T.q_pii_redact,
+        "bigram_topk": T.q_bigram_topk,
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": T.SQL_TFIDF_TOP_TERMS,
         "gopher_quality": T.SQL_GOPHER_QUALITY,
         "pii_redact": T.SQL_PII_REDACT,
+        "bigram_topk": T.SQL_BIGRAM_TOPK,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

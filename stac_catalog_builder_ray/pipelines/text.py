@@ -532,3 +532,44 @@ def q_image_neardup_cluster(sf_dir: str):
     out = neardup_cluster_labels(images, pairs, id_col="image_id")
     pdf = out.to_pandas().sort_values("image_id").reset_index(drop=True)
     return pdf[["image_id", "keep_id"]]
+
+
+def q_bigram_topk(sf_dir: str):
+    """Corpus-wide top-50 bigram counts (LM n-gram statistics pass).
+
+    Per-batch (bigram partial-count) combiner -> one groupby-sum over
+    distinct bigrams -> tiny driver-side top-k: the shuffle moves distinct
+    (bigram, n) partials per batch, never the token stream.  Deterministic
+    tie-break (count desc, bigram asc) matches the SQL ORDER BY."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        ex = s.str.split().explode().dropna()
+        nxt = ex.groupby(level=0).shift(-1)
+        bg = (ex + " " + nxt).dropna()
+        vc = bg.value_counts()
+        return pa.table({"bigram": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    counts = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    pdf = counts.to_pandas()
+    pdf = pdf.sort_values(["n", "bigram"], ascending=[False, True], kind="stable").head(50)
+    return pdf.reset_index(drop=True)[["bigram", "n"]]
+
+
+SQL_BIGRAM_TOPK = (
+    "WITH t AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w "
+    "FROM documents WHERE trim(text) <> ''), "
+    "b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i + 1])) AS bigram FROM t) "
+    "SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram "
+    "ORDER BY n DESC, bigram LIMIT 50"
+)

@@ -885,3 +885,17 @@ class TestImageNeardupCluster:
         out = (neardup_cluster_labels(ds, pairs, id_col="image_id")
                .to_pandas().set_index("image_id")["keep_id"].sort_index())
         assert out.to_dict() == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+class TestBigramTopk:
+    def test_counts_and_doc_boundaries(self, ray_session, tmp_path):
+        from stac_catalog_builder_ray.pipelines.text import q_bigram_topk
+
+        # "b c" never spans docs: doc0 ends with b, doc1 starts with c
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["a b a b", "c a b", ""],
+        })
+        docs.to_parquet(tmp_path / "documents.parquet")
+        out = q_bigram_topk(str(tmp_path)).set_index("bigram")["n"].to_dict()
+        assert out == {"a b": 3, "b a": 1, "c a": 1}
