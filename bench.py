@@ -47,6 +47,14 @@ QUERY_NAMES = [
     # the nine above)
     "neardup_cluster",
     "asof_join",
+    # heavier late-round-3 operators (sf0.1 walls measured 2026-08-17:
+    # zonal 7.9s, interval 4.6s, tfidf 7.2s, kmeans 11.5s, image-cluster
+    # 24.2s incl. deterministic image-table synthesis)
+    "zonal_stats",
+    "interval_join",
+    "tfidf_top_terms",
+    "kmeans",
+    "image_neardup_cluster",
 ]
 
 
