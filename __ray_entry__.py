@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": G.q_tile_assign,
         "cell_extents": G.q_cell_extents,
         "zonal_stats": G.q_zonal_stats,
+        "radius_join": G.q_radius_join,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
             "MIN(lon) AS west, MIN(lat) AS south, MAX(lon) AS east, MAX(lat) AS north "
             "FROM pts GROUP BY 1"
         ),
+        "radius_join": G.radius_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

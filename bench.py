@@ -55,6 +55,8 @@ QUERY_NAMES = [
     "tfidf_top_terms",
     "kmeans",
     "image_neardup_cluster",
+    # grid epsilon-join over hash-derived points (~60k pairs, ~3 s at sf0.1)
+    "radius_join",
 ]
 
 

@@ -166,3 +166,99 @@ def q_zonal_stats(sf_dir: str):
     out = zonal_stats(ds, generate_aois())
     pdf = out.to_pandas().sort_values("aoi_id").reset_index(drop=True)
     return pdf
+
+
+# --- J7: within-radius self-join --------------------------------------------
+
+RADIUS = 0.5
+
+
+def _sqmod61(h: np.ndarray) -> np.ndarray:
+    """``h*h mod P`` (P = 2^61-1) int64-safe, vectorized.  Squaring is the
+    NONLINEAR step that makes derived points genuinely pair-dense: the KMV
+    hash is (piecewise) affine, so over sequential ids its values run an
+    arithmetic progression mod P and any digit-split projection of them is
+    a 2-D lattice with a large minimum gap — measured ZERO pairs within
+    0.5 deg out of a Poisson-expected ~606 at sf0.01.  A quadratic residue
+    sequence has no such lattice (measured 622 pairs ~ expectation).
+    Identity: with lo = h & (2^31-1), hi = h >> 31,
+    h^2 = hi^2*2^62 + hi*lo*2^32 + lo^2, and 2^61 === 1 (mod P); every
+    intermediate stays < 2^63.  SQL twin: one HUGEINT multiply."""
+    P = np.int64((1 << 61) - 1)
+    lo = h & ((1 << 31) - 1)
+    hi = h >> 31
+    term1 = (2 * ((hi * hi) % P)) % P          # hi^2 * 2^62 === 2*hi^2
+    m = hi * lo                                # < P already (30b x 31b)
+    m_hi = m >> 29
+    m_lo = m & ((1 << 29) - 1)
+    term2 = (m_hi + (m_lo << 32)) % P          # m * 2^32 === m_hi + m_lo*2^32
+    term3 = (lo * lo) % P
+    return (term1 + term2 + term3) % P
+
+
+def hashed_points(sf_dir: str):
+    """Pseudo-uniform points derived from events, int64/BIGINT-exact in SQL:
+    ``G = kmv_hash(id)^2 mod P``; lon from the low digits, lat from the
+    HIGH digits of G — ``lon = (G % 36000)/100 - 180``,
+    ``lat = ((G // 36000) % 18000)/100 - 90``.  The squaring (see
+    ``_sqmod61``) breaks the affine hash's 2-D lattice; without it the
+    derived set has NO pairs within the join radius (and two separate
+    affine hash calls are worse still: H(id+salt) - H(id) is constant, so
+    the points collapse onto a single lattice line)."""
+    from .relational import _kmv_hash
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _sqmod61(_kmv_hash(eid))
+        lon = (g % 36000) / 100.0 - 180.0
+        lat = ((g // 36000) % 18000) / 100.0 - 90.0
+        return pa.table({"event_id": t["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_radius_join(sf_dir: str):
+    """J7 fixed-radius distance self-join: all point pairs within 0.5 deg
+    Euclidean -> (id_a, id_b), id_a < id_b.  Grid-partitioned (cell side ==
+    radius, 4-neighbour ghosting, pair owned by the smaller cell); the
+    DuckDB oracle is the brute-force IEJoin over the same hashed points."""
+    from ..stages.spatial import radius_join
+
+    out = radius_join(hashed_points(sf_dir), RADIUS, id_col="event_id").to_pandas()
+    if "id_a" not in out.columns:  # 0 pairs: Ray to_pandas drops the schema
+        out = pd.DataFrame({"id_a": np.array([], np.int64),
+                            "id_b": np.array([], np.int64)})
+    return out
+
+
+def _kmv_sql_cte(expr: str) -> str:
+    """CTE chain computing the engine's two-round Mersenne hash of ``expr``
+    then its mod-P square -> column g (mirrors relational._kmv_hash +
+    _sqmod61; the square is one exact HUGEINT multiply in DuckDB)."""
+    from .relational import _KMV_A, _KMV_A2, _KMV_B, _KMV_P
+
+    return (
+        f"ha AS (SELECT event_id, ({expr} * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h FROM events), "
+        f"tb AS (SELECT event_id, ((h % 1073741824) * {_KMV_A2}) % {_KMV_P} AS t1, "
+        f"((h // 1073741824) * {_KMV_A2}) % {_KMV_P} AS tt FROM ha), "
+        f"hh AS (SELECT event_id, "
+        f"(t1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) % {_KMV_P}) % {_KMV_P} AS hha FROM tb), "
+        f"sq AS (SELECT event_id, "
+        f"CAST((CAST(hha AS HUGEINT) * hha) % {_KMV_P} AS BIGINT) AS g FROM hh)"
+    )
+
+
+def radius_join_sql() -> str:
+    return (
+        "WITH " + _kmv_sql_cte("event_id") + ", "
+        "pts AS (SELECT event_id, (g % 36000) / 100.0 - 180.0 AS lon, "
+        "((g // 36000) % 18000) / 100.0 - 90.0 AS lat FROM sq) "
+        "SELECT a.event_id AS id_a, b.event_id AS id_b FROM pts a JOIN pts b "
+        "ON a.event_id < b.event_id "
+        f"AND b.lon >= a.lon - {RADIUS} AND b.lon <= a.lon + {RADIUS} "
+        f"AND b.lat >= a.lat - {RADIUS} AND b.lat <= a.lat + {RADIUS} "
+        "AND (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) "
+        f"<= {RADIUS} * {RADIUS}"
+    )

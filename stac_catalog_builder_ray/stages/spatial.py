@@ -427,3 +427,99 @@ def assign_tiles(footprints, res: int = 7, id_col: str = "item_id"):
         return pa.table({id_col: batch[id_col].take(pa.array(row)), "tile_cell": pa.array(cells)})
 
     return footprints.map_batches(explode, batch_format="pyarrow")
+
+
+# --- J7: within-radius self-join (distance join) ----------------------------
+
+
+def radius_join(points, radius: float, id_col: str = "event_id", buckets: int = 64,
+                num_partitions: int = 16):
+    """All point pairs within Euclidean degree distance ``radius`` →
+    (id_a, id_b) with id_a < id_b, each unordered pair emitted exactly once.
+
+    The grid spatial join: each point lands in a square cell of side
+    ``radius``; a pair within the radius can only span adjacent cells, and
+    the pair is OWNED by the lexicographically-smaller of the two cells.
+    So every point emits one HOME row into its own cell plus GHOST copies
+    into the 4 lexicographically-smaller neighbours — the owning cell is
+    guaranteed to see both endpoints, and no other cell double-reports.
+    One ``groupby`` shuffle on a crc-mixed cell bucket colocates cells,
+    then a single vectorized pass per bucket expands the per-cell
+    cartesian (home×home upper triangle + home×ghost) and masks by the
+    exact squared distance — no Python loop over cells or pairs.
+
+    Partitioning assumption (documented per the task brief): cell side ==
+    radius, so per-cell occupancy ~ density x radius²; the per-cell
+    candidate count is quadratic in occupancy.  For skewed point sets
+    shrink the cell (emit to more neighbours) or pre-salt hot cells; for
+    pseudo-uniform data (this engine's derived point sets) occupancy is
+    O(1).  Reference analog: the engine's kNN ring partitioning (above) —
+    this is its fixed-radius sibling (a standard grid ε-join)."""
+    g = float(radius)
+    r2 = g * g
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = t["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = t["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = np.floor(lon / g).astype(np.int64)
+        cy = np.floor(lat / g).astype(np.int64)
+        # ghost targets: the 4 lexicographically-smaller neighbours of
+        # (cx, cy): (cx-1, cy-1), (cx-1, cy), (cx-1, cy+1), (cx, cy-1)
+        offs = np.array([[0, 0], [-1, -1], [-1, 0], [-1, 1], [0, -1]], dtype=np.int64)
+        n = len(ids)
+        rep_ids = np.tile(ids, 5)
+        rep_lon = np.tile(lon, 5)
+        rep_lat = np.tile(lat, 5)
+        rep_cx = np.concatenate([cx + o for o in offs[:, 0]])
+        rep_cy = np.concatenate([cy + o for o in offs[:, 1]])
+        home = np.zeros(5 * n, dtype=np.int8)
+        home[:n] = 1
+        cellkey = ((rep_cx + np.int64(1)) << 32) + (rep_cy + np.int64(1 << 21))
+        bucket = (cellkey * np.int64(2654435761)) % np.int64(buckets)
+        return pa.table({
+            "bucket": pa.array(bucket), "cellkey": pa.array(cellkey),
+            id_col: pa.array(rep_ids), "lon": pa.array(rep_lon),
+            "lat": pa.array(rep_lat), "home": pa.array(home),
+        })
+
+    def pairs_in_bucket(gdf: pd.DataFrame) -> pa.Table:
+        gdf = gdf.sort_values(["cellkey", "home", id_col], kind="stable")
+        key = gdf["cellkey"].to_numpy()
+        ids = gdf[id_col].to_numpy()
+        lon = gdf["lon"].to_numpy()
+        lat = gdf["lat"].to_numpy()
+        home = gdf["home"].to_numpy().astype(bool)
+        # segment boundaries per cell
+        seg_start = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        counts = np.diff(np.concatenate([seg_start, [len(key)]]))
+        m = counts * counts  # full cartesian per cell, masked below
+        total = int(m.sum())
+        if total == 0:
+            # arrow output: empty blocks KEEP their schema (empty pandas
+            # frames from map_groups come back columnless)
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        base = np.repeat(seg_start, m)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+        ci = np.repeat(counts, m)
+        i = base + within // ci
+        j = base + within % ci
+        # keep: i is home AND (j home => i<j for a single canonical order;
+        # j ghost => any order, the ghost's home cell never re-reports)
+        keep = home[i] & np.where(home[j], i < j, True)
+        i, j = i[keep], j[keep]
+        dx = lon[i] - lon[j]
+        dy = lat[i] - lat[j]
+        near = (dx * dx + dy * dy) <= r2
+        i, j = i[near], j[near]
+        ia, ib = ids[i], ids[j]
+        return pa.table({"id_a": pa.array(np.minimum(ia, ib).astype(np.int64)),
+                         "id_b": pa.array(np.maximum(ia, ib).astype(np.int64))})
+
+    return (
+        points.map_batches(emit, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )

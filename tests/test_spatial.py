@@ -236,3 +236,57 @@ class TestZonalStats:
         n_rows = t.num_rows
         h, w = decode_image(t.to_pylist()[0]["bytes"], t.to_pylist()[0]["fmt"]).shape
         assert int(got.loc["aoi_0", "n_pixels"]) == n_rows * h * w
+
+
+class TestRadiusJoin:
+    def test_matches_bruteforce(self, ray_session):
+        """Grid epsilon-join == the O(n^2) numpy mask, including pairs that
+        straddle cell boundaries and exact-distance ties on the rim."""
+        from stac_catalog_builder_ray.stages.spatial import radius_join
+
+        rng = np.random.default_rng(11)
+        n = 300
+        # half scattered, half in planted tight clusters so both the sparse
+        # and the dense per-cell code paths are exercised
+        lon = np.concatenate([rng.uniform(-10, 10, n // 2),
+                              rng.normal(0.0, 0.3, n // 4),
+                              rng.normal(5.0, 0.05, n // 4)])
+        lat = np.concatenate([rng.uniform(-8, 8, n // 2),
+                              rng.normal(-2.0, 0.3, n // 4),
+                              rng.normal(3.0, 0.05, n // 4)])
+        ids = np.arange(n, dtype=np.int64) * 7 + 3
+        pdf = pd.DataFrame({"event_id": ids, "lon": lon, "lat": lat})
+
+        r = 0.5
+        got = radius_join(ray.data.from_pandas(pdf), r, id_col="event_id",
+                          buckets=8, num_partitions=4).to_pandas()
+        got_set = set(zip(got["id_a"], got["id_b"]))
+
+        d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+        i, j = np.where(np.triu(d2 <= r * r, k=1))
+        want = {(min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b in zip(i, j)}
+        assert want, "oracle produced no pairs - test data degenerate"
+        assert got_set == want
+        assert len(got) == len(got_set), "duplicate pair emitted"
+
+    def test_sqmod61_exact(self):
+        """int64-split squaring == Python big-int h*h mod P, incl. max h."""
+        from stac_catalog_builder_ray.pipelines.geospatial import _sqmod61
+
+        P = (1 << 61) - 1
+        rng = np.random.default_rng(3)
+        h = rng.integers(0, P, 4000, dtype=np.int64)
+        h[0], h[1], h[2] = 0, 1, P - 1
+        got = _sqmod61(h)
+        want = np.array([(int(x) * int(x)) % P for x in h], dtype=np.int64)
+        assert (got == want).all()
+
+    def test_no_pairs_returns_zero_rows(self, ray_session):
+        """A corpus with no close pairs yields 0 rows (Ray's to_pandas on an
+        empty dataset is columnless — the query wrapper re-types it)."""
+        from stac_catalog_builder_ray.stages.spatial import radius_join
+
+        pdf = pd.DataFrame({"event_id": np.array([1, 2, 3], np.int64),
+                            "lon": [0.0, 50.0, -50.0], "lat": [0.0, 40.0, -40.0]})
+        out = radius_join(ray.data.from_pandas(pdf), 0.5, id_col="event_id").to_pandas()
+        assert len(out) == 0
