@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_extents": G.q_cell_extents,
         "zonal_stats": G.q_zonal_stats,
         "radius_join": G.q_radius_join,
+        "rect_join": G.q_rect_join,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM pts GROUP BY 1"
         ),
         "radius_join": G.radius_join_sql(),
+        "rect_join": G.rect_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

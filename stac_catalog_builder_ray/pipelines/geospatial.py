@@ -262,3 +262,64 @@ def radius_join_sql() -> str:
         "AND (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) "
         f"<= {RADIUS} * {RADIUS}"
     )
+
+
+# --- J8: rectangle-overlap join ---------------------------------------------
+
+RECT_CELL = 0.6  # >= max rect extent (2 * 0.25 + quantization)
+
+
+def hashed_rects(sf_dir: str):
+    """Axis-aligned rectangles derived from events, int64/BIGINT-exact:
+    center from the low digit fields of G = kmv_hash(id)^2 mod P (same
+    lattice-free derivation as `hashed_points`), half-extents from the next
+    digit fields — ``hw = ((G // (36000*18000)) % 50 + 1) / 200``,
+    ``hh = ((G // (36000*18000*50)) % 50 + 1) / 200`` (0.005..0.25 deg)."""
+    from .relational import _kmv_hash
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _sqmod61(_kmv_hash(eid))
+        lon = (g % 36000) / 100.0 - 180.0
+        lat = ((g // 36000) % 18000) / 100.0 - 90.0
+        rest = g // (36000 * 18000)
+        hw = (rest % 50 + 1) / 200.0
+        hh = ((rest // 50) % 50 + 1) / 200.0
+        return pa.table({
+            "event_id": t["event_id"],
+            "xmin": pa.array(lon - hw), "xmax": pa.array(lon + hw),
+            "ymin": pa.array(lat - hh), "ymax": pa.array(lat + hh),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_rect_join(sf_dir: str):
+    """J8 rectangle-intersection self-join (PBSM, reference-point dedup) →
+    (id_a, id_b), id_a < id_b.  DuckDB oracle: brute-force overlap join
+    over the same hashed rectangles."""
+    from ..stages.spatial import rect_overlap_join
+
+    out = rect_overlap_join(hashed_rects(sf_dir), RECT_CELL, id_col="event_id").to_pandas()
+    if "id_a" not in out.columns:  # 0 pairs: Ray to_pandas drops the schema
+        out = pd.DataFrame({"id_a": np.array([], np.int64),
+                            "id_b": np.array([], np.int64)})
+    return out
+
+
+def rect_join_sql() -> str:
+    return (
+        "WITH " + _kmv_sql_cte("event_id") + ", "
+        "rects AS (SELECT event_id, "
+        "(g % 36000) / 100.0 - 180.0 - ((g // 648000000) % 50 + 1) / 200.0 AS xmin, "
+        "(g % 36000) / 100.0 - 180.0 + ((g // 648000000) % 50 + 1) / 200.0 AS xmax, "
+        "((g // 36000) % 18000) / 100.0 - 90.0 - ((g // 32400000000) % 50 + 1) / 200.0 AS ymin, "
+        "((g // 36000) % 18000) / 100.0 - 90.0 + ((g // 32400000000) % 50 + 1) / 200.0 AS ymax "
+        "FROM sq) "
+        "SELECT a.event_id AS id_a, b.event_id AS id_b FROM rects a JOIN rects b "
+        "ON a.event_id < b.event_id "
+        "AND a.xmin <= b.xmax AND b.xmin <= a.xmax "
+        "AND a.ymin <= b.ymax AND b.ymin <= a.ymax"
+    )

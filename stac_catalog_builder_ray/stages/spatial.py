@@ -523,3 +523,111 @@ def radius_join(points, radius: float, id_col: str = "event_id", buckets: int = 
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
+
+
+# --- J8: rectangle-overlap join (PBSM with reference-point dedup) -----------
+
+
+def rect_overlap_join(rects, cell: float, id_col: str = "event_id", buckets: int = 64,
+                      num_partitions: int = 16):
+    """All pairs of axis-aligned rectangles that intersect (closed edges) →
+    (id_a, id_b), id_a < id_b, each unordered pair exactly once.
+
+    Partition-Based Spatial-Merge shape: each rectangle replicates to every
+    grid cell its extent touches (vectorized repeat over per-rect cell
+    counts — no Python loop); a pair is REPORTED only by the cell containing
+    the overlap's reference point (max of the two mins), the standard PBSM
+    duplicate-elimination rule, so replicated pairs never double-count and
+    no second dedup shuffle is needed.  One crc-bucketed groupby colocates
+    cells; one vectorized cartesian+mask pass per bucket finds pairs.
+
+    Partitioning assumption (documented): ``cell`` must be >= the largest
+    rectangle extent for the <=4-cells-per-rect bound; the code is correct
+    for any cell size (replication count grows with extent/cell).  Per-cell
+    candidate work is quadratic in cell occupancy — shrink ``cell`` for
+    dense data, enlarge for sparse."""
+    g = float(cell)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xmin = t["xmin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        xmax = t["xmax"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ymin = t["ymin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ymax = t["ymax"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx0 = np.floor(xmin / g).astype(np.int64)
+        cx1 = np.floor(xmax / g).astype(np.int64)
+        cy0 = np.floor(ymin / g).astype(np.int64)
+        cy1 = np.floor(ymax / g).astype(np.int64)
+        nx = cx1 - cx0 + 1
+        ny = cy1 - cy0 + 1
+        m = nx * ny  # cells touched per rect
+        total = int(m.sum())
+        base = np.repeat(np.arange(len(ids), dtype=np.int64), m)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+        cx = cx0[base] + within % nx[base]
+        cy = cy0[base] + within // nx[base]
+        cellkey = ((cx + np.int64(1 << 21)) << 32) + (cy + np.int64(1 << 21))
+        bucket = (cellkey * np.int64(2654435761)) % np.int64(buckets)
+        return pa.table({
+            "bucket": pa.array(bucket), "cellkey": pa.array(cellkey),
+            id_col: pa.array(ids[base]),
+            "xmin": pa.array(xmin[base]), "xmax": pa.array(xmax[base]),
+            "ymin": pa.array(ymin[base]), "ymax": pa.array(ymax[base]),
+        })
+
+    def pairs_in_bucket(gdf: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if len(gdf) == 0:
+            return empty
+        gdf = gdf.sort_values(["cellkey", id_col], kind="stable")
+        key = gdf["cellkey"].to_numpy()
+        ids = gdf[id_col].to_numpy()
+        xmin = gdf["xmin"].to_numpy()
+        xmax = gdf["xmax"].to_numpy()
+        ymin = gdf["ymin"].to_numpy()
+        ymax = gdf["ymax"].to_numpy()
+        seg_start = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        counts = np.diff(np.concatenate([seg_start, [len(key)]]))
+        m = counts * (counts - 1) // 2  # upper triangle per cell
+        total = int(m.sum())
+        if total == 0:
+            return empty
+        # upper-triangle index expansion per cell segment
+        base = np.repeat(seg_start, m)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+        ci = np.repeat(counts, m)
+        # row r of the triangle holds (ci-1-r) entries; invert the cumulative
+        # count with the quadratic formula to get (i, j) from the flat index
+        r = (2 * ci - 1 - np.sqrt((2 * ci - 1).astype(np.float64) ** 2 - 8 * within)) // 2
+        r = r.astype(np.int64)
+        # float sqrt can land one row off at segment boundaries — nudge back
+        cum = r * (2 * ci - 1 - r) // 2
+        r = np.where(cum > within, r - 1, r)
+        cum = r * (2 * ci - 1 - r) // 2
+        nxt = (r + 1) * (2 * ci - 2 - r) // 2
+        r = np.where(nxt <= within, r + 1, r)
+        cum = r * (2 * ci - 1 - r) // 2
+        i = base + r
+        j = base + within - cum + r + 1
+        ok = (xmin[i] <= xmax[j]) & (xmin[j] <= xmax[i]) & \
+             (ymin[i] <= ymax[j]) & (ymin[j] <= ymax[i])
+        i, j = i[ok], j[ok]
+        # PBSM reference point: report only from the cell that contains
+        # (max(xmin_i, xmin_j), max(ymin_i, ymin_j))
+        rx = np.maximum(xmin[i], xmin[j])
+        ry = np.maximum(ymin[i], ymin[j])
+        refkey = (((np.floor(rx / g).astype(np.int64) + np.int64(1 << 21)) << 32)
+                  + (np.floor(ry / g).astype(np.int64) + np.int64(1 << 21)))
+        own = refkey == key[i]
+        i, j = i[own], j[own]
+        ia, ib = ids[i], ids[j]
+        return pa.table({"id_a": pa.array(np.minimum(ia, ib).astype(np.int64)),
+                         "id_b": pa.array(np.maximum(ia, ib).astype(np.int64))})
+
+    return (
+        rects.map_batches(emit, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )

@@ -290,3 +290,48 @@ class TestRadiusJoin:
                             "lon": [0.0, 50.0, -50.0], "lat": [0.0, 40.0, -40.0]})
         out = radius_join(ray.data.from_pandas(pdf), 0.5, id_col="event_id").to_pandas()
         assert len(out) == 0
+
+
+class TestRectOverlapJoin:
+    @pytest.mark.parametrize("cell", [0.6, 0.15])
+    def test_matches_bruteforce(self, ray_session, cell):
+        """PBSM grid join == O(n^2) numpy overlap mask.  cell=0.15 is
+        SMALLER than the largest rect, forcing >4-cell replication and
+        exercising the reference-point dedup across many cells."""
+        from stac_catalog_builder_ray.stages.spatial import rect_overlap_join
+
+        rng = np.random.default_rng(23)
+        n = 250
+        cx = np.concatenate([rng.uniform(-5, 5, n - 40), rng.normal(1.0, 0.1, 40)])
+        cy = np.concatenate([rng.uniform(-4, 4, n - 40), rng.normal(-1.0, 0.1, 40)])
+        hw = rng.uniform(0.005, 0.25, n)
+        hh = rng.uniform(0.005, 0.25, n)
+        ids = np.arange(n, dtype=np.int64) * 3 + 11
+        pdf = pd.DataFrame({"event_id": ids, "xmin": cx - hw, "xmax": cx + hw,
+                            "ymin": cy - hh, "ymax": cy + hh})
+
+        got = rect_overlap_join(ray.data.from_pandas(pdf), cell, id_col="event_id",
+                                buckets=8, num_partitions=4).to_pandas()
+        got_pairs = sorted(zip(got["id_a"], got["id_b"]))
+
+        ox = (pdf["xmin"].to_numpy()[:, None] <= pdf["xmax"].to_numpy()[None, :]) & \
+             (pdf["xmin"].to_numpy()[None, :] <= pdf["xmax"].to_numpy()[:, None])
+        oy = (pdf["ymin"].to_numpy()[:, None] <= pdf["ymax"].to_numpy()[None, :]) & \
+             (pdf["ymin"].to_numpy()[None, :] <= pdf["ymax"].to_numpy()[:, None])
+        i, j = np.where(np.triu(ox & oy, k=1))
+        want = sorted((min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b in zip(i, j))
+        assert want, "oracle produced no overlaps - test data degenerate"
+        assert got_pairs == want  # also catches duplicates (sorted lists)
+
+    def test_triangle_inversion_large_segment(self, ray_session):
+        """One dense cell with hundreds of rects: the sqrt-based
+        upper-triangle inversion must enumerate every (i, j) exactly once."""
+        from stac_catalog_builder_ray.stages.spatial import rect_overlap_join
+
+        n = 400  # all rects identical -> all C(n,2) pairs, one cell
+        pdf = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                            "xmin": np.full(n, 0.1), "xmax": np.full(n, 0.2),
+                            "ymin": np.full(n, 0.1), "ymax": np.full(n, 0.2)})
+        got = rect_overlap_join(ray.data.from_pandas(pdf), 1.0, id_col="event_id").to_pandas()
+        assert len(got) == n * (n - 1) // 2
+        assert len(set(zip(got["id_a"], got["id_b"]))) == len(got)
