@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ids": R.q_duplicate_ids,
         # joins
         "join_broadcast": R.q_join_broadcast,
+        "small_qty_revenue": R.q_small_qty_revenue,
         "join_hash": R.q_join_hash,
         "anti_join": R.q_anti_join,
         "semi_join": R.q_semi_join,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": G.q_tile_assign,
         "cell_extents": G.q_cell_extents,
         "zonal_stats": G.q_zonal_stats,
+        "pixel_histogram": G.q_pixel_histogram,
         "radius_join": G.q_radius_join,
         "rect_join": G.q_rect_join,
         # text analysis / dedup / similarity (training-data ops)
@@ -268,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM pts GROUP BY 1"
         ),
         "radius_join": G.radius_join_sql(),
+        "small_qty_revenue": R.SQL_SMALL_QTY_REVENUE,
         "rect_join": G.rect_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,

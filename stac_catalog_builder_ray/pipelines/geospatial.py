@@ -323,3 +323,17 @@ def rect_join_sql() -> str:
         "AND a.xmin <= b.xmax AND b.xmin <= a.xmax "
         "AND a.ymin <= b.ymax AND b.ymin <= a.ymax"
     )
+
+
+def q_pixel_histogram(sf_dir: str):
+    """Corpus-wide per-atype pixel histogram (rows-only: pixel decode is not
+    SQL-expressible) over the deterministic images table.  Independent
+    numpy oracle: tests/test_spatial.py::TestPixelHistogram."""
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.zonal import pixel_histogram
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    ds = rd.read_parquet(images)
+    out = pixel_histogram(ds).to_pandas()
+    out["n_px"] = out["n_px"].astype("int64")
+    return out.sort_values(["atype", "bin"]).reset_index(drop=True)

@@ -1247,3 +1247,86 @@ SQL_SPLIT_ASSIGN = (
     "SELECT doc_id, CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' "
     "ELSE 'test' END AS split FROM b"
 )
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — correlated aggregate as a self-join: revenue from
+    lineitems whose quantity is below HALF their part's average quantity,
+    grouped by brand.  The correlated subquery becomes (1) a partial-then-
+    global per-part aggregate (two int64s per part cross the shuffle, never
+    the lineitems), (2) one partitioned join of the fact table against that
+    small aggregate on the SAME key, (3) a broadcast part->brand lookup.
+    The threshold test is integer arithmetic (2*qty*cnt < sum_qty — qty is
+    integral) and money is per-row integer cents, so the DuckDB twin
+    matches bit-for-bit under any aggregation order."""
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "qty": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        p = df.groupby("l_partkey", sort=False).agg(
+            sq=("qty", "sum"), c=("qty", "size")).reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    per_part = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sum_qty"), Sum("c", alias_name="cnt"))
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty": pa.array(t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "cents": pa.array(round_half_away(ext * 100.0).astype(np.int64)),
+        })
+
+    joined = li.map_batches(cents, batch_format="pyarrow").join(
+        per_part, join_type="inner", num_partitions=cluster_partitions(),
+        on=("l_partkey",),
+    )
+
+    def small(t: pa.Table) -> pa.Table:
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        sq = t["sum_qty"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(2 * qty * c < sq)).select(["l_partkey", "cents"])
+
+    # brand lookup: part is O(#parts) — broadcast once, map-side merge
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    def add_brand(t: pa.Table) -> pa.Table:
+        lut = ray.get(brand_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        brands = pd.Series(pk).map(lut).to_numpy()
+        return pa.table({"brand": pa.array(brands), "cents": t["cents"]})
+
+    out = (
+        joined.map_batches(small, batch_format="pyarrow")
+        .map_batches(add_brand, batch_format="pyarrow")
+        .groupby("brand")
+        .aggregate(Sum("cents", alias_name="revenue_cents"), Count(alias_name="n_small"))
+    )
+    pdf = out.to_pandas()
+    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
+    pdf["n_small"] = pdf["n_small"].astype("int64")
+    return pdf
+
+
+SQL_SMALL_QTY_REVENUE = (
+    "WITH agg AS (SELECT l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+    "COUNT(*) AS cnt FROM lineitem GROUP BY 1) "
+    "SELECT p.p_brand AS brand, "
+    "CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+    "COUNT(*) AS n_small "
+    "FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey "
+    "JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE 2 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_qty "
+    "GROUP BY 1"
+)

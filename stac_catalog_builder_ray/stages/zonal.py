@@ -145,3 +145,64 @@ def zonal_stats(images, aois: List[dict],
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+class HistogramPartials:
+    """(images batch) -> per-(group, bin) partial count rows.  The group is
+    the parsed acquisition type (same parser discipline as ZonalPartials);
+    one ``np.bincount`` per image over pre-shifted pixel values — pixels
+    never leave the stage, only ``n_groups x n_bins`` int64 rows do."""
+
+    def __init__(self, n_bins: int = 64, parser: str = "TiledObservationsParser"):
+        assert 65536 % n_bins == 0, "bins must divide the uint16 range"
+        self.n_bins = n_bins
+        self.shift = int(np.log2(65536 // n_bins))  # value >> shift == bin
+        self.parser: RegexPathParser = make_parser(parser)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parsed = self.parser.parse_column(batch["image_id"])
+        groups = parsed.get("asset_type", pa.nulls(batch.num_rows, pa.string())).to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        acc: dict = {}
+        for g, buf, fmt in zip(groups, bufs, fmts):
+            if g is None:
+                continue
+            px = decode_image(buf, fmt)
+            counts = np.bincount((px.ravel() >> self.shift).astype(np.int64),
+                                 minlength=self.n_bins)
+            prev = acc.get(g)
+            acc[g] = counts if prev is None else prev + counts
+        if not acc:
+            return pa.table({"atype": pa.array([], pa.string()),
+                             "bin": pa.array([], pa.int64()),
+                             "n_px": pa.array([], pa.int64())})
+        gs, bs, ns = [], [], []
+        for g, counts in acc.items():
+            nz = np.flatnonzero(counts)  # sparse partials: only occupied bins
+            gs.extend([g] * len(nz))
+            bs.append(nz.astype(np.int64))
+            ns.append(counts[nz].astype(np.int64))
+        return pa.table({"atype": pa.array(gs),
+                         "bin": pa.array(np.concatenate(bs)),
+                         "n_px": pa.array(np.concatenate(ns))})
+
+
+def pixel_histogram(images, n_bins: int = 64,
+                    parser: str = "TiledObservationsParser",
+                    concurrency=(1, 8), batch_size: Optional[int] = 64):
+    """Corpus-wide per-acquisition-type pixel-value histogram (the
+    training-data "intensity distribution" statistic): fixed power-of-two
+    bins over the uint16 range, per-batch bincount partials, one tiny
+    ``groupby((atype, bin))`` sum.  Shuffle volume is bounded by
+    ``n_groups x n_bins`` rows per batch regardless of image sizes."""
+    from ray.data.aggregate import Sum
+
+    partials = images.map_batches(
+        HistogramPartials,
+        fn_constructor_kwargs={"n_bins": n_bins, "parser": parser},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partials.groupby(["atype", "bin"]).aggregate(Sum("n_px", alias_name="n_px"))

@@ -38,6 +38,9 @@ GOLDEN = {
     # image phash-band near-dup clustering (pair semantics pigeonhole-tested
     # in test_operators; transitivity in TestImageNeardupCluster)
     "image_neardup_cluster": ("94dd6c5dee21273a", 500),
+    # per-atype pixel-value histogram (independent numpy oracle:
+    # test_spatial.py::TestPixelHistogram)
+    "pixel_histogram": ("7f90c50138b09007", 121),
 }
 
 

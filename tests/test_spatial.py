@@ -335,3 +335,42 @@ class TestRectOverlapJoin:
         got = rect_overlap_join(ray.data.from_pandas(pdf), 1.0, id_col="event_id").to_pandas()
         assert len(got) == n * (n - 1) // 2
         assert len(set(zip(got["id_a"], got["id_b"]))) == len(got)
+
+
+class TestPixelHistogram:
+    def test_matches_numpy_oracle(self, ray_session, scale_images_dir):
+        """Distributed (atype, bin) histogram == one flat numpy pass."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.functions.pathparse import make_parser
+        from stac_catalog_builder_ray.stages.zonal import pixel_histogram
+
+        n_bins = 64
+        got = pixel_histogram(ray.data.read_parquet(scale_images_dir), n_bins=n_bins) \
+            .to_pandas().sort_values(["atype", "bin"]).reset_index(drop=True)
+
+        t = pq.read_table(scale_images_dir)
+        parser = make_parser("TiledObservationsParser")
+        atypes = parser.parse_column(t["image_id"]).get("asset_type").to_pylist()
+        shift = int(np.log2(65536 // n_bins))
+        acc = {}
+        for a, buf, fmt in zip(atypes, t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+            px = decode_image(buf, fmt)
+            c = np.bincount((px.ravel() >> shift).astype(np.int64), minlength=n_bins)
+            acc[a] = acc.get(a, np.zeros(n_bins, np.int64)) + c
+        rows = [(a, int(b), int(c[b])) for a, c in acc.items() for b in np.flatnonzero(c)]
+        want = pd.DataFrame(rows, columns=["atype", "bin", "n_px"]) \
+            .sort_values(["atype", "bin"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"bin": np.int64, "n_px": np.int64}), want)
+
+    def test_counts_sum_to_total_pixels(self, ray_session, scale_images_dir):
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.stages.zonal import pixel_histogram
+
+        got = pixel_histogram(ray.data.read_parquet(scale_images_dir)).to_pandas()
+        t = pq.read_table(scale_images_dir)
+        total = int((t["w"].to_numpy() * t["h"].to_numpy()).sum())
+        assert int(got["n_px"].sum()) == total
