@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": T.q_gopher_quality,
         "pii_redact": T.q_pii_redact,
         "bigram_topk": T.q_bigram_topk,
+        "dup_ngrams": T.q_dup_ngrams,
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": T.SQL_GOPHER_QUALITY,
         "pii_redact": T.SQL_PII_REDACT,
         "bigram_topk": T.SQL_BIGRAM_TOPK,
+        "dup_ngrams": T.SQL_DUP_NGRAMS,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

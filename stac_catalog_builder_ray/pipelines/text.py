@@ -573,3 +573,76 @@ SQL_BIGRAM_TOPK = (
     "SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram "
     "ORDER BY n DESC, bigram LIMIT 50"
 )
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Cross-corpus duplicated-5-gram statistics (the RefinedWeb/Gopher
+    ``dup_ngram_fraction`` signal computed against the WHOLE corpus, not
+    within-document): per doc, how many of its distinct 5-grams appear in
+    at least one other document.
+
+    Shape: vectorized per-doc distinct-gram explode (pandas shift chain, no
+    Python loop over tokens) -> per-gram document frequency (one groupby
+    over distinct (doc, gram) rows — map-side dedup bounds fan-in) -> one
+    partitioned join back on gram -> per-doc count aggregate.  Gram text is
+    the key here so the DuckDB twin is exact; the 100 TB path keys the same
+    shuffle by a 64-bit gram hash (the minhash stage's shingle discipline,
+    stages/dedup.py) at ~1/10th the shuffle bytes."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import cluster_partitions
+
+    N = 5
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def distinct_grams(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        doc_ids = t["doc_id"].to_pandas()
+        ex = s.str.split().explode().dropna()
+        parts = [ex] + [ex.groupby(level=0).shift(-k) for k in range(1, N)]
+        gram = parts[0].str.cat(parts[1:], sep=" ")  # NaN past doc tail
+        df = pd.DataFrame({"doc": gram.index, "gram": gram.to_numpy()}).dropna()
+        df = df.drop_duplicates()  # per-doc DISTINCT grams
+        return pa.table({"doc_id": pa.array(doc_ids.iloc[df["doc"]].to_numpy()),
+                         "gram": pa.array(df["gram"].to_numpy(dtype=object), pa.string())})
+
+    dg = docs.map_batches(distinct_grams, batch_format="pyarrow")
+    freq = dg.groupby("gram").aggregate(Count(alias_name="n_docs"))
+    # aggregate output can carry schema-less empty blocks on empty hash
+    # partitions, which pyarrow's join rejects — rebuild from nonempty refs
+    from ..stages.dedup import _compact_nonempty
+
+    freq = _compact_nonempty(freq.materialize(),
+                             pa.schema([("gram", pa.string()), ("n_docs", pa.int64())]))
+    joined = dg.join(freq, join_type="inner", num_partitions=cluster_partitions(),
+                     on=("gram",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "one": pa.array(np.ones(len(nd), np.int64)),
+                         "dup": pa.array((nd >= 2).astype(np.int64))})
+
+    out = (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("one", alias_name="n_grams"), Sum("dup", alias_name="n_dup"))
+    )
+    pdf = out.to_pandas()
+    pdf["n_grams"] = pdf["n_grams"].astype("int64")
+    pdf["n_dup"] = pdf["n_dup"].astype("int64")
+    return pdf
+
+
+SQL_DUP_NGRAMS = (
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w "
+    "FROM documents WHERE trim(text) <> ''), "
+    "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram FROM t), "
+    "dg AS (SELECT DISTINCT doc_id, gram FROM g), "
+    "df AS (SELECT gram, COUNT(*) AS n_docs FROM dg GROUP BY 1) "
+    "SELECT d.doc_id, COUNT(*) AS n_grams, "
+    "CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+    "FROM dg d JOIN df f ON d.gram = f.gram GROUP BY 1"
+)

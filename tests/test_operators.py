@@ -899,3 +899,50 @@ class TestBigramTopk:
         docs.to_parquet(tmp_path / "documents.parquet")
         out = q_bigram_topk(str(tmp_path)).set_index("bigram")["n"].to_dict()
         assert out == {"a b": 3, "b a": 1, "c a": 1}
+
+
+class TestDupNgrams:
+    def test_planted_shared_gram(self, ray_session, tmp_path):
+        """Two docs share exactly one 5-gram window; a third is disjoint."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_dup_ngrams
+
+        shared = "alpha beta gamma delta epsilon"
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                f"one two {shared} three four",       # 8 distinct grams
+                f"five six seven {shared} eight",     # 8 distinct grams
+                "nine ten eleven twelve thirteen fourteen",  # 2 grams, unique
+            ]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = q_dup_ngrams(str(tmp_path)).set_index("doc_id").sort_index()
+
+        # doc 1: words = [one two alpha beta gamma delta epsilon three four]
+        # -> 5 grams; the only one shared with doc 2 is the planted window
+        assert out.loc[1, "n_grams"] == 5 and out.loc[1, "n_dup"] == 1
+        assert out.loc[2, "n_grams"] == 5 and out.loc[2, "n_dup"] == 1
+        assert out.loc[3, "n_grams"] == 2 and out.loc[3, "n_dup"] == 0
+
+    def test_repeated_gram_within_doc_counts_once(self, ray_session, tmp_path):
+        """Within-doc repetition must not inflate the cross-corpus signal."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_dup_ngrams
+
+        g = "a b c d e"
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([f"{g} {g}", g]),  # doc 1 repeats the window
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = q_dup_ngrams(str(tmp_path)).set_index("doc_id").sort_index()
+        # doc 1 has 10 words -> 6 positions but distinct grams only 6 unique?
+        # positions: abcde bcdea cdeab deabc eabcd abcde -> 5 distinct
+        assert out.loc[1, "n_grams"] == 5
+        assert out.loc[1, "n_dup"] == 1  # only "a b c d e" appears in doc 2
+        assert out.loc[2, "n_grams"] == 1 and out.loc[2, "n_dup"] == 1
