@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_extents": G.q_cell_extents,
         "zonal_stats": G.q_zonal_stats,
         "pixel_histogram": G.q_pixel_histogram,
+        "patch_stats": G.q_patch_stats,
         "radius_join": G.q_radius_join,
         "rect_join": G.q_rect_join,
         # text analysis / dedup / similarity (training-data ops)

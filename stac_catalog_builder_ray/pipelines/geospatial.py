@@ -337,3 +337,30 @@ def q_pixel_histogram(sf_dir: str):
     out = pixel_histogram(ds).to_pandas()
     out["n_px"] = out["n_px"].astype("int64")
     return out.sort_values(["atype", "bin"]).reset_index(drop=True)
+
+
+def q_patch_stats(sf_dir: str):
+    """Corpus-wide per-grid-position patch statistics over the ViT-style
+    patch fan-out (rows-only: pixel decode is not SQL-expressible):
+    patches are extracted distributed, then reduced to one row per
+    (patch_row, patch_col) with integer pixel sums — int64 arithmetic, so
+    the result is independent of partial-aggregation order.  Independent
+    numpy oracle: tests/test_operators.py::TestPatchExtract."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.multimodal import extract_patches
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    patches = extract_patches(rd.read_parquet(images), patch=16)
+    out = (
+        patches.map_batches(
+            lambda t: t.select(["patch_row", "patch_col", "px_sum"]),
+            batch_format="pyarrow")
+        .groupby(["patch_row", "patch_col"])
+        .aggregate(Count(alias_name="n_patches"), Sum("px_sum", alias_name="px_sum"))
+    )
+    pdf = out.to_pandas()
+    pdf["n_patches"] = pdf["n_patches"].astype("int64")
+    pdf["px_sum"] = pdf["px_sum"].astype("int64")
+    return pdf.sort_values(["patch_row", "patch_col"]).reset_index(drop=True)

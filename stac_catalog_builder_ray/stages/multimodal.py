@@ -161,3 +161,66 @@ class FrameSampleStage:
                 "bytes": pa.array(frames, pa.binary()),
             }
         )
+
+
+class PatchExtractStage:
+    """Image -> non-overlapping ``p x p`` patches (the ViT training-data
+    fan-out): one row per patch with grid coordinates, raw little-endian
+    uint16 payload, and integer pixel sums for downstream filtering.
+
+    Vectorized per image (one reshape/transpose, no per-patch loop); the
+    batch loop is payload-bound like every decode stage.  Ragged edges are
+    dropped (the standard ViT convention), so ``h % p`` / ``w % p`` tail
+    pixels never emit.  Fan-out is (h//p)*(w//p) rows per image — size
+    ``batch_size`` so batch x fan-out x p² x 2 bytes fits the worker heap."""
+
+    def __init__(self, patch: int = 16, strict: bool = False):
+        self.p = int(patch)
+        self.decoder = DecodeStage(strict=strict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.p
+        ids, prs, pcs, bufs, sums = [], [], [], [], []
+        for i in range(batch.num_rows):
+            px = self.decoder._decode(
+                batch["bytes"][i].as_py(), batch["fmt"][i].as_py(),
+                batch["w"][i].as_py(), batch["h"][i].as_py())
+            h, w = px.shape
+            gh, gw = h // p, w // p
+            if gh == 0 or gw == 0:
+                continue
+            grid = px[: gh * p, : gw * p].reshape(gh, p, gw, p).transpose(0, 2, 1, 3)
+            flat = np.ascontiguousarray(grid).reshape(gh * gw, p * p)
+            img_id = batch["image_id"][i].as_py()
+            ids.extend([img_id] * (gh * gw))
+            prs.append(np.repeat(np.arange(gh, dtype=np.int32), gw))
+            pcs.append(np.tile(np.arange(gw, dtype=np.int32), gh))
+            le = flat.astype("<u2")
+            bufs.extend(le[j].tobytes() for j in range(gh * gw))
+            sums.append(flat.astype(np.int64).sum(axis=1))
+        if not ids:
+            return pa.table({"image_id": pa.array([], pa.string()),
+                             "patch_row": pa.array([], pa.int32()),
+                             "patch_col": pa.array([], pa.int32()),
+                             "patch": pa.array([], pa.binary()),
+                             "px_sum": pa.array([], pa.int64())})
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "patch_row": pa.array(np.concatenate(prs)),
+            "patch_col": pa.array(np.concatenate(pcs)),
+            "patch": pa.array(bufs, pa.binary()),
+            "px_sum": pa.array(np.concatenate(sums)),
+        })
+
+
+def extract_patches(images, patch: int = 16, concurrency=(1, 8),
+                    batch_size: int = 32):
+    """images Dataset -> patches Dataset (image_id, patch_row, patch_col,
+    patch bytes, px_sum), actor-pool stage."""
+    return images.map_batches(
+        PatchExtractStage,
+        fn_constructor_kwargs={"patch": patch},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -946,3 +946,46 @@ class TestDupNgrams:
         assert out.loc[1, "n_grams"] == 5
         assert out.loc[1, "n_dup"] == 1  # only "a b c d e" appears in doc 2
         assert out.loc[2, "n_grams"] == 1 and out.loc[2, "n_dup"] == 1
+
+
+class TestPatchExtract:
+    def test_reassembly_and_sums(self, ray_session, scale_images_dir):
+        """Patches of one image reassemble EXACTLY to the decoded original
+        (cropped to the patch grid), and px_sum matches numpy."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.stages.multimodal import extract_patches
+
+        p = 16
+        t = pq.read_table(scale_images_dir)
+        got = extract_patches(ray.data.read_parquet(scale_images_dir), patch=p).to_pandas()
+
+        # pick 3 images, reassemble
+        for idx in (0, 7, 123):
+            img_id = t["image_id"][idx].as_py()
+            px = decode_image(t["bytes"][idx].as_py(), t["fmt"][idx].as_py())
+            h, w = px.shape
+            gh, gw = h // p, w // p
+            sub = got[got["image_id"] == img_id]
+            assert len(sub) == gh * gw
+            rebuilt = np.zeros((gh * p, gw * p), dtype=np.uint16)
+            for _, r in sub.iterrows():
+                patch = np.frombuffer(r["patch"], dtype="<u2").reshape(p, p)
+                rebuilt[r["patch_row"]*p:(r["patch_row"]+1)*p,
+                        r["patch_col"]*p:(r["patch_col"]+1)*p] = patch
+                assert int(patch.astype(np.int64).sum()) == r["px_sum"]
+            assert (rebuilt == px[:gh*p, :gw*p]).all()
+
+    def test_small_image_drops_ragged_edge(self, ray_session):
+        import ray.data
+        from stac_catalog_builder_ray.codec.raster import encode_image
+        from stac_catalog_builder_ray.stages.multimodal import extract_patches
+
+        px = (np.arange(20*35, dtype=np.uint16).reshape(20, 35)) % 65535
+        t = pa.table({"image_id": pa.array(["x"]), "bytes": pa.array([encode_image(px, "raw")]),
+                      "w": pa.array([35], pa.int32()), "h": pa.array([20], pa.int32()),
+                      "fmt": pa.array(["raw"])})
+        got = extract_patches(ray.data.from_arrow(t), patch=16).to_pandas()
+        assert len(got) == 1 * 2  # 20//16=1 row, 35//16=2 cols

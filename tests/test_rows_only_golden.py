@@ -41,6 +41,9 @@ GOLDEN = {
     # per-atype pixel-value histogram (independent numpy oracle:
     # test_spatial.py::TestPixelHistogram)
     "pixel_histogram": ("7f90c50138b09007", 121),
+    # ViT-style patch fan-out reduced to per-grid-position integer sums
+    # (exact reassembly proven in test_operators::TestPatchExtract)
+    "patch_stats": ("d3af6fdf23558d78", 12),
 }
 
 
