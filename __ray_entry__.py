@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_hash": R.q_join_hash,
         "anti_join": R.q_anti_join,
         "semi_join": R.q_semi_join,
+        "semi_join_bloom": R.q_semi_join_bloom,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "radius_join": G.radius_join_sql(),
         "small_qty_revenue": R.SQL_SMALL_QTY_REVENUE,
+        "semi_join_bloom": R.SQL_SEMI_JOIN_BLOOM,
         "rect_join": G.rect_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,

@@ -1330,3 +1330,90 @@ SQL_SMALL_QTY_REVENUE = (
     "WHERE 2 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_qty "
     "GROUP BY 1"
 )
+
+
+# --- Bloom-filter semi-join (the 100 TB probe-pruning path) -----------------
+
+_BLOOM_BITS = 1 << 20  # 128 KiB bitmap; ~0.3% fp at 1e5 keys / k=2
+
+
+def _bloom_positions(keys: np.ndarray, salt: int) -> np.ndarray:
+    """Bit positions for one hash round — any mix works here: the filter
+    only PRUNES; false positives are removed by the exact join after it,
+    so this hash needs no SQL twin (contrast _kmv_hash)."""
+    h = _kmv_hash(keys * np.int64(2 * salt + 1) + np.int64(salt))
+    return (h % _BLOOM_BITS).astype(np.int64)
+
+
+def _bloom_build(keys_ds, key_col: str):
+    """Distributed Bloom build: one fixed-size partial bitmap per batch,
+    OR-merged.  The merge is driver-side over #batches x 128 KiB arrays
+    (at 256 nodes: a two-level ray tree-reduce drops driver traffic to
+    #nodes bitmaps; the bitmap itself never depends on merge order)."""
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        for salt in (1, 2):
+            pos = _bloom_positions(k, salt)
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for row in keys_ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return merged
+
+
+def q_semi_join_bloom(sf_dir: str):
+    """J3 semi-join, Bloom-pruned: revenue cents + line count per URGENT
+    order.  The urgent-orderkey Bloom bitmap (fixed 128 KiB regardless of
+    key count) broadcasts once via ``ray.put``; the fact table drops
+    non-matching rows MAP-SIDE before the shuffle, then the exact
+    partitioned join removes the ~0.3% false positives — so the result is
+    EXACT (false negatives are impossible by construction) while the join
+    shuffle carries only the pre-filtered survivors.  Oracle: the plain
+    semi-join SQL; the bitmap is invisible to correctness."""
+    urgent = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_orderkey"])
+
+    urgent = urgent.map_batches(pick, batch_format="pyarrow")
+    bitmap_ref = ray.put(_bloom_build(urgent, "o_orderkey"))
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        bits = ray.get(bitmap_ref)
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.ones(len(k), dtype=bool)
+        for salt in (1, 2):
+            pos = _bloom_positions(k, salt)
+            keep &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        t = t.filter(pa.array(keep))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": pa.array(round_half_away(ext * 100.0).astype(np.int64))})
+
+    survivors = li.map_batches(probe, batch_format="pyarrow")
+    exact = survivors.join(urgent, join_type="inner",
+                           num_partitions=cluster_partitions(),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+    out = exact.groupby("l_orderkey").aggregate(
+        Sum("cents", alias_name="revenue_cents"), Count(alias_name="n_lines"))
+    pdf = out.to_pandas()
+    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
+    pdf["n_lines"] = pdf["n_lines"].astype("int64")
+    return pdf
+
+
+SQL_SEMI_JOIN_BLOOM = (
+    "SELECT l.l_orderkey, "
+    "CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+    "COUNT(*) AS n_lines "
+    "FROM lineitem l WHERE l.l_orderkey IN "
+    "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
+    "GROUP BY 1"
+)

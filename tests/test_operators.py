@@ -989,3 +989,41 @@ class TestPatchExtract:
                       "fmt": pa.array(["raw"])})
         got = extract_patches(ray.data.from_arrow(t), patch=16).to_pandas()
         assert len(got) == 1 * 2  # 20//16=1 row, 35//16=2 cols
+
+
+class TestBloomSemiJoin:
+    def test_no_false_negatives_and_prunes(self, ray_session):
+        import ray.data
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            _BLOOM_BITS, _bloom_build, _bloom_positions)
+
+        member = np.arange(0, 20000, 2, dtype=np.int64)      # 10k member keys
+        probe = np.arange(1, 400001, 2, dtype=np.int64)      # 200k disjoint keys
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(member)}))
+        bits = _bloom_build(ds, "k")
+
+        def passes(keys):
+            keep = np.ones(len(keys), dtype=bool)
+            for salt in (1, 2):
+                pos = _bloom_positions(keys, salt)
+                keep &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            return keep
+
+        assert passes(member).all(), "bloom false negative (impossible by construction)"
+        fp = passes(probe).mean()
+        # m/n = 2^20/1e4 ≈ 105 bits/key, k=2 -> fp ≈ (1-e^-2n k /m)^k ≈ 3.6e-4
+        assert fp < 0.01, f"false-positive rate {fp:.4f} too high to prune anything"
+
+    def test_query_equals_plain_semi_join(self, ray_session, sf_dir):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_SEMI_JOIN_BLOOM, q_semi_join_bloom)
+
+        got = q_semi_join_bloom(sf_dir).sort_values("l_orderkey").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')")
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')")
+        want = con.execute(SQL_SEMI_JOIN_BLOOM).df().sort_values("l_orderkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
