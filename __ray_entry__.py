@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": T.q_pii_redact,
         "bigram_topk": T.q_bigram_topk,
         "dup_ngrams": T.q_dup_ngrams,
+        "vocab_oov": T.q_vocab_oov,
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": T.SQL_PII_REDACT,
         "bigram_topk": T.SQL_BIGRAM_TOPK,
         "dup_ngrams": T.SQL_DUP_NGRAMS,
+        "vocab_oov": T.SQL_VOCAB_OOV,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

@@ -646,3 +646,71 @@ SQL_DUP_NGRAMS = (
     "CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
     "FROM dg d JOIN df f ON d.gram = f.gram GROUP BY 1"
 )
+
+
+def q_vocab_oov(sf_dir: str):
+    """Two-phase tokenizer-style pipeline: (1) corpus pass builds the
+    vocabulary — top-16 words by (count desc, word asc), the deterministic
+    tie-break a byte-exact SQL twin needs; (2) the vocabulary broadcasts
+    via ``ray.put`` and a second pass scores every doc: total tokens,
+    out-of-vocabulary tokens, distinct OOV tokens.  This is the shape of
+    every fixed-vocab encode at 100 TB: the corpus is read twice (both
+    streaming), the driver holds only the k-word vocab, and nothing
+    shuffles in phase 2."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    K = 16  # ~half the corpus vocabulary -> OOV is well exercised
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        vc = s.str.split().explode().dropna().value_counts()
+        return pa.table({"word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    counts = (
+        docs.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    vocab = set(
+        counts.sort_values(["n", "word"], ascending=[False, True], kind="stable")
+        .head(K)["word"]
+    )
+    vocab_ref = ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        ex = s.str.split().explode().dropna()
+        oov_mask = ~ex.isin(v)
+        n_tok = ex.groupby(level=0).size()
+        n_oov = oov_mask.groupby(level=0).sum()
+        n_oov_distinct = ex[oov_mask].groupby(level=0).nunique()
+        idx = pd.RangeIndex(len(s))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok.reindex(idx, fill_value=0).to_numpy().astype(np.int64)),
+            "n_oov": pa.array(n_oov.reindex(idx, fill_value=0).to_numpy().astype(np.int64)),
+            "n_oov_distinct": pa.array(
+                n_oov_distinct.reindex(idx, fill_value=0).to_numpy().astype(np.int64)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_VOCAB_OOV = (
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w "
+    "FROM documents), "
+    "tok AS (SELECT doc_id, unnest(w) AS word FROM t WHERE trim(lower(text)) <> ''), "
+    "vocab AS (SELECT word FROM (SELECT word, COUNT(*) AS n FROM tok GROUP BY 1) "
+    "ORDER BY n DESC, word LIMIT 16) "
+    "SELECT d.doc_id, COUNT(tok.word) AS n_tokens, "
+    "CAST(SUM(CASE WHEN tok.word IS NOT NULL AND v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+    "COUNT(DISTINCT CASE WHEN v.word IS NULL THEN tok.word END) AS n_oov_distinct "
+    "FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id "
+    "LEFT JOIN vocab v ON tok.word = v.word GROUP BY 1"
+)

@@ -1027,3 +1027,43 @@ class TestBloomSemiJoin:
         con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')")
         want = con.execute(SQL_SEMI_JOIN_BLOOM).df().sort_values("l_orderkey").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+class TestVocabOov:
+    def test_small_corpus_counts(self, ray_session, tmp_path, monkeypatch):
+        import pyarrow.parquet as pq
+
+        import stac_catalog_builder_ray.pipelines.text as T
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "apple apple banana cherry",   # apple x2
+                "apple banana banana date",    # banana x3 total
+                "elderberry fig grape apple",  # singles
+            ]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        monkeypatch.setattr(T, "q_vocab_oov", T.q_vocab_oov)
+        # force a tiny vocab so OOV is nonempty: K=64 > distinct words here,
+        # so patch K via a local variant — instead check with full vocab all
+        # tokens are in-vocab (n_oov == 0), the degenerate-correctness case
+        out = T.q_vocab_oov(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+        assert out["n_tokens"].tolist() == [4, 4, 4]
+        assert out["n_oov"].tolist() == [0, 0, 0]
+        assert out["n_oov_distinct"].tolist() == [0, 0, 0]
+
+    def test_tie_break_matches_sql(self, ray_session, sf_dir):
+        """Vocabulary selection (count desc, word asc) must agree with the
+        SQL ORDER BY on the real corpus — checked transitively through the
+        full query result."""
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.text import SQL_VOCAB_OOV, q_vocab_oov
+
+        got = q_vocab_oov(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+        want = con.execute(SQL_VOCAB_OOV).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+        assert (got["n_oov"] > 0).any(), "corpus has no OOV tokens - vacuous check"
