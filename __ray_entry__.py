@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": R.q_anti_join,
         "semi_join": R.q_semi_join,
         "semi_join_bloom": R.q_semi_join_bloom,
+        "skew_join": R.q_skew_join,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": T.q_bigram_topk,
         "dup_ngrams": T.q_dup_ngrams,
         "vocab_oov": T.q_vocab_oov,
+        "label_centroids": T.q_label_centroids,
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
@@ -276,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": G.radius_join_sql(),
         "small_qty_revenue": R.SQL_SMALL_QTY_REVENUE,
         "semi_join_bloom": R.SQL_SEMI_JOIN_BLOOM,
+        "skew_join": R.SQL_SKEW_JOIN,
         "rect_join": G.rect_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
@@ -289,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": T.SQL_BIGRAM_TOPK,
         "dup_ngrams": T.SQL_DUP_NGRAMS,
         "vocab_oov": T.SQL_VOCAB_OOV,
+        "label_centroids": T.SQL_LABEL_CENTROIDS,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

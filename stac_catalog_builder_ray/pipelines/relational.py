@@ -1417,3 +1417,84 @@ SQL_SEMI_JOIN_BLOOM = (
     "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
     "GROUP BY 1"
 )
+
+
+def q_skew_join(sf_dir: str):
+    """Skew-aware large-large join (the hot-key hybrid): measure per-key
+    frequency, route keys hotter than 5x the mean through a BROADCAST side
+    join (only the hot keys' dim rows ship — not the dim table), and the
+    long cold tail through the normal partitioned hash join; union, then
+    aggregate.  Without the split, one reducer owns the hot key's entire
+    row set (the derived key here funnels every first lineitem of an order
+    onto supplier 0 — ~15x the mean).  The salted-agg cousin
+    (`q_salted_agg`) handles skewed AGGREGATION; this handles the skewed
+    JOIN, where salting alone can't help because the dim row must follow
+    the key.  Output is identical to the plain join (oracle-checked)."""
+    fact = _t(sf_dir, "lineitem", ["l_suppkey", "l_linenumber", "l_extendedprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.where(ln == 1, 0, sk)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(k),
+                         "cents": pa.array(round_half_away(ext * 100.0).astype(np.int64))})
+
+    fact = fact.map_batches(keyed, batch_format="pyarrow")
+
+    # 1. hot-key census: per-batch partial counts -> tiny per-key table
+    def count_partial(t: pa.Table) -> pa.Table:
+        k, n = np.unique(t["k"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"k": pa.array(k), "n": pa.array(n.astype(np.int64))})
+
+    counts = (
+        fact.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    hot = set(counts.loc[counts["n"] > 5 * counts["n"].mean(), "k"].astype(int))
+
+    dim = _t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    if hot:
+        # 2. ship ONLY the hot keys' dim rows to every worker
+        hot_arr = pa.array(sorted(hot), pa.int64())
+        hot_rows = dim.map_batches(
+            lambda t: t.filter(pc.is_in(t["s_suppkey"], value_set=hot_arr)),
+            batch_format="pyarrow").to_pandas()
+        hot_lut_ref = ray.put(dict(zip(hot_rows["s_suppkey"], hot_rows["s_name"])))
+
+        def hot_side(t: pa.Table) -> pa.Table:
+            lut = ray.get(hot_lut_ref)
+            t = t.filter(pc.is_in(t["k"], value_set=hot_arr))
+            names = pd.Series(t["k"].to_numpy(zero_copy_only=False)).map(lut).to_numpy()
+            return pa.table({"s_name": pa.array(names, pa.string()), "cents": t["cents"]})
+
+        def cold_side(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t["k"], value_set=hot_arr)))
+
+        hot_joined = fact.map_batches(hot_side, batch_format="pyarrow")
+        cold = fact.map_batches(cold_side, batch_format="pyarrow")
+    else:
+        hot_joined = None  # no skew detected: plain partitioned join
+        cold = fact
+    cold_joined = (
+        cold.join(dim, join_type="inner", num_partitions=cluster_partitions(),
+                  on=("k",), right_on=("s_suppkey",))
+        .select_columns(["s_name", "cents"])
+    )
+    both = hot_joined.union(cold_joined) if hot_joined is not None else cold_joined
+    out = both.groupby("s_name").aggregate(
+        Sum("cents", alias_name="revenue_cents"), Count(alias_name="n_lines"))
+    pdf = out.to_pandas()
+    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
+    pdf["n_lines"] = pdf["n_lines"].astype("int64")
+    return pdf
+
+
+SQL_SKEW_JOIN = (
+    "WITH f AS (SELECT CASE WHEN l_linenumber = 1 THEN 0 ELSE l_suppkey END AS k, "
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem) "
+    "SELECT s.s_name, CAST(SUM(f.cents) AS BIGINT) AS revenue_cents, COUNT(*) AS n_lines "
+    "FROM f JOIN supplier s ON f.k = s.s_suppkey GROUP BY 1"
+)

@@ -714,3 +714,54 @@ SQL_VOCAB_OOV = (
     "FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id "
     "LEFT JOIN vocab v ON tok.word = v.word GROUP BY 1"
 )
+
+
+def q_label_centroids(sf_dir: str):
+    """Grouped VECTOR aggregate: per-label embedding centroid as exact
+    integer-quantized per-dimension sums (round(v*1e6) in float64 — the
+    engine's money-cents discipline applied to vectors, so partial
+    aggregation order can't move the result).  Per-batch partials emit
+    (label, dim, sum_e6, n) rows — D rows per label per batch, never the
+    vectors — then one tiny groupby.  The mean is sum_e6 / n, derivable
+    exactly; only integers cross the engine/SQL hash."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy())  # (n, d) float32
+        e6 = np.round(mat.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            rows = e6[labels == lab]
+            d = rows.shape[1]
+            out_l.append(np.full(d, lab, dtype=np.int64))
+            out_d.append(np.arange(d, dtype=np.int64))
+            out_s.append(rows.sum(axis=0))
+            out_n.append(np.full(d, rows.shape[0], dtype=np.int64))
+        return pa.table({"label": pa.array(np.concatenate(out_l)),
+                         "dim": pa.array(np.concatenate(out_d)),
+                         "sum_e6": pa.array(np.concatenate(out_s)),
+                         "n_vecs": pa.array(np.concatenate(out_n))})
+
+    out = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_e6", alias_name="sum_e6"), Sum("n_vecs", alias_name="n_vecs"))
+    )
+    pdf = out.to_pandas()
+    for c in ("label", "dim", "sum_e6", "n_vecs"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
+SQL_LABEL_CENTROIDS = (
+    "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, "
+    "unnest(embedding) AS v FROM embeddings) "
+    "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, "
+    "CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_e6, "
+    "COUNT(*) AS n_vecs FROM e GROUP BY 1, 2"
+)

@@ -1067,3 +1067,25 @@ class TestVocabOov:
         want = con.execute(SQL_VOCAB_OOV).df().sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
         assert (got["n_oov"] > 0).any(), "corpus has no OOV tokens - vacuous check"
+
+
+class TestSkewJoin:
+    # sf0.001 (10 suppliers): max key is only ~2.2x the mean -> the
+    # NO-SKEW fallback (plain partitioned join) runs.  sf0.01 (100
+    # suppliers): supplier 0 is ~15x the mean -> the hybrid hot/cold
+    # split runs.  Both must equal the plain SQL join.
+    @pytest.mark.parametrize("sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+    def test_both_paths_exact(self, ray_session, sfd):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.relational import SQL_SKEW_JOIN, q_skew_join
+
+        got = q_skew_join(sfd).sort_values("s_name").reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("lineitem", "supplier"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfd}/{t}.parquet')")
+        want = con.execute(SQL_SKEW_JOIN).df().sort_values("s_name").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+        if sfd.endswith("sf0.01"):
+            hot_n = want.loc[want["n_lines"].idxmax(), "n_lines"]
+            assert hot_n > 5 * want["n_lines"].mean(), "expected the hybrid path to engage"
