@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -364,3 +365,20 @@ def q_patch_stats(sf_dir: str):
     pdf["n_patches"] = pdf["n_patches"].astype("int64")
     pdf["px_sum"] = pdf["px_sum"].astype("int64")
     return pdf.sort_values(["patch_row", "patch_col"]).reset_index(drop=True)
+
+
+def q_caption_check(sf_dir: str):
+    """North-rule row-invariant validator (rows-only): caption equality
+    against the caption re-derived from the parsed image_id, corpus-wide.
+    One row out: (n_rows, n_missing_parse, n_mismatch) — all zeros in the
+    mismatch columns on a healthy table."""
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.extract import validate_captions
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    sums = validate_captions(rd.read_parquet(images))
+    return pd.DataFrame({
+        "n_rows": [int(sums["sum(n_rows)"])],
+        "n_missing_parse": [int(sums["sum(n_missing_parse)"])],
+        "n_mismatch": [int(sums["sum(n_mismatch)"])],
+    })

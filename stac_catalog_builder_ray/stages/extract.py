@@ -341,3 +341,56 @@ class InvariantCheck:
                 "caption_ok": pa.array(ok_cap),
             }
         )
+
+
+class CaptionConsistency:
+    """Cross-field data-quality validator for the image+caption table (the
+    north-rule row invariant: caption equality): re-derives the expected
+    caption from the PARSED image_id (tile, asset type, date) and compares
+    it to the stored caption column, emitting one (n_rows, n_missing_parse,
+    n_mismatch) partial per batch.  Vectorized: one parse_column call and
+    one pandas string-compare per batch, no per-row Python."""
+
+    def __init__(self, parser: str = "TiledObservationsParser"):
+        from ..functions.pathparse import make_parser
+
+        self.parser = make_parser(parser)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..datagen import ASSET_TITLES
+
+        parsed = self.parser.parse_column(batch["image_id"])
+        at = parsed.get("asset_type", pa.nulls(batch.num_rows, pa.string())).to_pandas()
+        tile = parsed.get("tile", pa.nulls(batch.num_rows, pa.string())).to_pandas()
+        y = parsed.get("year", pa.nulls(batch.num_rows, pa.string())).to_pandas()
+        m = parsed.get("month", pa.nulls(batch.num_rows, pa.string())).to_pandas()
+        d = parsed.get("day", pa.nulls(batch.num_rows, pa.string())).to_pandas()
+        ok = at.notna() & tile.notna() & y.notna() & m.notna() & d.notna()
+        title = at.map(ASSET_TITLES)
+        ok &= title.notna()
+        expect = (title.fillna("") + " over tile " + tile.fillna("") + " on "
+                  + y.fillna("") + "-" + m.fillna("") + "-" + d.fillna(""))
+        got = batch["caption"].to_pandas()
+        mismatch = ok & (expect != got)
+        return pa.table({
+            "n_rows": pa.array([batch.num_rows], pa.int64()),
+            "n_missing_parse": pa.array([int((~ok).sum())], pa.int64()),
+            "n_mismatch": pa.array([int(mismatch.sum())], pa.int64()),
+        })
+
+
+def validate_captions(images, parser: str = "TiledObservationsParser",
+                      concurrency=(1, 8)):
+    """images Dataset -> one-row summary (n_rows, n_missing_parse,
+    n_mismatch): per-batch partials, one tiny global sum."""
+    from ray.data.aggregate import Sum
+
+    partials = images.map_batches(
+        CaptionConsistency,
+        fn_constructor_kwargs={"parser": parser},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    out = partials.aggregate(
+        Sum("n_rows"), Sum("n_missing_parse"), Sum("n_mismatch"))
+    return out  # dict of sums

@@ -204,3 +204,29 @@ class TestAssemblyEquivalence:
         for col in ("item_id", "west", "south", "east", "north", "proj_epsg",
                     "year", "cell", "n_assets", "assets_json", "tile_id"):
             assert list(fast[col]) == list(slow[col]), f"column {col} differs"
+
+
+class TestCaptionConsistency:
+    def test_healthy_table_and_planted_corruption(self, ray_session, scale_images_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.extract import validate_captions
+
+        t = pq.read_table(scale_images_dir)
+        sums = validate_captions(ray.data.read_parquet(scale_images_dir))
+        assert sums["sum(n_rows)"] == t.num_rows
+        assert sums["sum(n_missing_parse)"] == 0
+        assert sums["sum(n_mismatch)"] == 0
+
+        # corrupt 3 captions + 2 unparseable ids -> exact counts
+        import pyarrow as pa
+        cap = t["caption"].to_pylist()
+        ids = t["image_id"].to_pylist()
+        cap[5] = "wrong"; cap[17] = ""; cap[40] = cap[40] + "!"
+        ids[3] = "garbage-path"; ids[9] = "also/bad"
+        t2 = t.set_column(t.schema.get_field_index("caption"), "caption", pa.array(cap))
+        t2 = t2.set_column(t2.schema.get_field_index("image_id"), "image_id", pa.array(ids))
+        sums2 = validate_captions(ray.data.from_arrow(t2))
+        assert sums2["sum(n_missing_parse)"] == 2
+        assert sums2["sum(n_mismatch)"] == 3

@@ -44,6 +44,9 @@ GOLDEN = {
     # ViT-style patch fan-out reduced to per-grid-position integer sums
     # (exact reassembly proven in test_operators::TestPatchExtract)
     "patch_stats": ("d3af6fdf23558d78", 12),
+    # caption equality row-invariant validator (planted-corruption counts
+    # proven in test_catalog::TestCaptionConsistency)
+    "caption_check": ("9793dc9eb216f3a8", 1),
 }
 
 
