@@ -128,9 +128,19 @@ def run_bench() -> dict:
     # flagship timing only.  On a multi-node cluster with real memory
     # pressure the reservation earns its keep.
     ctx.op_resource_reservation_enabled = False
-    t0 = time.monotonic()
-    res = index_and_join_fused(images)
-    headline = time.monotonic() - t0
+    # min-of-2: the fused count-only chain is the most scheduling-noise-
+    # sensitive measurement here (observed 8.4 s vs 15.1 s for the SAME
+    # code within one day while the materializing variant held steady);
+    # two reps cost ~15 s and the min is the honest steady-state figure
+    # (scaling subprocesses stay single-rep: the --scaling protocol already
+    # takes min-of-3 FRESH processes per level, which subsumes this)
+    reps = 1 if os.environ.get("SCBR_BENCH_FLAGSHIP_ONLY") else 2
+    walls = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        res = index_and_join_fused(images)
+        walls.append(time.monotonic() - t0)
+    headline = min(walls)
     ctx.op_resource_reservation_enabled = True
 
     # The flagship is ALSO timed with the reservation left enabled (round-2

@@ -663,7 +663,13 @@ def phash_neardup_pairs(images, id_col: str = "image_id", phash_col: str = "phas
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[[id_col, "band", "band_val", phash_col]].drop_duplicates(subset=[id_col, "band", "band_val"])
+        # dedup on (id, band, val, HASH): the same image id can legitimately
+        # recur with a different phash (hot tiles re-observed on colliding
+        # dates in the synthetic corpus, re-ingests in production) — keying
+        # the dedup without the hash dropped the second occurrence and lost
+        # its links (measured: 105 of 39 367 true pairs missed at sf0.1)
+        g = g[[id_col, "band", "band_val", phash_col]].drop_duplicates(
+            subset=[id_col, "band", "band_val", phash_col])
         g = g[g.duplicated(["band", "band_val"], keep=False)]
         if len(g) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
@@ -676,17 +682,50 @@ def phash_neardup_pairs(images, id_col: str = "image_id", phash_col: str = "phas
         d = hamming64(m[f"{phash_col}_a"].to_numpy(), m[f"{phash_col}_b"].to_numpy())
         m = m.assign(hamming=d)
         m = m[m["hamming"] <= max_hamming]
-        return m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})[
-            ["id_a", "id_b", "hamming"]
-        ]
+        if len(m) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        # CANONICAL-BAND dedup, shuffle-free: a surviving pair surfaces in
+        # every band where its hashes agree; both full hashes are in this
+        # partition, so the reducer computes the smallest agreeing band and
+        # emits the pair only when it IS that band.  This replaced a global
+        # groupby((id_a, id_b)).aggregate(Min) whose string-pair hash
+        # aggregation dominated the whole query (156 s of remote time for
+        # 39k pairs at sf0.1 — measured; now zero).
+        xor = (m[f"{phash_col}_a"].to_numpy().astype(np.int64).astype(np.uint64)
+               ^ m[f"{phash_col}_b"].to_numpy().astype(np.int64).astype(np.uint64))
+        first_band = np.full(len(m), n_bands, dtype=np.int64)
+        for b in range(n_bands - 1, -1, -1):
+            agree = ((xor >> np.uint64(b * band_bits)) & mask) == 0
+            first_band[agree] = b
+        m = m[m["band"].to_numpy() == first_band]
+        m = m.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})[
+            ["id_a", "id_b", "hamming"]]
+        # ids can still pair through SEVERAL occurrence-hash combinations
+        # (duplicate ids again) — local pre-dedup keeps the per-partition
+        # output minimal before the tiny cross-partition pass below
+        m = m.sort_values("hamming", kind="stable").drop_duplicates(["id_a", "id_b"])
+        return m
 
     cand = exploded.repartition(min(num_partitions, 64)).groupby("pkey").map_groups(
         pairs, batch_format="pandas"
     )
-    from ray.data.aggregate import Min
 
-    # a pair can surface in several bands: keep one row (hamming identical)
-    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        key = pd.util.hash_pandas_object(
+            pd.Series(t["id_a"].to_pylist()) + "\x1f" + pd.Series(t["id_b"].to_pylist()),
+            index=False).to_numpy()  # fixed-key siphash: process-independent
+        return t.append_column("pbucket", pa.array((key % np.uint64(64)).astype(np.int64)))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hamming", kind="stable").drop_duplicates(["id_a", "id_b"])
+        return g[["id_a", "id_b", "hamming"]]
+
+    # cross-partition id-pair dedup over an INT bucket key: the previous
+    # groupby((id_a, id_b)).aggregate(Min) on string-pair keys cost 156 s of
+    # remote time for 39k pairs (measured, sf0.1); this int-keyed bucket
+    # shuffle of the already-small pair set costs ~1 s
+    return cand.map_batches(add_pair_bucket, batch_format="pyarrow").groupby(
+        "pbucket").map_groups(dedup_bucket, batch_format="pandas")
 
 
 # --- near-duplicate clusters: connected components + keep-first -------------

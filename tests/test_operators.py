@@ -1089,3 +1089,26 @@ class TestSkewJoin:
         if sfd.endswith("sf0.01"):
             hot_n = want.loc[want["n_lines"].idxmax(), "n_lines"]
             assert hot_n > 5 * want["n_lines"].mean(), "expected the hybrid path to engage"
+
+
+class TestPhashDuplicateIds:
+    def test_link_through_second_occurrence(self, ray_session):
+        """An image_id that recurs with a DIFFERENT phash (re-observation)
+        must still link through its second occurrence's hash — the round-3
+        bug keyed the per-partition dedup without the hash and silently
+        dropped such links (105/39367 pairs at sf0.1)."""
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.dedup import phash_neardup_pairs
+
+        h_far = 0x0F0F0F0F0F0F0F0F          # far from everything
+        h_near = 0xAAAA0000AAAA0000         # cluster seed
+        t = pa.table({
+            "image_id": pa.array(["dup", "dup", "other"]),
+            # "dup" first occurrence far, second occurrence within hamming 1
+            "phash": pa.array(np.array([h_far, h_near ^ 0x1, h_near], dtype=np.uint64).astype(np.int64)),
+        })
+        pdf = phash_neardup_pairs(ray.data.from_arrow(t), max_hamming=3).to_pandas()
+        got = set(zip(pdf["id_a"], pdf["id_b"]))
+        assert ("dup", "other") in got
+        assert len(got) == 1  # and exactly once, no self-pair, no dupes
