@@ -1112,3 +1112,22 @@ class TestPhashDuplicateIds:
         got = set(zip(pdf["id_a"], pdf["id_b"]))
         assert ("dup", "other") in got
         assert len(got) == 1  # and exactly once, no self-pair, no dupes
+
+
+class TestKmeansAdaptiveCutover:
+    def test_local_equals_distributed(self, ray_session, sf_dir):
+        """The local-iterate cutover must be bit-identical to the
+        distributed per-iteration loop (same integer arithmetic)."""
+        import ray.data
+
+        from stac_catalog_builder_ray.stages.cluster import kmeans
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        a_loc, c_loc, it_loc = kmeans(emb, k=7, n_iters=12, local_iterate_below=10**9)
+        a_dst, c_dst, it_dst = kmeans(emb, k=7, n_iters=12, local_iterate_below=0)
+        assert np.array_equal(c_loc, c_dst)
+        assert it_loc == it_dst
+        pl = a_loc.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        pdst = a_dst.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(pl, pdst)
