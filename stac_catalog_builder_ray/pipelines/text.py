@@ -373,6 +373,7 @@ def q_tfidf_top_terms(sf_dir: str):
     """
     import numpy as np
     import pyarrow.compute as pc
+    import ray
     from ray.data.aggregate import Count, Sum
 
     from .relational import cluster_partitions, grouped_topk
@@ -391,10 +392,24 @@ def q_tfidf_top_terms(sf_dir: str):
 
     from ..stages.dedup import _compact_nonempty
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((d * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def tf_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_id", "word"], sort=False)["tf"].sum().reset_index()
+        return out
+
+    # int-bucketed reduce: Ray's hash aggregate over the composite
+    # (int, string) key measured 5.1 s for 116k rows at sf0.1; one
+    # crc-mixed doc bucket groupby + a vectorized pandas sum per bucket
+    # is ~4x cheaper and keeps every doc's rows together for the ranker
     tf = (
         docs.map_batches(tf_partial, batch_format="pyarrow")
-        .groupby(["doc_id", "word"])
-        .aggregate(Sum("tf", alias_name="tf"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(tf_reduce, batch_format="pandas")
     )
     # consumed twice (df aggregate + join probe); empty hash partitions emit
     # schema-less blocks that break the word join on tiny corpora
@@ -410,18 +425,38 @@ def q_tfidf_top_terms(sf_dir: str):
         tf.groupby("word").aggregate(Count(alias_name="df")).materialize(),
         fallback_schema=pa.schema([("word", pa.string()), ("df", pa.int64())]))
 
-    scored = tf.join(df_counts, join_type="inner", on=("word",),
-                     num_partitions=cluster_partitions())
+    n_vocab = df_counts.count()
+    if n_vocab <= 100_000:
+        # ADAPTIVE: a vocabulary this small broadcasts as one dict and the
+        # score happens map-side (no join shuffle); above the cutover the
+        # partitioned hash join below engages (web-scale vocab + typo/ngram
+        # tails can exceed driver memory — never broadcast unconditionally)
+        dfp = df_counts.to_pandas()
+        df_ref = ray.put(dict(zip(dfp["word"], dfp["df"].astype(np.int64))))
 
-    def score(t: pa.Table) -> pa.Table:
-        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
-                         "word": t["word"],
-                         "score_e6": pa.array(tfv * 1_000_000 // dfv)})
+        def score_bcast(t: pa.Table) -> pa.Table:
+            lut = ray.get(df_ref)
+            tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dfv = pd.Series(t["word"].to_pylist()).map(lut).to_numpy(dtype=np.int64)
+            return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                             "word": t["word"],
+                             "score_e6": pa.array(tfv * 1_000_000 // dfv)})
 
-    ranked = grouped_topk(scored.map_batches(score, batch_format="pyarrow"),
-                          ["doc_id"], "score_e6", k=3, tie_cols=["word"])
+        scored_ds = tf.map_batches(score_bcast, batch_format="pyarrow")
+    else:
+        scored = tf.join(df_counts, join_type="inner", on=("word",),
+                         num_partitions=cluster_partitions())
+
+        def score(t: pa.Table) -> pa.Table:
+            tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                             "word": t["word"],
+                             "score_e6": pa.array(tfv * 1_000_000 // dfv)})
+
+        scored_ds = scored.map_batches(score, batch_format="pyarrow")
+
+    ranked = grouped_topk(scored_ds, ["doc_id"], "score_e6", k=3, tie_cols=["word"])
     pdf = ranked.to_pandas()
     if pdf.empty:  # Ray drops columns on 0-row to_pandas
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
