@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": R.q_semi_join,
         "semi_join_bloom": R.q_semi_join_bloom,
         "skew_join": R.q_skew_join,
+        "profile_events": R.q_profile_events,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": R.SQL_SMALL_QTY_REVENUE,
         "semi_join_bloom": R.SQL_SEMI_JOIN_BLOOM,
         "skew_join": R.SQL_SKEW_JOIN,
+        "profile_events": R.SQL_PROFILE_EVENTS,
         "rect_join": G.rect_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,

@@ -1498,3 +1498,133 @@ SQL_SKEW_JOIN = (
     "SELECT s.s_name, CAST(SUM(f.cents) AS BIGINT) AS revenue_cents, COUNT(*) AS n_lines "
     "FROM f JOIN supplier s ON f.k = s.s_suppkey GROUP BY 1"
 )
+
+
+# --- table profiler (data-validation stats report) --------------------------
+
+_PROFILE_NUM = {  # column -> int64 encoder (exact, SQL-mirrorable)
+    "event_id": lambda t: t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+    "user_id": lambda t: t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+    "value_e4": lambda t: None,  # filled in _profile_encoders (needs rounding)
+    "ts_us": lambda t: t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+}
+_PROFILE_STR = ("event_type", "props")
+
+
+def _profile_encoders():
+    from ..functions.rounding import round_half_away
+
+    enc = dict(_PROFILE_NUM)
+    enc["value_e4"] = lambda t: round_half_away(
+        t["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(np.int64)
+    return enc
+
+
+def q_profile_events(sf_dir: str):
+    """Table PROFILER — the one-pass data-validation report every ingest
+    pipeline runs before training: per column, row count, null count,
+    min/max, and EXACT distinct count, in long format.
+
+    Shape: one streaming pass emits per-batch per-column partial stat rows
+    (7 small rows per batch) AND distinct-value rows bucketed by an int
+    hash of (col, value) — so the only shuffle carries the batch-distinct
+    (col, value) pairs on int keys (the string-keyed aggregate pathology
+    measured elsewhere never engages), and per-bucket distinct counting is
+    one vectorized drop_duplicates.  At 100 TB swap the exact distinct leg
+    for the KMV sketch (`q_distinct_sketch`) — same partial shape, bounded
+    k-int64 state.  Numeric min/max are computed in int64 (value as e4
+    cents, ts as epoch micros) and stringified only in the final 6-row
+    result, so engine/SQL agreement is bit-exact."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["event_id", "user_id", "value", "ts", "event_type", "props"]
+    ds = _t(sf_dir, "events", cols)
+    enc = _profile_encoders()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for col, f in enc.items():
+            v = f(t)
+            rows.append((col, len(v), 0, int(v.min()), int(v.max()), None, None))
+        for col in _PROFILE_STR:
+            s = t[col].to_pandas()
+            nn = int(s.isna().sum())
+            sv = s.dropna()
+            rows.append((col, len(s), nn,
+                         None, None,
+                         sv.min() if len(sv) else None,
+                         sv.max() if len(sv) else None))
+        return pa.table({
+            "col": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], pa.int64()),
+            "min_num": pa.array([r[3] for r in rows], pa.int64()),
+            "max_num": pa.array([r[4] for r in rows], pa.int64()),
+            "min_str": pa.array([r[5] for r in rows], pa.string()),
+            "max_str": pa.array([r[6] for r in rows], pa.string()),
+        })
+
+    stats = (
+        ds.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_null", alias_name="n_null"),
+                   Min("min_num", alias_name="min_num"), Max("max_num", alias_name="max_num"),
+                   Min("min_str", alias_name="min_str"), Max("max_str", alias_name="max_str"))
+        .to_pandas()
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for col, f in enc.items():
+            u = np.unique(f(t))
+            out_c.append(np.full(len(u), col, dtype=object))
+            out_v.append(u.astype(str).astype(object))
+        for col in _PROFILE_STR:
+            u = t[col].to_pandas().dropna().unique()
+            out_c.append(np.full(len(u), col, dtype=object))
+            out_v.append(u.astype(object))
+        c = np.concatenate(out_c)
+        v = np.concatenate(out_v)
+        key = pd.util.hash_pandas_object(pd.Series(c + "\x1f" + v), index=False).to_numpy()
+        return pa.table({"col": pa.array(c, pa.string()), "val": pa.array(v, pa.string()),
+                         "bucket": pa.array((key % np.uint64(64)).astype(np.int64))})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col", "val"]).groupby("col", sort=False).size()
+        return pd.DataFrame({"col": d.index.to_numpy(dtype=object),
+                             "nd": d.to_numpy().astype(np.int64)})
+
+    nd = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("bucket").map_groups(count_bucket, batch_format="pandas")
+        .groupby("col").aggregate(Sum("nd", alias_name="n_distinct"))
+        .to_pandas()
+    )
+
+    out = stats.merge(nd, on="col", how="left")
+    num_mask = out["min_str"].isna()
+    out["min_v"] = np.where(num_mask, out["min_num"].astype("Int64").astype(str), out["min_str"])
+    out["max_v"] = np.where(num_mask, out["max_num"].astype("Int64").astype(str), out["max_str"])
+    out["n"] = out["n"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out[["col", "n", "n_null", "min_v", "max_v", "n_distinct"]] \
+        .sort_values("col").reset_index(drop=True)
+
+
+def _profile_sql_leg(col: str, expr: str, is_num: bool) -> str:
+    mm = (f"CAST(MIN({expr}) AS VARCHAR) AS min_v, CAST(MAX({expr}) AS VARCHAR) AS max_v"
+          if is_num else f"MIN({expr}) AS min_v, MAX({expr}) AS max_v")
+    return (f"SELECT '{col}' AS col, COUNT(*) AS n, "
+            f"CAST(SUM(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"{mm}, COUNT(DISTINCT {expr}) AS n_distinct FROM events")
+
+
+SQL_PROFILE_EVENTS = " UNION ALL ".join([
+    _profile_sql_leg("event_id", "event_id", True),
+    _profile_sql_leg("user_id", "user_id", True),
+    _profile_sql_leg("value_e4", "CAST(ROUND(value * 10000, 0) AS BIGINT)", True),
+    _profile_sql_leg("ts_us", "epoch_us(ts)", True),
+    _profile_sql_leg("event_type", "event_type", False),
+    _profile_sql_leg("props", "props", False),
+])

@@ -1131,3 +1131,20 @@ class TestKmeansAdaptiveCutover:
         pl = a_loc.to_pandas().sort_values("vec_id").reset_index(drop=True)
         pdst = a_dst.to_pandas().sort_values("vec_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(pl, pdst)
+
+
+class TestProfileEvents:
+    def test_matches_duckdb_on_testdata(self, ray_session, sf_dir):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_PROFILE_EVENTS, q_profile_events)
+
+        got = q_profile_events(sf_dir)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+        want = con.execute(SQL_PROFILE_EVENTS).df().sort_values("col").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+        # sanity: distinct counts are nontrivial (not all 1 / not all n)
+        assert got.loc[got["col"] == "event_type", "n_distinct"].iloc[0] > 1
+        assert (got["n_distinct"] <= got["n"]).all()
