@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": T.q_dup_ngrams,
         "vocab_oov": T.q_vocab_oov,
         "label_centroids": T.q_label_centroids,
+        "leakage_safe_split": T.q_leakage_safe_split,
+        "seq_pack": T.q_seq_pack,
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
@@ -296,6 +298,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": T.SQL_DUP_NGRAMS,
         "vocab_oov": T.SQL_VOCAB_OOV,
         "label_centroids": T.SQL_LABEL_CENTROIDS,
+        "leakage_safe_split": T.sql_leakage_safe_split(),
+        "seq_pack": T.SQL_SEQ_PACK,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

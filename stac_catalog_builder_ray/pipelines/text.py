@@ -800,3 +800,102 @@ SQL_LABEL_CENTROIDS = (
     "CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_e6, "
     "COUNT(*) AS n_vecs FROM e GROUP BY 1, 2"
 )
+
+
+def q_leakage_safe_split(sf_dir: str):
+    """LEAKAGE-SAFE train/val/test split: near-duplicate documents must land
+    on the SAME side (a near-dup of a training doc inside the test set is
+    the classic eval-contamination bug), so the split hash keys on the
+    near-dup cluster's keep_id instead of the doc_id.  Composition of two
+    oracle-checked operators: the connected-component labeling of
+    ``q_neardup_cluster`` and the deterministic KMV split of
+    ``q_split_assign`` — the whole composite hash-checks against the
+    recursive-CTE + hash-chain SQL twin."""
+    import numpy as np
+
+    from .relational import _kmv_hash
+
+    labels = q_neardup_cluster(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t["keep_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _kmv_hash(k) % 100
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        return pa.table({"doc_id": t["doc_id"], "keep_id": t["keep_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return labels.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_leakage_safe_split() -> str:
+    from .relational import _KMV_A, _KMV_A2, _KMV_B, _KMV_P
+
+    return (
+        f"WITH labels AS ({SQL_NEARDUP_CLUSTER}), "
+        f"h1 AS (SELECT doc_id, keep_id, (keep_id * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h FROM labels), "
+        f"t2 AS (SELECT doc_id, keep_id, ((h % 1073741824) * {_KMV_A2}) % {_KMV_P} AS term1, "
+        f"(((h // 1073741824) * {_KMV_A2}) % {_KMV_P}) AS tt FROM h1), "
+        f"b AS (SELECT doc_id, keep_id, ((term1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) "
+        f"% {_KMV_P}) % {_KMV_P}) % 100 AS bkt FROM t2) "
+        "SELECT doc_id, keep_id, CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' "
+        "ELSE 'test' END AS split FROM b"
+    )
+
+
+SEQ_PACK_BUDGET = 512
+_SEQ_RANGE = 1000  # docs per contiguous range partition
+
+
+def q_seq_pack(sf_dir: str):
+    """Token-budget SEQUENCE PACKING (the LM-training batch-prep operator):
+    documents in doc_id order fill fixed 512-token sequences; a doc belongs
+    to the sequence where its first token lands — seq_id =
+    (running_total_before_doc) // budget.  Deterministic and SQL-twinned
+    via SUM() OVER (ORDER BY doc_id).
+
+    Distributed shape: a global ordered cumsum without a global sort —
+    docs range-partition by doc_id // 1000 (contiguous ranges), pass 1
+    aggregates per-range token totals (one tiny groupby, #ranges rows),
+    the driver prefix-sums those offsets (O(#ranges)), pass 2 computes
+    each range's local cumsum and adds its broadcast offset.  The corpus
+    streams twice; nothing driver-held scales with rows."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    toks = ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+    def add_range(t: pa.Table) -> pa.Table:
+        r = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) // _SEQ_RANGE
+        return t.append_column("rkey", pa.array(r))
+
+    toks = toks.map_batches(add_range, batch_format="pyarrow").materialize()
+
+    totals = toks.groupby("rkey").aggregate(Sum("n_tokens", alias_name="tot")).to_pandas()
+    totals = totals.sort_values("rkey").reset_index(drop=True)
+    offs = dict(zip(totals["rkey"].astype(int),
+                    np.concatenate([[0], np.cumsum(totals["tot"].to_numpy())[:-1]]).astype(np.int64)))
+    offs_ref = ray.put(offs)
+
+    def pack_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offs_ref)[int(g["rkey"].iloc[0])]
+        g = g.sort_values("doc_id", kind="stable")
+        n = g["n_tokens"].to_numpy().astype(np.int64)
+        before = off + np.cumsum(n) - n  # tokens before each doc
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "n_tokens": n,
+                             "seq_id": before // SEQ_PACK_BUDGET})
+
+    return toks.groupby("rkey").map_groups(pack_range, batch_format="pandas")
+
+
+SQL_SEQ_PACK = (
+    "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens FROM documents) "
+    "SELECT doc_id, n_tokens, "
+    "CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) "
+    f"// {SEQ_PACK_BUDGET} AS BIGINT) AS seq_id FROM t"
+)

@@ -1148,3 +1148,47 @@ class TestProfileEvents:
         # sanity: distinct counts are nontrivial (not all 1 / not all n)
         assert got.loc[got["col"] == "event_type", "n_distinct"].iloc[0] > 1
         assert (got["n_distinct"] <= got["n"]).all()
+
+
+class TestLeakageSafeSplit:
+    def test_near_dups_land_same_side(self, ray_session, sf_dir):
+        from stac_catalog_builder_ray.pipelines.text import q_leakage_safe_split
+
+        out = q_leakage_safe_split(sf_dir).to_pandas()
+        assert len(out) == 500
+        # every cluster is split-homogeneous BY CONSTRUCTION (hash of keep_id)
+        assert (out.groupby("keep_id")["split"].nunique() == 1).all()
+        # the corpus actually has multi-member clusters (else vacuous)
+        sizes = out.groupby("keep_id").size()
+        assert (sizes > 1).any()
+        # and all three splits are populated
+        assert set(out["split"].unique()) == {"train", "val", "test"}
+
+
+class TestSeqPack:
+    def test_packing_invariants(self, ray_session, sf_dir):
+        from stac_catalog_builder_ray.pipelines.text import SEQ_PACK_BUDGET, q_seq_pack
+
+        out = q_seq_pack(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # seq ids are nondecreasing in doc order and start at 0
+        assert out["seq_id"].iloc[0] == 0
+        assert (np.diff(out["seq_id"].to_numpy()) >= 0).all()
+        # a doc starts in seq s iff tokens-before fall in [s*B, (s+1)*B)
+        before = np.cumsum(out["n_tokens"].to_numpy()) - out["n_tokens"].to_numpy()
+        assert (out["seq_id"].to_numpy() == before // SEQ_PACK_BUDGET).all()
+        assert out["seq_id"].nunique() > 1, "corpus fits one sequence - vacuous"
+
+    def test_range_boundary_offsets(self, ray_session, tmp_path):
+        """doc_ids straddling the 1000-range partition boundary must get
+        globally-correct offsets (the driver prefix-sum leg)."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_seq_pack
+
+        ids = [998, 999, 1000, 1001, 2500]
+        docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(["w " * 300] * 5)})  # 300 tokens each
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = q_seq_pack(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # before = 0, 300, 600, 900, 1200 -> seq = 0, 0, 1, 1, 2 at B=512
+        assert out["seq_id"].tolist() == [0, 0, 1, 1, 2]
