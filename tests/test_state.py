@@ -95,3 +95,38 @@ class TestSkew:
         assert hot_parts["n"].max() < 900  # no single reducer gets it all
         cold = counts[counts["salted_key"].str.startswith("cold")]
         assert (cold["n"] == 1).all()
+
+
+class TestCompaction:
+    def test_round_trip_and_resume(self, ray_session, tmp_path):
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.state.checkpoint import compact_parts
+
+        src = tmp_path / "small"
+        src.mkdir()
+        rng = np.random.default_rng(5)
+        all_ids = []
+        for k in range(20):  # 20 small parts x 500 rows
+            ids = np.arange(k * 500, k * 500 + 500, dtype=np.int64)
+            all_ids.append(ids)
+            pq.write_table(pa.table({"id": pa.array(ids),
+                                     "v": pa.array(rng.normal(size=500))}),
+                           str(src / f"part-{k:05d}.parquet"))
+        out = tmp_path / "compacted"
+        summary = compact_parts(str(src), str(out), target_rows=4000)
+        files = glob.glob(str(out / "part-*.parquet"))
+        assert 2 <= len(files) <= 4  # 10k rows / 4k target -> 3 parts
+        got = pq.read_table(files)
+        assert got.num_rows == 10_000
+        assert sorted(got["id"].to_pylist()) == sorted(np.concatenate(all_ids).tolist())
+        # source untouched
+        assert len(glob.glob(str(src / "*.parquet"))) == 20
+        # resume: second run skips finished parts (no rewrites, same files)
+        before = {f: os.path.getmtime(f) for f in files}
+        compact_parts(str(src), str(out), target_rows=4000)
+        after = {f: os.path.getmtime(f) for f in glob.glob(str(out / "part-*.parquet"))}
+        assert before == after
