@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_bloom": R.q_semi_join_bloom,
         "skew_join": R.q_skew_join,
         "profile_events": R.q_profile_events,
+        "snapshot_diff": R.q_snapshot_diff,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -284,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_bloom": R.SQL_SEMI_JOIN_BLOOM,
         "skew_join": R.SQL_SKEW_JOIN,
         "profile_events": R.SQL_PROFILE_EVENTS,
+        "snapshot_diff": R.SQL_SNAPSHOT_DIFF,
         "rect_join": G.rect_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,

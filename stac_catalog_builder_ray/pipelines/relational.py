@@ -1628,3 +1628,86 @@ SQL_PROFILE_EVENTS = " UNION ALL ".join([
     _profile_sql_leg("event_type", "event_type", False),
     _profile_sql_leg("props", "props", False),
 ])
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Catalog SNAPSHOT DIFF (the incremental-refresh operator: what
+    changed between two catalog states?): FULL OUTER join on the item key,
+    row status = added / removed / changed / same, aggregated to counts per
+    status x order-year.  The two snapshots derive deterministically from
+    orders (A drops o_orderkey % 97 == 0, B drops % 89 == 0 and bumps
+    o_totalprice by 1 cent where % 13 == 0), so the twin is plain SQL.
+    Completes the join-family coverage: the full-outer path exercises
+    null-side handling on BOTH sides of Ray's hash join."""
+    base = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def snap_a(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = k % 97 != 0
+        t = t.filter(pa.array(keep))
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"key_a": t["o_orderkey"],
+                         "year_a": pc.year(t["o_orderdate"]),
+                         "cents_a": pa.array(cents)})
+
+    def snap_b(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = k % 89 != 0
+        t = t.filter(pa.array(keep))
+        k = k[keep]
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        cents = cents + (k % 13 == 0)
+        return pa.table({"key_b": t["o_orderkey"],
+                         "year_b": pc.year(t["o_orderdate"]),
+                         "cents_b": pa.array(cents)})
+
+    a = base.map_batches(snap_a, batch_format="pyarrow")
+    b = base.map_batches(snap_b, batch_format="pyarrow")
+    j = a.join(b, join_type="full_outer", num_partitions=cluster_partitions(),
+               on=("key_a",), right_on=("key_b",))
+
+    def status(t: pa.Table) -> pa.Table:
+        # Ray's full_outer COALESCES the key into the left name (key_a);
+        # side presence is read off the null masks of the value columns
+        # (int columns null-fill to float NaN — cents < 2^53, so the float
+        # equality below is still exact)
+        ca = t["cents_a"].to_numpy(zero_copy_only=False)
+        cb = t["cents_b"].to_numpy(zero_copy_only=False)
+        ya = t["year_a"].to_numpy(zero_copy_only=False)
+        yb = t["year_b"].to_numpy(zero_copy_only=False)
+        a_null = pd.isna(ca)
+        b_null = pd.isna(cb)
+        st = np.where(a_null, "added",
+                      np.where(b_null, "removed",
+                               np.where(ca == cb, "same", "changed")))
+        year = np.where(a_null, yb, ya)
+        return pa.table({"status": pa.array(st, pa.string()),
+                         "o_year": pa.array(pd.array(year).astype("int64"))})
+
+    out = (
+        j.map_batches(status, batch_format="pyarrow")
+        .groupby(["status", "o_year"])
+        .aggregate(Count(alias_name="n"))
+    )
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf
+
+
+SQL_SNAPSHOT_DIFF = (
+    "WITH a AS (SELECT o_orderkey AS k, year(o_orderdate) AS y, "
+    "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders WHERE o_orderkey % 97 <> 0), "
+    "b AS (SELECT o_orderkey AS k, year(o_orderdate) AS y, "
+    "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS c "
+    "FROM orders WHERE o_orderkey % 89 <> 0) "
+    "SELECT CASE WHEN a.k IS NULL THEN 'added' WHEN b.k IS NULL THEN 'removed' "
+    "WHEN a.c = b.c THEN 'same' ELSE 'changed' END AS status, "
+    "COALESCE(a.y, b.y) AS o_year, COUNT(*) AS n "
+    "FROM a FULL OUTER JOIN b ON a.k = b.k GROUP BY 1, 2"
+)

@@ -1192,3 +1192,13 @@ class TestSeqPack:
         out = q_seq_pack(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
         # before = 0, 300, 600, 900, 1200 -> seq = 0, 0, 1, 1, 2 at B=512
         assert out["seq_id"].tolist() == [0, 0, 1, 1, 2]
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses_present(self, ray_session, sf_dir):
+        from stac_catalog_builder_ray.pipelines.relational import q_snapshot_diff
+
+        out = q_snapshot_diff(sf_dir)
+        by_status = out.groupby("status")["n"].sum()
+        assert set(by_status.index) == {"added", "removed", "changed", "same"}
+        assert (by_status > 0).all()
