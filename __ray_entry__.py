@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": R.q_skew_join,
         "profile_events": R.q_profile_events,
         "snapshot_diff": R.q_snapshot_diff,
+        "cooccur_join": R.q_cooccur_join,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -286,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": R.SQL_SKEW_JOIN,
         "profile_events": R.SQL_PROFILE_EVENTS,
         "snapshot_diff": R.SQL_SNAPSHOT_DIFF,
+        "cooccur_join": R.SQL_COOCCUR_JOIN,
         "rect_join": G.rect_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,

@@ -1711,3 +1711,80 @@ SQL_SNAPSHOT_DIFF = (
     "COALESCE(a.y, b.y) AS o_year, COUNT(*) AS n "
     "FROM a FULL OUTER JOIN b ON a.k = b.k GROUP BY 1, 2"
 )
+
+
+COOCCUR_WINDOW_US = 600 * 1_000_000  # 10 minutes
+
+
+def q_cooccur_join(sf_dir: str):
+    """Stream-stream WINDOW JOIN: pairs of events by the SAME user within
+    10 minutes (the session co-occurrence primitive behind "users who did
+    X then Y").  Equi-key (user) + band predicate (|Δt| <= w), aggregated
+    to counts per ordered (type_a, type_b) pair.
+
+    Shape: events hash once on a crc-mixed user bucket (one shuffle); per
+    bucket, a vectorized sort + sliding-window two-pointer emits pairs —
+    per-user work is O(events x avg window occupancy), never the per-user
+    cartesian.  Skew note: a single hyperactive user bounds a reducer at
+    occupancy x its events; salt by (user, day) if that ever dominates."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((u * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table({"bucket": pa.array(b), "user_id": t["user_id"],
+                         "event_id": t["event_id"], "event_type": t["event_type"],
+                         "ts_us": pa.array(ts)})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        et = g["event_type"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        n = len(g)
+        # monotone (user, ts) key: dense user rank x (span + W + 1) + rel-ts
+        # keeps users > W apart so one searchsorted bounds every window
+        # without crossing a user boundary; max key ~ users x span fits
+        # int64 comfortably (a raw user_id << shift would not)
+        _, inv = np.unique(u, return_inverse=True)
+        rel = ts - ts.min()
+        stride = np.int64(rel.max()) + COOCCUR_WINDOW_US + 1
+        key = inv.astype(np.int64) * stride + rel
+        j_hi = np.searchsorted(key, key + COOCCUR_WINDOW_US, side="right")
+        cnt = j_hi - np.arange(n) - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                                 "type_b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        i = np.repeat(np.arange(n), cnt)
+        j = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + i + 1
+        ok = (u[i] == u[j]) & (eid[i] != eid[j])
+        i, j = i[ok], j[ok]
+        out = pd.DataFrame({"type_a": et[i], "type_b": et[j]})
+        vc = out.value_counts(["type_a", "type_b"]).reset_index(name="n")
+        vc["n"] = vc["n"].astype(np.int64)
+        return vc
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf
+
+
+SQL_COOCCUR_JOIN = (
+    "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events) "
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n "
+    "FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id <> b.event_id "
+    "AND b.t >= a.t AND b.t - a.t <= 600000000 "
+    "AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id)) "
+    "GROUP BY 1, 2"
+)

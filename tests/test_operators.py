@@ -1202,3 +1202,36 @@ class TestSnapshotDiff:
         by_status = out.groupby("status")["n"].sum()
         assert set(by_status.index) == {"added", "removed", "changed", "same"}
         assert (by_status > 0).all()
+
+
+class TestCooccurJoin:
+    def test_planted_windows(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_cooccur_join
+
+        base = np.datetime64("2020-01-01T00:00:00", "us")
+        mins = np.timedelta64(60, "s")
+        rows = [
+            # user 1: A at t0, B at +5min (in window), C at +20min (out)
+            (1, 1, "A", base),
+            (2, 1, "B", base + 5 * mins),
+            (3, 1, "C", base + 20 * mins),
+            # user 2: same timestamps must NOT pair with user 1
+            (4, 2, "A", base + 5 * mins),
+            # user 2 second event inside its own window
+            (5, 2, "B", base + 6 * mins),
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_cooccur_join(str(tmp_path)).set_index(["type_a", "type_b"])["n"]
+        # expected: u1 (A,B) at +5min; u1 (B,C) is +15min -> out of 10min window;
+        # u2 (A,B) at +1min -> total AB = 2 and nothing else
+        assert out.to_dict() == {("A", "B"): 2}
