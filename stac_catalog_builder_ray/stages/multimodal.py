@@ -224,3 +224,69 @@ def extract_patches(images, patch: int = 16, concurrency=(1, 8),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AugmentStage:
+    """Deterministic per-epoch image augmentation (the training-loader
+    transform expressed as a batch stage): horizontal flip + random crop,
+    with ALL randomness derived from splitmix64(hash(image_id), epoch) —
+    so any worker, any retry, any cluster size produces byte-identical
+    augmented pixels for a given (image, epoch), and an epoch re-run is
+    reproducible end to end.  Emits re-encoded raw payloads plus the
+    applied parameters for audit."""
+
+    def __init__(self, epoch: int = 0, crop_frac: float = 0.875, strict: bool = False):
+        self.epoch = int(epoch)
+        self.crop_frac = float(crop_frac)
+        self.decoder = DecodeStage(strict=strict)
+
+    def _params(self, image_id: str, h: int, w: int):
+        import zlib
+
+        from .dedup import splitmix64
+
+        seed = np.uint64(zlib.crc32(image_id.encode()) ^ (self.epoch << 32))
+        r = splitmix64(np.array([seed], dtype=np.uint64))[0]
+        flip = bool(r & np.uint64(1))
+        ch, cw = max(1, int(h * self.crop_frac)), max(1, int(w * self.crop_frac))
+        oy = int((r >> np.uint64(1)) % np.uint64(h - ch + 1))
+        ox = int((r >> np.uint64(17)) % np.uint64(w - cw + 1))
+        return flip, oy, ox, ch, cw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codec.raster import encode_image
+
+        ids, bufs, hs, ws, flips, oys, oxs = [], [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            img_id = batch["image_id"][i].as_py()
+            px = self.decoder._decode(
+                batch["bytes"][i].as_py(), batch["fmt"][i].as_py(),
+                batch["w"][i].as_py(), batch["h"][i].as_py())
+            h, w = px.shape
+            flip, oy, ox, ch, cw = self._params(img_id, h, w)
+            out = px[oy:oy + ch, ox:ox + cw]
+            if flip:
+                out = out[:, ::-1]
+            ids.append(img_id)
+            bufs.append(encode_image(np.ascontiguousarray(out), "raw"))
+            hs.append(ch); ws.append(cw); flips.append(flip); oys.append(oy); oxs.append(ox)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bufs, pa.binary()),
+            "h": pa.array(hs, pa.int32()), "w": pa.array(ws, pa.int32()),
+            "fmt": pa.array(["raw"] * len(ids), pa.string()),
+            "flip": pa.array(flips, pa.bool_()),
+            "crop_y": pa.array(oys, pa.int32()), "crop_x": pa.array(oxs, pa.int32()),
+        })
+
+
+def augment_images(images, epoch: int = 0, crop_frac: float = 0.875,
+                   concurrency=(1, 8), batch_size: int = 64):
+    """images Dataset -> augmented images Dataset, deterministic per epoch."""
+    return images.map_batches(
+        AugmentStage,
+        fn_constructor_kwargs={"epoch": epoch, "crop_frac": crop_frac},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

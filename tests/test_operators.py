@@ -1235,3 +1235,37 @@ class TestCooccurJoin:
         # expected: u1 (A,B) at +5min; u1 (B,C) is +15min -> out of 10min window;
         # u2 (A,B) at +1min -> total AB = 2 and nothing else
         assert out.to_dict() == {("A", "B"): 2}
+
+
+class TestAugmentStage:
+    def test_deterministic_and_correct(self, ray_session, scale_images_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.stages.multimodal import augment_images
+
+        ds = ray.data.read_parquet(scale_images_dir)
+        a1 = augment_images(ds, epoch=3).to_pandas().sort_values("image_id").reset_index(drop=True)
+        a2 = augment_images(ray.data.read_parquet(scale_images_dir), epoch=3) \
+            .to_pandas().sort_values("image_id").reset_index(drop=True)
+        # byte-identical across runs
+        assert (a1["bytes"] == a2["bytes"]).all()
+        # different epoch -> different augmentation somewhere
+        b = augment_images(ray.data.read_parquet(scale_images_dir), epoch=4) \
+            .to_pandas().sort_values("image_id").reset_index(drop=True)
+        assert (a1["bytes"] != b["bytes"]).any()
+
+        # spot-check param application against a local decode
+        src = pq.read_table(scale_images_dir)
+        lut = {src["image_id"][i].as_py(): i for i in range(src.num_rows)}
+        for _, r in a1.head(5).iterrows():
+            i = lut[r["image_id"]]
+            px = decode_image(src["bytes"][i].as_py(), src["fmt"][i].as_py())
+            want = px[r["crop_y"]:r["crop_y"] + r["h"], r["crop_x"]:r["crop_x"] + r["w"]]
+            if r["flip"]:
+                want = want[:, ::-1]
+            got = decode_image(r["bytes"], "raw")
+            assert (got == want).all()
+        # crop dims: 87.5% of 48x64 -> 42x56
+        assert set(a1["h"]) == {42} and set(a1["w"]) == {56}
