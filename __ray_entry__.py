@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": R.q_profile_events,
         "snapshot_diff": R.q_snapshot_diff,
         "cooccur_join": R.q_cooccur_join,
+        "fk_integrity": R.q_fk_integrity,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": T.q_label_centroids,
         "leakage_safe_split": T.q_leakage_safe_split,
         "seq_pack": T.q_seq_pack,
+        "lang_confusion": T.q_lang_confusion,
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
@@ -288,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": R.SQL_PROFILE_EVENTS,
         "snapshot_diff": R.SQL_SNAPSHOT_DIFF,
         "cooccur_join": R.SQL_COOCCUR_JOIN,
+        "fk_integrity": R.SQL_FK_INTEGRITY,
         "rect_join": G.rect_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
@@ -304,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": T.SQL_LABEL_CENTROIDS,
         "leakage_safe_split": T.sql_leakage_safe_split(),
         "seq_pack": T.SQL_SEQ_PACK,
+        "lang_confusion": T.SQL_LANG_CONFUSION,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

@@ -1788,3 +1788,97 @@ SQL_COOCCUR_JOIN = (
     "AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id)) "
     "GROUP BY 1, 2"
 )
+
+
+_FK_RELATIONS = [
+    # (name, fact table, fact key, dim table, dim key)
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+]
+
+
+def q_fk_integrity(sf_dir: str):
+    """REFERENTIAL-INTEGRITY report across the star schema's four FK
+    relations: per relation, fact rowcount and orphan count (fact keys
+    with no dim row).  Each leg is the engine's partitioned anti-join
+    shape on DISTINCT fact keys (the orphan check never shuffles fact
+    rows — distinct keys join against the dim key column), then orphan
+    fact rows are counted by a broadcast membership test only when
+    orphans exist (zero on healthy data, so the second pass is free)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _compact_nonempty
+
+    def one_relation(rel):
+        import pyarrow.parquet as _pq
+
+        name, fact, fkey, dim, dkey = rel
+        f = _prebuilt[name]  # constructed serially: Dataset construction
+        # does schema inference whose lazy fsspec-http import is NOT
+        # thread-safe (partial module -> uncaught ImportError in Ray)
+        n_rows = f.count()
+        dim_rows = _pq.ParquetFile(os.path.join(sf_dir, f"{dim}.parquet")).metadata.num_rows
+        if dim_rows <= 5_000_000:
+            # ADAPTIVE: a dim this small broadcasts as one key array and the
+            # orphan count is a vectorized map-side is_in over fact batches —
+            # no distinct-key shuffle, no join (measured: the 4 partitioned
+            # joins dominated the report, 31-41 s at 8 cpus -> ~3 s)
+            dk = ray.put(_prebuilt_dim[name].to_pandas()[dkey].to_numpy())
+
+            def orphan_batch(t: pa.Table, k=fkey) -> pa.Table:
+                keys = pa.array(np.asarray(ray.get(dk)))
+                miss = pc.invert(pc.is_in(t[k], value_set=keys))
+                return pa.table({"o": pa.array([int(pc.sum(pc.cast(miss, pa.int64())).as_py() or 0)], pa.int64())})
+
+            agg = f.map_batches(orphan_batch, batch_format="pyarrow").aggregate(Sum("o"))
+            return (name, int(n_rows), int(agg["sum(o)"] or 0))
+        # distinct fact keys + their row counts: the orphan check never
+        # shuffles fact ROWS, only the distinct-key table
+        fact_keys = _compact_nonempty(
+            f.groupby(fkey).aggregate(Count(alias_name="n")).materialize(),
+            pa.schema([(fkey, pa.int64()), ("n", pa.int64())]))
+        # Ray's outer join drops/coalesces the key columns, so presence is
+        # carried by an explicit dim-side marker instead of the dim key
+        dim_marked = _prebuilt_dim[name].map_batches(
+            lambda t, k=dkey: pa.table({k: t[k], "present": pa.array(
+                np.ones(t.num_rows, dtype=np.int8))}),
+            batch_format="pyarrow")
+        joined = fact_keys.join(dim_marked, join_type="left_outer",
+                                num_partitions=cluster_partitions(),
+                                on=(fkey,), right_on=(dkey,))
+
+        def orphan_partial(t: pa.Table) -> pa.Table:
+            pres = t["present"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"o": pa.array([int(n[pd.isna(pres)].sum())], pa.int64())})
+
+        agg = joined.map_batches(orphan_partial, batch_format="pyarrow") \
+            .aggregate(Sum("o"))
+        return (name, int(n_rows), int(agg["sum(o)"] or 0))
+
+    # the four relations are independent pipelines — drive the BLOCKING
+    # aggregates from four threads so their stages interleave on the
+    # cluster instead of running head-to-tail (measured 41 s -> 8.6 s at
+    # 8 cpus); dataset construction stays serial (see one_relation note)
+    _prebuilt = {rel[0]: _t(sf_dir, rel[1], [rel[2]]) for rel in _FK_RELATIONS}
+    _prebuilt_dim = {rel[0]: _t(sf_dir, rel[3], [rel[4]]) for rel in _FK_RELATIONS}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_FK_RELATIONS)) as ex:
+        results = list(ex.map(one_relation, _FK_RELATIONS))
+    return pd.DataFrame(results, columns=["relation", "n_rows", "n_orphans"]) \
+        .sort_values("relation").reset_index(drop=True)
+
+
+SQL_FK_INTEGRITY = " UNION ALL ".join(
+    f"SELECT '{name}' AS relation, COUNT(*) AS n_rows, "
+    f"CAST(SUM(CASE WHEN d.{dkey} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans "
+    f"FROM {fact} f LEFT JOIN {dim} d ON f.{fkey} = d.{dkey}"
+    for name, fact, fkey, dim, dkey in [
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ])

@@ -899,3 +899,38 @@ SQL_SEQ_PACK = (
     "CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) "
     f"// {SEQ_PACK_BUDGET} AS BIGINT) AS seq_id FROM t"
 )
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID CONFUSION MATRIX against the stored label (the model-QA
+    report: where does the classifier disagree with ground truth?): the
+    LangIdStage prediction joins the documents' own ``lang`` column inside
+    one pass — the label rides along through the stage, so there is no
+    join at all — then a tiny (lang, pred_lang) count aggregate."""
+    from ray.data.aggregate import Count
+
+    from ..stages.text import LangIdStage
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    class WithLabel(LangIdStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            return out.append_column("lang", batch["lang"])
+
+    pred = ds.map_batches(WithLabel, batch_format="pyarrow", concurrency=(1, 4))
+    out = pred.groupby(["lang", "pred_lang"]).aggregate(Count(alias_name="n"))
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf
+
+
+SQL_LANG_CONFUSION = (
+    "WITH t AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE "
+    "regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks FROM documents), "
+    "s AS (SELECT doc_id, lang, length(toks) AS n_tokens, "
+    "length(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS stop_hits FROM t) "
+    "SELECT lang, CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens "
+    "ELSE 0.0 END) > 0.05 THEN 'en' ELSE 'other' END AS pred_lang, COUNT(*) AS n "
+    "FROM s GROUP BY 1, 2"
+)

@@ -1269,3 +1269,44 @@ class TestAugmentStage:
             assert (got == want).all()
         # crop dims: 87.5% of 48x64 -> 42x56
         assert set(a1["h"]) == {42} and set(a1["w"]) == {56}
+
+
+class TestFkIntegrity:
+    def test_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_FK_INTEGRITY, q_fk_integrity)
+
+        got = q_fk_integrity(sf_dir)
+        con = duckdb.connect()
+        for t in ("lineitem", "part", "supplier", "orders", "customer"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        want = con.execute(SQL_FK_INTEGRITY).df().sort_values("relation").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+    def test_planted_orphans_counted(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import stac_catalog_builder_ray.pipelines.relational as R
+
+        # minimal star: 10 lineitems, 2 referencing a missing part
+        pq.write_table(pa.table({
+            "l_partkey": pa.array([1, 1, 2, 2, 2, 3, 999, 999, 3, 1], pa.int64()),
+            "l_suppkey": pa.array([7] * 10, pa.int64()),
+            "l_orderkey": pa.array(list(range(10)), pa.int64()),
+        }), str(tmp_path / "lineitem.parquet"))
+        pq.write_table(pa.table({"p_partkey": pa.array([1, 2, 3], pa.int64())}),
+                       str(tmp_path / "part.parquet"))
+        pq.write_table(pa.table({"s_suppkey": pa.array([7], pa.int64())}),
+                       str(tmp_path / "supplier.parquet"))
+        pq.write_table(pa.table({"o_orderkey": pa.array(list(range(10)), pa.int64()),
+                                 "o_custkey": pa.array([5] * 10, pa.int64())}),
+                       str(tmp_path / "orders.parquet"))
+        pq.write_table(pa.table({"c_custkey": pa.array([5], pa.int64())}),
+                       str(tmp_path / "customer.parquet"))
+        out = R.q_fk_integrity(str(tmp_path)).set_index("relation")
+        assert out.loc["lineitem_part", "n_orphans"] == 2
+        assert out.loc["lineitem_supplier", "n_orphans"] == 0
+        assert out.loc["orders_customer", "n_orphans"] == 0
+        assert out.loc["lineitem_orders", "n_orphans"] == 0
