@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": R.q_snapshot_diff,
         "cooccur_join": R.q_cooccur_join,
         "fk_integrity": R.q_fk_integrity,
+        "global_rank": R.q_global_rank,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": T.q_leakage_safe_split,
         "seq_pack": T.q_seq_pack,
         "lang_confusion": T.q_lang_confusion,
+        "compress_ratio": T.q_compress_ratio,
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
@@ -291,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": R.SQL_SNAPSHOT_DIFF,
         "cooccur_join": R.SQL_COOCCUR_JOIN,
         "fk_integrity": R.SQL_FK_INTEGRITY,
+        "global_rank": R.SQL_GLOBAL_RANK,
         "rect_join": G.rect_join_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,

@@ -1882,3 +1882,72 @@ SQL_FK_INTEGRITY = " UNION ALL ".join(
         ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
         ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ])
+
+
+def q_global_rank(sf_dir: str):
+    """GLOBAL RANK over events.value (ties share the min rank — SQL RANK())
+    computed WITHOUT a global sort: values quantize to e4 ints, hash into
+    256 fixed VALUE-RANGE bins, pass 1 counts per bin (tiny aggregate),
+    the driver prefix-sums bin offsets, pass 2 ranks each bin locally
+    (sort + first-index-of-equal) and adds its offset.  Same two-pass
+    offset pattern as `q_seq_pack` but keyed by value range instead of id
+    range — together they cover the ordered-analytics family (cumsum,
+    rank, ntile) with one reusable discipline."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        v4 = round_half_away(t["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "v4": pa.array(v4)})
+
+    q = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+
+    # bin edges from the global min/max (one cheap aggregate over partials)
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t["v4"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(v.min())], pa.int64()),
+                         "hi": pa.array([int(v.max())], pa.int64())})
+
+    from ray.data.aggregate import Max, Min
+
+    mm = q.map_batches(minmax, batch_format="pyarrow").aggregate(Min("lo"), Max("hi"))
+    lo, hi = int(mm["min(lo)"]), int(mm["max(hi)"])
+    n_bins = 256
+    width = max(1, (hi - lo) // n_bins + 1)
+
+    def binify(t: pa.Table) -> pa.Table:
+        v = t["v4"].to_numpy(zero_copy_only=False)
+        return t.append_column("bin", pa.array((v - lo) // width))
+
+    binned = q.map_batches(binify, batch_format="pyarrow").materialize()
+    counts = binned.groupby("bin").aggregate(Count(alias_name="n")).to_pandas()
+    counts = counts.sort_values("bin").reset_index(drop=True)
+    offs = dict(zip(counts["bin"].astype(int),
+                    np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]]).astype(np.int64)))
+    offs_ref = ray.put(offs)
+
+    def rank_bin(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offs_ref)[int(g["bin"].iloc[0])]
+        v = g["v4"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        # RANK(): position of the FIRST equal value, 1-based + bin offset
+        first = np.searchsorted(sv, sv, side="left")
+        rnk = np.empty(len(v), dtype=np.int64)
+        rnk[order] = off + first + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "v4": v, "rnk": rnk})
+
+    out = binned.groupby("bin").map_groups(rank_bin, batch_format="pandas").to_pandas()
+    out["rnk"] = out["rnk"].astype("int64")
+    out["v4"] = out["v4"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)[["event_id", "v4", "rnk"]]
+
+
+SQL_GLOBAL_RANK = (
+    "SELECT event_id, CAST(ROUND(value * 10000, 0) AS BIGINT) AS v4, "
+    "RANK() OVER (ORDER BY CAST(ROUND(value * 10000, 0) AS BIGINT)) AS rnk "
+    "FROM events"
+)

@@ -934,3 +934,32 @@ SQL_LANG_CONFUSION = (
     "ELSE 0.0 END) > 0.05 THEN 'en' ELSE 'other' END AS pred_lang, COUNT(*) AS n "
     "FROM s GROUP BY 1, 2"
 )
+
+
+def q_compress_ratio(sf_dir: str):
+    """Per-document zlib COMPRESSION RATIO (the cheap boilerplate /
+    repetition quality signal: highly-compressible text is template or
+    repetition; near-incompressible is noise).  Deterministic — zlib level
+    6 output length is a pure function of the bytes — so rows-only with a
+    golden pin; ratio_e4 kept integer (len_out*1e4 // len_in)."""
+    import zlib
+
+    import numpy as np
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_in, n_out = [], []
+        for x in texts:
+            b = (x or "").encode()
+            n_in.append(len(b))
+            n_out.append(len(zlib.compress(b, 6)) if b else 0)
+        n_in = np.array(n_in, dtype=np.int64)
+        n_out = np.array(n_out, dtype=np.int64)
+        ratio_e4 = np.where(n_in > 0, n_out * 10000 // np.maximum(n_in, 1), 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bytes": pa.array(n_in),
+                         "ratio_e4": pa.array(ratio_e4.astype(np.int64))})
+
+    return docs.map_batches(ratio, batch_format="pyarrow")

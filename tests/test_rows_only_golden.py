@@ -47,6 +47,9 @@ GOLDEN = {
     # caption equality row-invariant validator (planted-corruption counts
     # proven in test_catalog::TestCaptionConsistency)
     "caption_check": ("9793dc9eb216f3a8", 1),
+    # zlib compression-ratio quality signal (pure function of the bytes;
+    # spot-checked against direct zlib in the session that pinned this)
+    "compress_ratio": ("239cb37675a8e2ec", 500),
 }
 
 
