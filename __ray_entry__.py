@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": R.q_skew_join,
         "profile_events": R.q_profile_events,
         "snapshot_diff": R.q_snapshot_diff,
+        "merge_apply": R.q_merge_apply,
         "cooccur_join": R.q_cooccur_join,
         "fk_integrity": R.q_fk_integrity,
         "global_rank": R.q_global_rank,
@@ -291,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": R.SQL_SKEW_JOIN,
         "profile_events": R.SQL_PROFILE_EVENTS,
         "snapshot_diff": R.SQL_SNAPSHOT_DIFF,
+        "merge_apply": R.SQL_MERGE_APPLY,
         "cooccur_join": R.SQL_COOCCUR_JOIN,
         "fk_integrity": R.SQL_FK_INTEGRITY,
         "global_rank": R.SQL_GLOBAL_RANK,

@@ -1951,3 +1951,119 @@ SQL_GLOBAL_RANK = (
     "RANK() OVER (ORDER BY CAST(ROUND(value * 10000, 0) AS BIGINT)) AS rnk "
     "FROM events"
 )
+
+
+# --- CDC merge-apply (upsert + delete, last-writer-wins) ---------------------
+
+
+def q_merge_apply(sf_dir: str):
+    """CDC MERGE-APPLY: apply a keyed changelog to a base snapshot with
+    last-writer-wins + delete semantics — the write half of incremental
+    catalog refresh (``q_snapshot_diff`` is the read half; reference analog
+    = create_or_update + bulk upsert, /root/reference/stacbuilder/stacapi/
+    endpoints.py:416-441).
+
+    base      = customer: (custkey, acctbal cents)
+    changelog = orders as change records sequenced by (o_orderdate,
+                o_orderkey); key = o_custkey, except o_orderkey % 11 == 0
+                rows target key o_custkey + 100000 (entities NOT in base →
+                the insert branch); keys with o_custkey % 7 == 0 emit no
+                changes (untouched base rows → the base branch); op =
+                DELETE when status 'F' and o_orderkey % 10 == 0, else
+                UPSERT carrying totalprice cents.
+    result    = base overlaid with the LAST change per key: upserts replace
+                (or insert), deletes remove the key even if it is in base.
+
+    Scale shape: a per-batch last-wins COMBINER prunes the changelog to one
+    row per key per batch BEFORE the shuffle (the pre-aggregation discipline
+    applied to CDC — at 100 TB the changelog is the big side and arrives
+    heavily key-skewed toward hot entities); the final per-key last-wins is
+    one vectorized pass per crc bucket; the base overlay is one partitioned
+    full-outer join on the key (both null sides exercised: inserts have no
+    base row, untouched base rows have no change)."""
+    ch = _t(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"])
+
+    def partial_last(t: pa.Table) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "custkey": np.where(ok % 11 == 0, ck + 100000, ck),
+            "okey": ok,
+            "date_us": t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+            "st": t["o_orderstatus"].to_pandas(),
+            "cents": round_half_away(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64),
+        })
+        df = df[df["custkey"].to_numpy() % 7 != 0]
+        df = df.sort_values(["custkey", "date_us", "okey"], kind="stable")
+        df = df.drop_duplicates(subset=["custkey"], keep="last")
+        df["op"] = np.where((df["st"].to_numpy() == "F") & (df["okey"].to_numpy() % 10 == 0),
+                            "D", "U")
+        u = df["custkey"].to_numpy().astype(np.uint64)
+        df["bucket"] = ((u * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+        return df[["bucket", "custkey", "okey", "date_us", "op", "cents"]]
+
+    def final_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["custkey", "date_us", "okey"], kind="stable")
+        g = g.drop_duplicates(subset=["custkey"], keep="last")
+        return g[["custkey", "op", "cents"]].rename(columns={"cents": "ch_cents"})
+
+    last = (
+        ch.map_batches(partial_last, batch_format="pyarrow")
+        .repartition(cluster_partitions())
+        .groupby("bucket")
+        .map_groups(final_last, batch_format="pandas")
+    )
+
+    def base_prep(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        cents = round_half_away(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"base_key": t["c_custkey"], "base_cents": pa.array(cents)})
+
+    base = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        base_prep, batch_format="pyarrow")
+    j = base.join(last, join_type="full_outer", num_partitions=cluster_partitions(),
+                  on=("base_key",), right_on=("custkey",))
+
+    def merge(t: pa.Table) -> pa.Table:
+        # full_outer coalesces the key into base_key; change-side presence is
+        # the op null mask (cents null-fill to NaN; cents < 2^53 so exact)
+        op = t["op"].to_pandas()
+        bc = t["base_cents"].to_numpy(zero_copy_only=False)
+        cc = t["ch_cents"].to_numpy(zero_copy_only=False)
+        no_change = op.isna().to_numpy()
+        keep = no_change | (op.to_numpy() != "D")
+        val = np.where(no_change, bc, cc)[keep]
+        src = np.where(no_change, "base", "upsert")[keep]
+        key = t["base_key"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"custkey": pa.array(key.astype(np.int64)),
+                         "val_cents": pa.array(val.astype(np.int64)),
+                         "src": pa.array(src, pa.string())})
+
+    return j.map_batches(merge, batch_format="pyarrow")
+
+
+SQL_MERGE_APPLY = (
+    "WITH ch0 AS (SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 100000 "
+    "ELSE o_custkey END AS custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate "
+    "FROM orders), "
+    "ch AS (SELECT custkey, "
+    "CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op, "
+    "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents, "
+    "row_number() OVER (PARTITION BY custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn "
+    "FROM ch0 WHERE custkey % 7 <> 0), "
+    "lw AS (SELECT custkey, op, cents FROM ch WHERE rn = 1), "
+    "base AS (SELECT c_custkey AS custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents "
+    "FROM customer) "
+    "SELECT COALESCE(l.custkey, b.custkey) AS custkey, "
+    "CASE WHEN l.custkey IS NULL THEN b.cents ELSE l.cents END AS val_cents, "
+    "CASE WHEN l.custkey IS NULL THEN 'base' ELSE 'upsert' END AS src "
+    "FROM base b FULL OUTER JOIN lw l ON b.custkey = l.custkey "
+    "WHERE l.op IS NULL OR l.op <> 'D'"
+)

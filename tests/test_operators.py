@@ -1310,3 +1310,24 @@ class TestFkIntegrity:
         assert out.loc["lineitem_supplier", "n_orphans"] == 0
         assert out.loc["orders_customer", "n_orphans"] == 0
         assert out.loc["lineitem_orders", "n_orphans"] == 0
+
+
+class TestMergeApply:
+    def test_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_MERGE_APPLY, q_merge_apply)
+
+        got = q_merge_apply(sf_dir).to_pandas().sort_values("custkey").reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ["orders", "customer"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        want = con.execute(SQL_MERGE_APPLY).df().sort_values("custkey").reset_index(drop=True)
+        cols = sorted(got.columns)
+        pd.testing.assert_frame_equal(got[cols], want[cols].astype(got[cols].dtypes.to_dict()))
+        # every branch non-vacuous: untouched base rows, upserts, inserts, deletes
+        assert (got["src"] == "base").any() and (got["src"] == "upsert").any()
+        assert (got["custkey"] > 100000).any()
+        base_keys = set(con.execute("SELECT c_custkey FROM customer").df()["c_custkey"])
+        assert base_keys - set(got["custkey"]), "no key was deleted (delete branch vacuous)"
