@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": R.q_topk_per_group,
         "grouped_quantiles": R.q_grouped_quantiles,
         "distinct_sketch": R.q_distinct_sketch,
+        "cm_counts": R.q_cm_counts,
         "interval_join": R.q_interval_join,
         "moving_avg": R.q_moving_avg,
         "pivot_events": R.q_pivot_events,
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_check": G.q_caption_check,
         "radius_join": G.q_radius_join,
         "rect_join": G.q_rect_join,
+        "cell_compact": G.q_cell_compact,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,
@@ -247,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": R.SQL_TOPK_PER_GROUP,
         "grouped_quantiles": R.SQL_GROUPED_QUANTILES,
         "distinct_sketch": R.SQL_DISTINCT_SKETCH,
+        "cm_counts": R.SQL_CM_COUNTS,
         "interval_join": R.SQL_INTERVAL_JOIN,
         "moving_avg": R.SQL_MOVING_AVG,
         "pivot_events": R.SQL_PIVOT_EVENTS,
@@ -297,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "fk_integrity": R.SQL_FK_INTEGRITY,
         "global_rank": R.SQL_GLOBAL_RANK,
         "rect_join": G.rect_join_sql(),
+        "cell_compact": G.cell_compact_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

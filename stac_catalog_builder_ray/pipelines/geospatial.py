@@ -382,3 +382,86 @@ def q_caption_check(sf_dir: str):
         "n_missing_parse": [int(sums["sum(n_missing_parse)"])],
         "n_mismatch": [int(sums["sum(n_mismatch)"])],
     })
+
+
+# --- hierarchical cell compaction (H3 compact_cells analog) -------------------
+
+
+def compact_cells(cells: "rd.Dataset", levels: int = 1) -> "rd.Dataset":
+    """Quadtree CELL-SET COMPACTION (the H3 ``compact_cells`` operator over
+    the engine's cell index): replace every complete 4-child sibling set by
+    its parent cell, ``levels`` times.  The compacted set covers exactly the
+    same area with the minimum number of cells — the standard trick for
+    shipping coverage masks / AOI indexes at a fraction of the size.
+
+    Input: a Dataset with a distinct int64 ``cell`` column (one resolution).
+    Scale shape: distinct cells at res r are bounded by 4^r (res 10 ≈ 1M),
+    orders of magnitude below the point corpus, but the operator still
+    avoids the driver: one ``groupby(parent)`` per level, each group at most
+    4 rows, emitted as parent or passed through vectorized."""
+    from ..geo.cell import cell_parent
+
+    for _ in range(levels):
+        def add_parent(t: pa.Table) -> pa.Table:
+            c = t["cell"].to_numpy(zero_copy_only=False)
+            return pa.table({"cell": t["cell"], "parent": pa.array(cell_parent(c))})
+
+        def compact(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 4:
+                return pd.DataFrame({"cell": [np.int64(g["parent"].iloc[0])]})
+            return g[["cell"]]
+
+        cells = (
+            cells.map_batches(add_parent, batch_format="pyarrow")
+            .groupby("parent")
+            .map_groups(compact, batch_format="pandas")
+        )
+    return cells
+
+
+def q_cell_compact(sf_dir: str):
+    """Occupied res-6 cells of the HASHED points (pseudo-uniform — the
+    lattice-structured ``events_points`` never completes a sibling set, see
+    ``_sqmod61``), compacted one level: every fully-occupied res-5 parent
+    (all 4 children present) replaces its children.  Distinctness comes
+    from a count groupby (per-batch unique partials bound the shuffle);
+    the SQL twin mirrors the parent bit surgery literally."""
+    pts = hashed_points(sf_dir)
+
+    def encode(t: pa.Table) -> pa.Table:
+        cells = cell_encode(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False), CELL_RES)
+        u = np.unique(cells)  # per-batch distinct partial
+        return pa.table({"cell": pa.array(u)})
+
+    occupied = (
+        pts.map_batches(encode, batch_format="pyarrow")
+        .groupby("cell").aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    out = compact_cells(occupied).to_pandas()
+    out["cell"] = out["cell"].astype("int64")
+    return out.sort_values("cell").reset_index(drop=True)
+
+
+def cell_compact_sql() -> str:
+    from ..geo.cell import RES_SHIFT, XY_BITS, XY_MASK, cell_encode_sql
+
+    cell6 = cell_encode_sql("lon", "lat", CELL_RES)
+    parent = (
+        f"((CAST({CELL_RES - 1} AS BIGINT) << {RES_SHIFT}) | "
+        f"((((cell6 >> {XY_BITS}) & {XY_MASK}) >> 1) << {XY_BITS}) | "
+        f"((cell6 & {XY_MASK}) >> 1))"
+    )
+    return (
+        "WITH " + _kmv_sql_cte("event_id") + ", "
+        "pts AS (SELECT event_id, (g % 36000) / 100.0 - 180.0 AS lon, "
+        "((g // 36000) % 18000) / 100.0 - 90.0 AS lat FROM sq), "
+        f"occ AS (SELECT DISTINCT {cell6} AS cell6 FROM pts), "
+        f"par AS (SELECT cell6, {parent} AS p FROM occ), "
+        "cnt AS (SELECT p, COUNT(*) AS nc FROM par GROUP BY p) "
+        "SELECT p AS cell FROM cnt WHERE nc = 4 "
+        "UNION ALL "
+        "SELECT cell6 AS cell FROM par JOIN cnt USING (p) WHERE nc < 4"
+    )

@@ -2067,3 +2067,87 @@ SQL_MERGE_APPLY = (
     "FROM base b FULL OUTER JOIN lw l ON b.custkey = l.custkey "
     "WHERE l.op IS NULL OR l.op <> 'D'"
 )
+
+
+# --- Count-Min sketch (mergeable approximate counts) -------------------------
+
+_CM_W = 1024
+_CM_ROWS = ((2654435761, 1013904223), (2246822519, 2038074743), (3266489917, 1597334677))
+
+
+def _cm_bucket(x: np.ndarray, a: int, b: int) -> np.ndarray:
+    """Single-round multiplicative hash mod the Mersenne prime, folded to
+    the sketch width.  int64-safe for ids < ~2^31 (the testdata range); for
+    wider keys pre-fold with ``_kmv_hash`` first (same identity the KMV
+    sketch documents) — the single round keeps the SQL twin one line."""
+    return ((x.astype(np.int64) * a + b) % _KMV_P) % _CM_W
+
+
+def q_cm_counts(sf_dir: str):
+    """COUNT-MIN SKETCH: mergeable approximate per-key counts.  Per batch,
+    each of d=3 hash rows bincounts into w=1024 buckets (bounded d x w int64
+    state per batch, regardless of input size); partials merge by plain
+    addition, so the sketch is order-independent and DETERMINISTIC — the
+    DuckDB twin reproduces the sketch itself (bucket sums + LEAST over
+    rows), not a tolerance band.  est_n >= n always (one-sided error).
+
+    The exact side (per-user counts) rides the same pass and serves as the
+    accuracy report; at 100 TB you keep ONLY the sketch — 24 KiB of state
+    summarizes any number of rows, and sketches from disjoint shards merge
+    by '+' (the same partial-aggregate discipline as pricing_summary, with
+    bounded instead of per-key state)."""
+    ds = _t(sf_dir, "events", ["user_id"])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        js, bs, cs = [], [], []
+        for j, (a, b) in enumerate(_CM_ROWS):
+            cnt = np.bincount(_cm_bucket(u, a, b), minlength=_CM_W)
+            occ = np.nonzero(cnt)[0]
+            js.append(np.full(len(occ), j, dtype=np.int64))
+            bs.append(occ.astype(np.int64))
+            cs.append(cnt[occ].astype(np.int64))
+        return pa.table({"j": pa.array(np.concatenate(js)),
+                         "b": pa.array(np.concatenate(bs)),
+                         "c": pa.array(np.concatenate(cs))})
+
+    sk = (
+        ds.map_batches(sketch_partial, batch_format="pyarrow")
+        .groupby(["j", "b"]).aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    mat = np.zeros((len(_CM_ROWS), _CM_W), dtype=np.int64)
+    mat[sk["j"].to_numpy(), sk["b"].to_numpy()] = sk["c"].to_numpy()
+    mat_ref = ray.put(mat)
+
+    exact = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+
+    def estimate(t: pa.Table) -> pa.Table:
+        m = ray.get(mat_ref)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        est = np.min(
+            np.stack([m[j, _cm_bucket(u, a, b)] for j, (a, b) in enumerate(_CM_ROWS)]),
+            axis=0)
+        return pa.table({"user_id": t["user_id"],
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "est_n": pa.array(est)})
+
+    return exact.map_batches(estimate, batch_format="pyarrow")
+
+
+def _cm_bucket_sql(col: str, a: int, b: int) -> str:
+    return f"((({col}) * {a} + {b}) % {_KMV_P}) % {_CM_W}"
+
+
+SQL_CM_COUNTS = (
+    "WITH bk AS (SELECT user_id, "
+    + ", ".join(f"{_cm_bucket_sql('user_id', a, b)} AS b{j}"
+                for j, (a, b) in enumerate(_CM_ROWS))
+    + " FROM events), "
+    + ", ".join(f"s{j} AS (SELECT b{j} AS b, COUNT(*) AS c FROM bk GROUP BY 1)"
+                for j in range(len(_CM_ROWS)))
+    + ", u AS (SELECT user_id, COUNT(*) AS n, MIN(b0) AS b0, MIN(b1) AS b1, MIN(b2) AS b2 "
+    "FROM bk GROUP BY user_id) "
+    "SELECT u.user_id, u.n, LEAST(s0.c, s1.c, s2.c) AS est_n "
+    "FROM u JOIN s0 ON u.b0 = s0.b JOIN s1 ON u.b1 = s1.b JOIN s2 ON u.b2 = s2.b"
+)

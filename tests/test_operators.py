@@ -1331,3 +1331,48 @@ class TestMergeApply:
         assert (got["custkey"] > 100000).any()
         base_keys = set(con.execute("SELECT c_custkey FROM customer").df()["c_custkey"])
         assert base_keys - set(got["custkey"]), "no key was deleted (delete branch vacuous)"
+
+
+class TestCmCounts:
+    def test_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_CM_COUNTS, q_cm_counts)
+
+        got = q_cm_counts(sf_dir).to_pandas().sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+        want = con.execute(SQL_CM_COUNTS).df().sort_values("user_id").reset_index(drop=True)
+        cols = sorted(got.columns)
+        pd.testing.assert_frame_equal(got[cols], want[cols].astype(got[cols].dtypes.to_dict()))
+        assert (got["est_n"] >= got["n"]).all()
+
+    def test_collisions_overestimate_one_sided(self, ray_session, tmp_path):
+        """5000 distinct keys in 1024 buckets force collisions: est_n must
+        strictly exceed n for some keys and never fall below it, and the
+        estimate must equal the numpy recomputation of min-over-rows."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            _CM_ROWS, _CM_W, _cm_bucket, q_cm_counts)
+
+        n_users = 5000
+        u = np.arange(n_users, dtype=np.int64)
+        t = pa.table({
+            "event_id": pa.array(u),
+            "ts": pa.array(np.full(n_users, np.datetime64("2020-01-01", "us"))),
+            "user_id": pa.array(u),
+            "event_type": pa.array(["x"] * n_users),
+            "value": pa.array(np.zeros(n_users)),
+            "props": pa.array(["{}"] * n_users),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_cm_counts(str(tmp_path)).to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert (out["n"] == 1).all()
+        assert (out["est_n"] >= 1).all()
+        assert (out["est_n"] > 1).any(), "no collision at 5000 keys / 1024 buckets (vacuous)"
+        # independent numpy oracle: bincount per row, min over rows
+        mats = [np.bincount(_cm_bucket(u, a, b), minlength=_CM_W) for a, b in _CM_ROWS]
+        est = np.min(np.stack([m[_cm_bucket(u, a, b)] for m, (a, b) in zip(mats, _CM_ROWS)]), axis=0)
+        assert (out["est_n"].to_numpy() == est).all()

@@ -374,3 +374,37 @@ class TestPixelHistogram:
         t = pq.read_table(scale_images_dir)
         total = int((t["w"].to_numpy() * t["h"].to_numpy()).sum())
         assert int(got["n_px"].sum()) == total
+
+
+class TestCellCompact:
+    def test_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            cell_compact_sql, q_cell_compact)
+
+        got = q_cell_compact(sf_dir)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+        want = con.execute(cell_compact_sql()).df().sort_values("cell").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+        # compaction actually fires (sf0.001 hashed points yield >= 1 parent)
+        assert ((got["cell"].to_numpy() >> 58) == 5).any()
+
+    def test_multi_level_planted(self, ray_session):
+        """All 16 res-6 descendants of one res-4 cell + one lone res-6 cell:
+        two compaction levels must collapse the block to the res-4 ancestor
+        and pass the lone cell through untouched."""
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.geo.cell import cell_children, cell_encode
+        from stac_catalog_builder_ray.pipelines.geospatial import compact_cells
+
+        anc = int(cell_encode(10.0, 10.0, 4))
+        block = np.concatenate([cell_children(int(c)) for c in cell_children(anc)])
+        lone = int(cell_encode(-170.0, -80.0, 6))
+        import pyarrow as pa
+
+        cells = rd.from_arrow(pa.table({"cell": pa.array(np.append(block, lone))}))
+        out = compact_cells(cells, levels=2).to_pandas()
+        assert sorted(out["cell"].tolist()) == sorted([anc, lone])
