@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite join / sessions / skew
         "shipping_priority": R.q_shipping_priority,
         "sessionize": R.q_sessionize,
+        "user_journey": R.q_user_journey,
+        "throttle_dedup": R.q_throttle_dedup,
         "salted_agg": R.q_salted_agg,
         "asof_join": R.q_asof_join,
         "topk_per_group": R.q_topk_per_group,
@@ -123,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov": T.q_vocab_oov,
         "label_centroids": T.q_label_centroids,
         "leakage_safe_split": T.q_leakage_safe_split,
+        "per_source_cap": T.q_per_source_cap,
         "seq_pack": T.q_seq_pack,
         "lang_confusion": T.q_lang_confusion,
         "compress_ratio": T.q_compress_ratio,
@@ -246,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_value_e4, COUNT(*) AS n FROM events GROUP BY event_type"
         ),
         "asof_join": R.SQL_ASOF_JOIN,
+        "user_journey": R.SQL_USER_JOURNEY,
+        "throttle_dedup": R.SQL_THROTTLE_DEDUP,
         "topk_per_group": R.SQL_TOPK_PER_GROUP,
         "grouped_quantiles": R.SQL_GROUPED_QUANTILES,
         "distinct_sketch": R.SQL_DISTINCT_SKETCH,
@@ -315,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_oov": T.SQL_VOCAB_OOV,
         "label_centroids": T.SQL_LABEL_CENTROIDS,
         "leakage_safe_split": T.sql_leakage_safe_split(),
+        "per_source_cap": T.sql_per_source_cap(),
         "seq_pack": T.SQL_SEQ_PACK,
         "lang_confusion": T.SQL_LANG_CONFUSION,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:

@@ -2151,3 +2151,83 @@ SQL_CM_COUNTS = (
     "SELECT u.user_id, u.n, LEAST(s0.c, s1.c, s2.c) AS est_n "
     "FROM u JOIN s0 ON u.b0 = s0.b JOIN s1 ON u.b1 = s1.b JOIN s2 ON u.b2 = s2.b"
 )
+
+
+# --- ordered string aggregation + stream throttle dedup ----------------------
+
+
+def q_user_journey(sf_dir: str):
+    """Ordered STRING_AGG per key: each user's event-type sequence in
+    (ts, event_id) order joined with '>' — the sequence-construction step
+    of behavioral / session training data.  One crc-bucket shuffle, then a
+    single pandas pass per bucket; concat output is inherently per-group,
+    but the sort and grouping are vectorized and each reducer holds only
+    its bucket."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 64))
+
+    def journey(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        agg = g.groupby("user_id", sort=False)["event_type"].agg([
+            (">".join, ">".join), ("n_events", "size")])
+        agg.columns = ["journey", "n_events"]
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg.reset_index()
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(cluster_partitions())
+        .groupby("bucket")
+        .map_groups(journey, batch_format="pandas")
+    )
+
+
+SQL_USER_JOURNEY = (
+    "SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS journey, "
+    "COUNT(*) AS n_events FROM events GROUP BY user_id"
+)
+
+
+THROTTLE_US = 600 * 1_000_000  # 10 minutes
+
+
+def q_throttle_dedup(sf_dir: str):
+    """Stream THROTTLE-DEDUP: drop an event when the previous event of the
+    same (user_id, event_type) lies within 10 minutes — the at-most-once-
+    per-window rule of alerting / impression-dedup pipelines.  Lag-based
+    semantics (each event compares to its immediate predecessor, kept or
+    not), which is the SQL-exact variant; one crc-bucket shuffle + one
+    vectorized shift pass per bucket."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 64))
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = (g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]) & (
+            g["event_type"].to_numpy()[1:] == g["event_type"].to_numpy()[:-1])
+        close = (ts[1:] - ts[:-1]) <= THROTTLE_US
+        drop = np.concatenate([[False], same & close])
+        return g.loc[~drop, ["event_id", "user_id", "event_type", "ts"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(cluster_partitions())
+        .groupby("bucket")
+        .map_groups(keep, batch_format="pandas")
+    )
+
+
+SQL_THROTTLE_DEDUP = (
+    "SELECT event_id, user_id, event_type, ts FROM ("
+    "SELECT event_id, user_id, event_type, ts, "
+    "lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts "
+    "FROM events) WHERE prev_ts IS NULL "
+    "OR date_diff('microsecond', prev_ts, ts) > 600000000"
+)

@@ -963,3 +963,41 @@ def q_compress_ratio(sf_dir: str):
                          "ratio_e4": pa.array(ratio_e4.astype(np.int64))})
 
     return docs.map_batches(ratio, batch_format="pyarrow")
+
+
+def q_per_source_cap(sf_dir: str):
+    """PER-DOMAIN CAP (web-pipeline staple: bound any one domain's share of
+    the corpus): keep at most 10 documents per source, chosen by the
+    deterministic KMV-hash priority of doc_id (reproducible on any cluster
+    size — NOT "first 10 seen", which depends on scan order).  Pure
+    composition: ``grouped_topk`` ascending on the hash, so each batch
+    prunes to <= 10 rows per source before the shuffle."""
+    import numpy as np
+
+    from .relational import _kmv_hash, grouped_topk
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def pri(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("h", pa.array(_kmv_hash(ids)))
+
+    kept = grouped_topk(docs.map_batches(pri, batch_format="pyarrow"),
+                        ["source"], "h", k=10, tie_cols=["doc_id"],
+                        descending=False)
+    return kept.select_columns(["doc_id", "source"])
+
+
+def sql_per_source_cap() -> str:
+    from .relational import _KMV_A, _KMV_A2, _KMV_B, _KMV_P
+
+    return (
+        f"WITH h1 AS (SELECT doc_id, source, (doc_id * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h "
+        "FROM documents), "
+        f"t AS (SELECT doc_id, source, ((h % 1073741824) * {_KMV_A2}) % {_KMV_P} AS term1, "
+        f"((h // 1073741824) * {_KMV_A2}) % {_KMV_P} AS tt FROM h1), "
+        f"p AS (SELECT doc_id, source, (term1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) "
+        f"% {_KMV_P}) % {_KMV_P} AS h FROM t) "
+        "SELECT doc_id, source FROM p "
+        "QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, doc_id) <= 10"
+    )

@@ -1376,3 +1376,45 @@ class TestCmCounts:
         mats = [np.bincount(_cm_bucket(u, a, b), minlength=_CM_W) for a, b in _CM_ROWS]
         est = np.min(np.stack([m[_cm_bucket(u, a, b)] for m, (a, b) in zip(mats, _CM_ROWS)]), axis=0)
         assert (out["est_n"].to_numpy() == est).all()
+
+
+class TestJourneyThrottleCap:
+    def _cmp(self, got, sql, sf_dir, tables):
+        import duckdb
+
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        want = con.execute(sql).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True).astype(g.dtypes.to_dict())
+        pd.testing.assert_frame_equal(g, w)
+        return g
+
+    def test_user_journey(self, ray_session, sf_dir):
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_USER_JOURNEY, q_user_journey)
+
+        g = self._cmp(q_user_journey(sf_dir), SQL_USER_JOURNEY, sf_dir, ["events"])
+        assert (g["n_events"] == g["journey"].str.count(">") + 1).all()
+
+    def test_throttle_dedup(self, ray_session, sf_dir):
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_THROTTLE_DEDUP, q_throttle_dedup)
+
+        g = self._cmp(q_throttle_dedup(sf_dir), SQL_THROTTLE_DEDUP, sf_dir, ["events"])
+        import duckdb
+
+        n_all = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+        assert len(g) < n_all, "throttle dropped nothing (vacuous)"
+
+    def test_per_source_cap(self, ray_session, sf_dir):
+        from stac_catalog_builder_ray.pipelines.text import (
+            q_per_source_cap, sql_per_source_cap)
+
+        g = self._cmp(q_per_source_cap(sf_dir), sql_per_source_cap(), sf_dir, ["documents"])
+        per = g.groupby("source").size()
+        assert (per <= 10).all() and (per == 10).any()
