@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": G.q_zonal_stats,
         "pixel_histogram": G.q_pixel_histogram,
         "patch_stats": G.q_patch_stats,
+        "overview": G.q_overview,
         "caption_check": G.q_caption_check,
         "radius_join": G.q_radius_join,
         "rect_join": G.q_rect_join,

@@ -90,7 +90,9 @@ class RegexPathParser:
             if isinstance(value, str) and "{" in value:
                 out[key] = self._format_template(value, out, len(paths))
             else:
-                out[key] = pa.array([value] * len(paths))
+                # explicit type so 0-row batches stay typed (pa.array([])
+                # infers null, which breaks downstream string kernels)
+                out[key] = pa.array([value] * len(paths), pa.scalar(value).type)
 
         if self.period is not None:
             self._add_period_datetimes(out, len(paths))
@@ -103,15 +105,15 @@ class RegexPathParser:
         pos = 0
         for m in _TEMPLATE_RE.finditer(template):
             if m.start() > pos:
-                parts.append(pa.array([template[pos : m.start()]] * n))
+                parts.append(pa.array([template[pos : m.start()]] * n, pa.string()))
             field = m.group(1)
             if field not in cols:
                 raise KeyError(f"template field {{{field}}} not among extracted groups {list(cols)}")
             parts.append(pc.cast(cols[field], pa.string()))
             pos = m.end()
         if pos < len(template):
-            parts.append(pa.array([template[pos:]] * n))
-        sep = pa.array([""] * n)
+            parts.append(pa.array([template[pos:]] * n, pa.string()))
+        sep = pa.array([""] * n, pa.string())
         return pc.binary_join_element_wise(*parts, sep)
 
     def _add_period_datetimes(self, out: Dict[str, pa.Array], n: int) -> None:

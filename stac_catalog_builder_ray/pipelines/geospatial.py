@@ -465,3 +465,18 @@ def cell_compact_sql() -> str:
         "UNION ALL "
         "SELECT cell6 AS cell FROM par JOIN cnt USING (p) WHERE nc < 4"
     )
+
+
+def q_overview(sf_dir: str):
+    """Per-tile OVERVIEW mosaic (rows-only: pixel decode is not
+    SQL-expressible): block-mean pyramid level over every tile's images,
+    long format (tile, r, c, n_img, mean_e4), integer-exact.  Independent
+    numpy oracle: tests/test_spatial.py::TestOverviewPyramid."""
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.zonal import overview_pyramid
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    out = overview_pyramid(rd.read_parquet(images)).to_pandas()
+    for c in ("r", "c", "n_img", "mean_e4"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["tile", "r", "c"]).reset_index(drop=True)

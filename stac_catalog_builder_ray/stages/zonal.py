@@ -206,3 +206,92 @@ def pixel_histogram(images, n_bins: int = 64,
         concurrency=concurrency,
     )
     return partials.groupby(["atype", "bin"]).aggregate(Sum("n_px", alias_name="n_px"))
+
+
+class OverviewPartials:
+    """(images batch) -> per-(tile, r, c) integer block-sum partial rows —
+    the OVERVIEW/PYRAMID builder (the ``gdaladdo`` analog): every tile's
+    images are block-mean downsampled by ``factor`` and averaged into one
+    low-resolution mosaic cell grid.  Sums are int64 (uint16 pixels x
+    factor^2 x images never overflows below ~2^47 rows), so partials merge
+    order-independently; pixels never leave the stage — only
+    ``(h//f) x (w//f)`` rows per (tile, shape) per batch do."""
+
+    def __init__(self, factor: int = 8, parser: str = "TiledObservationsParser"):
+        self.f = int(factor)
+        self.parser: RegexPathParser = make_parser(parser)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parsed = self.parser.parse_column(batch["image_id"])
+        tiles = parsed.get("tile", pa.nulls(batch.num_rows, pa.string())).to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        f = self.f
+        acc: dict = {}  # (tile, hf, wf) -> [sum grid int64, n_img]
+        for tile, buf, fmt in zip(tiles, bufs, fmts):
+            if tile is None:
+                continue
+            px = decode_image(buf, fmt)
+            h, w = px.shape
+            hf, wf = h // f, w // f
+            if hf == 0 or wf == 0:
+                continue  # smaller than one block: ragged drop (ViT-patch rule)
+            blocks = px[: hf * f, : wf * f].astype(np.int64).reshape(hf, f, wf, f).sum((1, 3))
+            key = (tile, hf, wf)
+            prev = acc.get(key)
+            if prev is None:
+                acc[key] = [blocks, 1]
+            else:
+                prev[0] += blocks
+                prev[1] += 1
+        if not acc:
+            return pa.table({"tile": pa.array([], pa.string()),
+                             "r": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "px_sum": pa.array([], pa.int64()),
+                             "n_img": pa.array([], pa.int64())})
+        ts, rs, cs, ss, ns = [], [], [], [], []
+        for (tile, hf, wf), (grid, n) in acc.items():
+            rr, cc = np.divmod(np.arange(hf * wf, dtype=np.int64), wf)
+            ts.extend([tile] * (hf * wf))
+            rs.append(rr)
+            cs.append(cc)
+            ss.append(grid.ravel())
+            ns.append(np.full(hf * wf, n, dtype=np.int64))
+        return pa.table({"tile": pa.array(ts),
+                         "r": pa.array(np.concatenate(rs)),
+                         "c": pa.array(np.concatenate(cs)),
+                         "px_sum": pa.array(np.concatenate(ss)),
+                         "n_img": pa.array(np.concatenate(ns))})
+
+
+def overview_pyramid(images, factor: int = 8,
+                     parser: str = "TiledObservationsParser",
+                     concurrency=(1, 8), batch_size: Optional[int] = 64):
+    """images Dataset -> per-tile low-res overview mosaic in long format:
+    (tile, r, c, n_img, mean_e4) where mean_e4 is the block mean across all
+    the tile's images scaled by 1e4 and floor-divided (integer-exact, so
+    the result is independent of partial-merge order)."""
+    from ray.data.aggregate import Sum
+
+    partials = images.map_batches(
+        OverviewPartials,
+        fn_constructor_kwargs={"factor": factor, "parser": parser},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    out = partials.groupby(["tile", "r", "c"]).aggregate(
+        Sum("px_sum", alias_name="px_sum"),
+        Sum("n_img", alias_name="n_img"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["px_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_img"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f2 = np.int64(factor * factor)
+        return pa.table({"tile": t["tile"], "r": t["r"], "c": t["c"],
+                         "n_img": pa.array(n),
+                         "mean_e4": pa.array(s * 10000 // (n * f2))})
+
+    return out.map_batches(finish, batch_format="pyarrow")

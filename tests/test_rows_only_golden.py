@@ -50,6 +50,9 @@ GOLDEN = {
     # zlib compression-ratio quality signal (pure function of the bytes;
     # spot-checked against direct zlib in the session that pinned this)
     "compress_ratio": ("239cb37675a8e2ec", 500),
+    # per-tile overview/pyramid mosaic (independent numpy oracle:
+    # test_spatial.py::TestOverviewPyramid)
+    "overview": ("b414cc37f7938861", 1200),
 }
 
 

@@ -408,3 +408,42 @@ class TestCellCompact:
         cells = rd.from_arrow(pa.table({"cell": pa.array(np.append(block, lone))}))
         out = compact_cells(cells, levels=2).to_pandas()
         assert sorted(out["cell"].tolist()) == sorted([anc, lone])
+
+
+class TestOverviewPyramid:
+    def test_matches_numpy_oracle(self, ray_session, scale_images_dir):
+        """Distributed per-tile overview == direct numpy block-mean over the
+        same rows (accumulated per tile in one process, no partials)."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.functions.pathparse import make_parser
+        from stac_catalog_builder_ray.stages.zonal import overview_pyramid
+
+        f = 8
+        got = overview_pyramid(ray.data.read_parquet(scale_images_dir), factor=f).to_pandas()
+        got = got.sort_values(["tile", "r", "c"]).reset_index(drop=True)
+
+        t = pq.read_table(scale_images_dir)
+        parser = make_parser("TiledObservationsParser")
+        tiles_col = parser.parse_column(t["image_id"].combine_chunks())["tile"].to_pylist()
+        acc = {}
+        for row, tile in zip(t.to_pylist(), tiles_col):
+            px = decode_image(row["bytes"], row["fmt"])
+            hf, wf = px.shape[0] // f, px.shape[1] // f
+            if tile is None or hf == 0 or wf == 0:
+                continue
+            b = px[: hf * f, : wf * f].astype(np.int64).reshape(hf, f, wf, f).sum((1, 3))
+            s = acc.setdefault((tile, hf, wf), [np.zeros((hf, wf), np.int64), 0])
+            s[0] += b
+            s[1] += 1
+        rows = []
+        for (tile, hf, wf), (grid, n) in acc.items():
+            for r in range(hf):
+                for c in range(wf):
+                    rows.append((tile, r, c, n, int(grid[r, c]) * 10000 // (n * f * f)))
+        want = pd.DataFrame(rows, columns=["tile", "r", "c", "n_img", "mean_e4"])
+        want = want.sort_values(["tile", "r", "c"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+        assert (got["n_img"] > 1).any(), "no tile aggregates >1 image (vacuous mosaic)"
