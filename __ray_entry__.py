@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": R.q_sessionize,
         "user_journey": R.q_user_journey,
         "throttle_dedup": R.q_throttle_dedup,
+        "trajectory_len": R.q_trajectory_len,
         "salted_agg": R.q_salted_agg,
         "asof_join": R.q_asof_join,
         "topk_per_group": R.q_topk_per_group,
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": G.q_radius_join,
         "rect_join": G.q_rect_join,
         "cell_compact": G.q_cell_compact,
+        "coverage_gaps": G.q_coverage_gaps,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,
@@ -133,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
         "embedding_dedup": T.q_embedding_dedup,
+        "embed_quantize": T.q_embed_quantize,
         "kmeans": T.q_kmeans,
         "image_neardup_cluster": T.q_image_neardup_cluster,
     }
@@ -252,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": R.SQL_ASOF_JOIN,
         "user_journey": R.SQL_USER_JOURNEY,
         "throttle_dedup": R.SQL_THROTTLE_DEDUP,
+        "trajectory_len": R.SQL_TRAJECTORY_LEN,
         "topk_per_group": R.SQL_TOPK_PER_GROUP,
         "grouped_quantiles": R.SQL_GROUPED_QUANTILES,
         "distinct_sketch": R.SQL_DISTINCT_SKETCH,
@@ -307,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": R.SQL_GLOBAL_RANK,
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
+        "coverage_gaps": G.coverage_gaps_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,
@@ -324,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "per_source_cap": T.sql_per_source_cap(),
         "seq_pack": T.SQL_SEQ_PACK,
         "lang_confusion": T.SQL_LANG_CONFUSION,
+        "embed_quantize": T.SQL_EMBED_QUANTIZE,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

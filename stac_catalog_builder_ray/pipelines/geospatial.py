@@ -480,3 +480,58 @@ def q_overview(sf_dir: str):
     for c in ("r", "c", "n_img", "mean_e4"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["tile", "r", "c"]).reset_index(drop=True)
+
+
+def q_coverage_gaps(sf_dir: str):
+    """COVERAGE-GAP detection (acquisition QA: which cells of the target
+    region have NO observations?): all res-6 cells whose grid range
+    intersects the aoi_ne rectangle, anti-joined against the occupied cell
+    set of the event points.  The occupied side stays a distributed
+    distinct; the candidate grid is bounded by the AOI cell count (a few
+    hundred at res 6, 4^res worst case — never the corpus), so it rides
+    broadcast and the anti-join is one vectorized isin per batch."""
+    aoi = AOIS[2]  # aoi_ne
+    n = 1 << CELL_RES
+    x0 = min(max(int((aoi["west"] + 180.0) / 360.0 * n), 0), n - 1)
+    x1 = min(max(int((aoi["east"] + 180.0) / 360.0 * n), 0), n - 1)
+    y0 = min(max(int((aoi["south"] + 90.0) / 180.0 * n), 0), n - 1)
+    y1 = min(max(int((aoi["north"] + 90.0) / 180.0 * n), 0), n - 1)
+    xs, ys = np.meshgrid(np.arange(x0, x1 + 1, dtype=np.int64),
+                         np.arange(y0, y1 + 1, dtype=np.int64))
+    cand = ((np.int64(CELL_RES) << 58) | (xs.ravel() << 29) | ys.ravel())
+
+    pts = events_points(sf_dir)
+
+    def encode(t: pa.Table) -> pa.Table:
+        cells = cell_encode(t["lon"].to_numpy(zero_copy_only=False),
+                            t["lat"].to_numpy(zero_copy_only=False), CELL_RES)
+        return pa.table({"cell": pa.array(np.unique(cells))})
+
+    occupied = (
+        pts.map_batches(encode, batch_format="pyarrow")
+        .groupby("cell").aggregate(Count(alias_name="_n"))
+        .to_pandas()["cell"].to_numpy()
+    )  # bounded by 4^CELL_RES cells, not by the corpus
+    gaps = np.setdiff1d(cand, occupied)
+    return pd.DataFrame({"cell": gaps.astype(np.int64)})
+
+
+def coverage_gaps_sql() -> str:
+    lon, lat = lonlat_sql("event_id")
+    from ..geo.cell import cell_encode_sql
+
+    cell6 = cell_encode_sql(lon, lat, CELL_RES)
+    aoi = AOIS[2]
+    n = 1 << CELL_RES
+    x0 = int((aoi["west"] + 180.0) / 360.0 * n)
+    x1 = int((aoi["east"] + 180.0) / 360.0 * n)
+    y0 = int((aoi["south"] + 90.0) / 180.0 * n)
+    y1 = int((aoi["north"] + 90.0) / 180.0 * n)
+    return (
+        f"WITH xs AS (SELECT unnest(generate_series({x0}, {min(x1, n - 1)})) AS x), "
+        f"ys AS (SELECT unnest(generate_series({y0}, {min(y1, n - 1)})) AS y), "
+        f"cand AS (SELECT ((CAST({CELL_RES} AS BIGINT) << 58) | (x << 29) | y) AS cell "
+        "FROM xs CROSS JOIN ys), "
+        f"occ AS (SELECT DISTINCT {cell6} AS cell FROM events) "
+        "SELECT cell FROM cand WHERE cell NOT IN (SELECT cell FROM occ)"
+    )

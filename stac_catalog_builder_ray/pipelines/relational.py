@@ -2231,3 +2231,60 @@ SQL_THROTTLE_DEDUP = (
     "FROM events) WHERE prev_ts IS NULL "
     "OR date_diff('microsecond', prev_ts, ts) > 600000000"
 )
+
+
+def q_trajectory_len(sf_dir: str):
+    """Per-user TRAJECTORY LENGTH over the ordered event stream (movement
+    analytics over the same derived points the spatial suite uses): steps
+    between consecutive events in (ts, event_id) order, each step's planar
+    distance quantized to e6 integers BEFORE the sum (the money-cents
+    discipline — float SUM order differs between engines, per-row sqrt is
+    IEEE-identical).  One crc user-bucket shuffle + one vectorized diff
+    pass per bucket."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"], "lon": pa.array(lon), "lat": pa.array(lat),
+                         "bucket": pa.array((uid * 2654435761) % 64)})
+
+    def path(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        step = np.sqrt(np.diff(lon, prepend=lon[:1]) ** 2
+                       + np.diff(lat, prepend=lat[:1]) ** 2)
+        e6 = np.where(same, round_half_away(step * 1e6), 0).astype(np.int64)
+        out = pd.DataFrame({"user_id": u, "e6": e6, "s": same.astype(np.int64)})
+        agg = out.groupby("user_id", sort=False).agg(
+            path_e6=("e6", "sum"), n_steps=("s", "sum"))
+        return agg.reset_index()
+
+    return (
+        ds.map_batches(add_cols, batch_format="pyarrow")
+        .repartition(cluster_partitions())
+        .groupby("bucket")
+        .map_groups(path, batch_format="pandas")
+    )
+
+
+SQL_TRAJECTORY_LEN = (
+    "WITH pts AS (SELECT user_id, ts, event_id, "
+    "((event_id % 3600) / 10.0 - 180.0 + 0.05) AS lon, "
+    "(((event_id * 7) % 1800) / 10.0 - 90.0 + 0.05) AS lat FROM events), "
+    "steps AS (SELECT user_id, "
+    "lag(lon) OVER w AS plon, lag(lat) OVER w AS plat, lon, lat FROM pts "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, "
+    "CAST(COALESCE(SUM(CAST(ROUND(sqrt((lon - plon) * (lon - plon) + (lat - plat) * (lat - plat)) "
+    "* 1000000, 0) AS BIGINT)), 0) AS BIGINT) AS path_e6, "
+    "COUNT(plon) AS n_steps FROM steps GROUP BY user_id"
+)

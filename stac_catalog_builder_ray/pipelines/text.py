@@ -1001,3 +1001,44 @@ def sql_per_source_cap() -> str:
         "SELECT doc_id, source FROM p "
         "QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, doc_id) <= 10"
     )
+
+
+def q_embed_quantize(sf_dir: str):
+    """Embedding INT8 QUANTIZATION (the storage/serving compression step):
+    L2-normalize each vector and emit int8 codes in long format
+    (vec_id, dim, code).  Exactness discipline: components quantize to e6
+    integers FIRST, the squared norm is an exact int64 sum of those, and
+    only then one IEEE-identical sqrt + division + round per element — so
+    the result is bit-stable across engines and partial orders.  Pure
+    per-row map, no shuffle."""
+    import numpy as np
+
+    from ..functions.rounding import round_half_away
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        n, d = vecs.shape
+        q = round_half_away(vecs * 1e6).astype(np.int64)
+        s2 = (q * q).sum(axis=1)
+        norm = np.sqrt(s2.astype(np.float64))
+        code = round_half_away(127.0 * q / np.maximum(norm, 1.0)[:, None]).astype(np.int64)
+        vid = np.repeat(t["vec_id"].to_numpy(zero_copy_only=False), d)
+        dim = np.tile(np.arange(d, dtype=np.int64), n)
+        return pa.table({"vec_id": pa.array(vid), "dim": pa.array(dim),
+                         "code": pa.array(code.ravel())})
+
+    return emb.map_batches(quant, batch_format="pyarrow")
+
+
+SQL_EMBED_QUANTIZE = (
+    "WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
+    "CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS qv "
+    "FROM embeddings), "
+    "ss AS (SELECT vec_id, SUM(qv * qv) AS s2 FROM q GROUP BY vec_id) "
+    "SELECT q.vec_id, CAST(q.dim AS BIGINT) AS dim, "
+    "CAST(ROUND(127.0 * qv / GREATEST(sqrt(CAST(s2 AS DOUBLE)), 1.0), 0) AS BIGINT) AS code "
+    "FROM q JOIN ss USING (vec_id)"
+)

@@ -1418,3 +1418,47 @@ class TestJourneyThrottleCap:
         g = self._cmp(q_per_source_cap(sf_dir), sql_per_source_cap(), sf_dir, ["documents"])
         per = g.groupby("source").size()
         assert (per <= 10).all() and (per == 10).any()
+
+
+class TestTrajectoryQuantizeGaps:
+    def _cmp(self, got, sql, sf_dir, tables):
+        import duckdb
+
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        want = con.execute(sql).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True).astype(g.dtypes.to_dict())
+        pd.testing.assert_frame_equal(g, w)
+        return g
+
+    def test_trajectory_len(self, ray_session, sf_dir):
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_TRAJECTORY_LEN, q_trajectory_len)
+
+        g = self._cmp(q_trajectory_len(sf_dir), SQL_TRAJECTORY_LEN, sf_dir, ["events"])
+        assert (g["path_e6"] > 0).all() and (g["n_steps"] > 0).all()
+
+    def test_embed_quantize(self, ray_session, sf_dir):
+        from stac_catalog_builder_ray.pipelines.text import (
+            SQL_EMBED_QUANTIZE, q_embed_quantize)
+
+        g = self._cmp(q_embed_quantize(sf_dir), SQL_EMBED_QUANTIZE, sf_dir, ["embeddings"])
+        # int8 range and near-unit reconstructed norm (quantization sanity)
+        assert g["code"].between(-127, 127).all()
+        norms = (g.assign(sq=g["code"] ** 2).groupby("vec_id")["sq"].sum()) ** 0.5
+        assert ((norms > 100) & (norms < 140)).all()
+
+    def test_coverage_gaps(self, ray_session, sf_dir):
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            coverage_gaps_sql, q_coverage_gaps)
+
+        g = self._cmp(q_coverage_gaps(sf_dir), coverage_gaps_sql(), sf_dir, ["events"])
+        assert len(g) > 0  # the AOI has unobserved cells at test scale
+        # every gap decodes inside the AOI's grid range at res 6
+        x = (g["cell"].to_numpy() >> 29) & ((1 << 29) - 1)
+        y = g["cell"].to_numpy() & ((1 << 29) - 1)
+        assert x.min() >= 49 and x.max() <= 62 and y.min() >= 46 and y.max() <= 62
