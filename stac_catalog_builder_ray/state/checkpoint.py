@@ -200,3 +200,93 @@ def compact_parts(in_dir: str, out_dir: str, target_rows: int = 100_000,
     summary = ds.map_batches(write_block, batch_format="pyarrow",
                              batch_size=None).to_pandas()
     return summary
+
+
+def write_sorted_partitioned(ds, store_root: str, key: str,
+                             num_partitions: int = 16,
+                             samples_per_block: int = 32):
+    """GLOBAL-ORDER range-partitioned write — the sorted-table sink: rows
+    are range-partitioned on ``key`` by sampled split points, each range is
+    sorted and written as one atomic part, and the manifest records per-part
+    (rows, key_min, key_max).  Concatenating parts in pid order yields a
+    globally sorted table without any single task ever holding more than
+    one range (vs ``ds.sort().write_parquet`` whose final ordering guarantee
+    dies with the dataset object).
+
+    Resume contract: the split points are persisted (``splits.json``,
+    atomic) on the FIRST run and REUSED on resume — block boundaries (and
+    therefore fresh samples) can differ between runs, so re-deriving splits
+    would reshuffle rows across parts and break skip-if-finished.  A
+    finished part is skipped before the shuffle (checkpointed_write
+    discipline); an interrupted run re-does only missing ranges."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    store = CheckpointStore(store_root)
+    os.makedirs(store_root, exist_ok=True)
+    splits_path = os.path.join(store_root, "splits.json")
+    if os.path.exists(splits_path):
+        with open(splits_path) as f:
+            splits = np.array(json.load(f)["splits"])
+    else:
+        def sample(t: pa.Table) -> pa.Table:
+            v = np.sort(t[key].to_numpy(zero_copy_only=False))
+            idx = np.linspace(0, len(v) - 1, min(samples_per_block, len(v))).astype(int)
+            return pa.table({key: pa.array(v[idx])})
+
+        sampled = np.sort(ds.map_batches(sample, batch_format="pyarrow")
+                          .to_pandas()[key].to_numpy())
+        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+        splits = np.quantile(sampled, qs, method="lower")
+        tmp = f"{splits_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"key": key, "splits": [x.item() for x in splits]}, f)
+        os.replace(tmp, splits_path)
+
+    width = len(str(num_partitions))
+
+    def assign(t: pa.Table) -> pa.Table:
+        pid = np.searchsorted(splits, t[key].to_numpy(zero_copy_only=False),
+                              side="right").astype(np.int64)
+        pids = np.char.zfill(pid.astype(str), width)
+        return t.append_column("_range", pa.array(pids))
+
+    def write_range(g: pd.DataFrame) -> pd.DataFrame:
+        pid = str(g["_range"].iloc[0])
+        if store.is_finished(pid):
+            return pd.DataFrame({"partition": [pid], "rows": [len(g)], "skipped": [True]})
+        t0 = time.monotonic()
+        g = g.sort_values(key, kind="stable").drop(columns=["_range"])
+        part_dir = os.path.join(store_root, f"part={pid}")
+        tmp_dir = f"{part_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        g.to_parquet(os.path.join(tmp_dir, "data.parquet"), index=False)
+        if os.path.exists(part_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        else:
+            os.replace(tmp_dir, part_dir)
+        store.mark_finished(pid, {
+            "partition": pid, "rows": int(len(g)),
+            "key_min": g[key].iloc[0].item() if len(g) else None,
+            "key_max": g[key].iloc[-1].item() if len(g) else None,
+            "wall_sec": round(time.monotonic() - t0, 4), "ts": time.time(),
+        })
+        return pd.DataFrame({"partition": [pid], "rows": [len(g)], "skipped": [False]})
+
+    done = store.finished()
+    staged = ds.map_batches(assign, batch_format="pyarrow")
+    if done:
+        import pyarrow.compute as pc
+
+        done_arr = pa.array(sorted(done))
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t["_range"], value_set=done_arr)))
+
+        staged = staged.map_batches(drop_done, batch_format="pyarrow")
+    return (staged.groupby("_range")
+            .map_groups(write_range, batch_format="pandas").to_pandas())

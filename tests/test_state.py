@@ -130,3 +130,53 @@ class TestCompaction:
         compact_parts(str(src), str(out), target_rows=4000)
         after = {f: os.path.getmtime(f) for f in glob.glob(str(out / "part-*.parquet"))}
         assert before == after
+
+
+class TestSortedPartitionedWrite:
+    def test_global_order_and_resume(self, ray_session, tmp_path):
+        import glob
+        import json
+        import shutil
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from stac_catalog_builder_ray.state.checkpoint import (
+            CheckpointStore, write_sorted_partitioned)
+
+        root = str(tmp_path / "sorted")
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+        summary = write_sorted_partitioned(ds, root, key="o_totalprice",
+                                           num_partitions=8)
+        assert not summary["skipped"].any()
+        parts = sorted(glob.glob(os.path.join(root, "part=*", "data.parquet")))
+        assert len(parts) >= 2
+        # concatenation in pid order is GLOBALLY sorted and complete
+        frames = [pq.read_table(p).to_pandas() for p in parts]
+        allv = np.concatenate([f["o_totalprice"].to_numpy() for f in frames])
+        assert (np.diff(allv) >= 0).all()
+        src = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+        assert len(allv) == src.num_rows
+        assert np.allclose(np.sort(src["o_totalprice"].to_numpy()), allv)
+        # manifest key ranges are disjoint and ordered
+        st = CheckpointStore(root)
+        mf = st.metrics_frame().sort_values("partition")
+        assert (mf["key_min"].to_numpy()[1:] >= mf["key_max"].to_numpy()[:-1]).all()
+
+        # resume: nuke ONE part (+ its lineage) -> only that part rewrites,
+        # splits.json is reused so ranges are identical
+        with open(os.path.join(root, "splits.json")) as f:
+            splits_before = json.load(f)
+        victim = mf["partition"].iloc[3]
+        shutil.rmtree(os.path.join(root, f"part={victim}"))
+        os.remove(st._pid_path(victim))
+        summary2 = write_sorted_partitioned(ds, root, key="o_totalprice",
+                                            num_partitions=8)
+        by_pid = summary2.set_index("partition")["skipped"]
+        assert not by_pid.loc[victim]
+        assert by_pid.drop(victim).all()
+        with open(os.path.join(root, "splits.json")) as f:
+            assert json.load(f) == splits_before
+        rewritten = pq.read_table(os.path.join(root, f"part={victim}", "data.parquet"))
+        assert rewritten.num_rows == mf.set_index("partition").loc[victim, "rows"]
