@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": T.q_embed_quantize,
         "kmeans": T.q_kmeans,
         "image_neardup_cluster": T.q_image_neardup_cluster,
+        "decontaminate": T.q_decontaminate,
+        "stopword_filter": T.q_stopword_filter,
+        "mixture_sample": T.q_mixture_sample,
     }
 
 
@@ -330,6 +333,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": T.SQL_SEQ_PACK,
         "lang_confusion": T.SQL_LANG_CONFUSION,
         "embed_quantize": T.SQL_EMBED_QUANTIZE,
+        "decontaminate": T.SQL_DECONTAMINATE,
+        "stopword_filter": T.SQL_STOPWORD_FILTER,
+        "mixture_sample": T._sql_mixture_sample(),
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

@@ -1042,3 +1042,193 @@ SQL_EMBED_QUANTIZE = (
     "CAST(ROUND(127.0 * qv / GREATEST(sqrt(CAST(s2 AS DOUBLE)), 1.0), 0) AS BIGINT) AS code "
     "FROM q JOIN ss USING (vec_id)"
 )
+
+
+# --- benchmark decontamination / corpus-learned filtering / mixture ---------
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark n-gram DECONTAMINATION check — the eval-leakage guard every
+    LLM training pipeline runs before finalizing a corpus (the 13-gram
+    overlap filter of GPT-3 appendix C / The Pile, here with 3-gram windows
+    sized to the synthetic docs): a held-out benchmark slice
+    (doc_id % 37 == 0) contributes its distinct word 3-grams; every
+    remaining training doc is scored by how many of its word windows hit
+    that set and flagged when >= 10% collide.
+
+    Scale shape: the benchmark side is SMALL by construction (eval suites
+    are MBs while the corpus is TBs), so its distinct grams are computed
+    distributed, gathered once, and broadcast via ``ray.put``; the corpus
+    side is one embarrassingly-parallel vectorized pass (pandas shift-chain
+    window explode + ``pc.is_in`` against the broadcast set) emitting one
+    row per doc — the corpus itself never shuffles.  Operator beyond the
+    reference's scope (training-data axis of the task brief)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    N = 3
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def windows(texts: pd.Series) -> pd.Series:
+        """All word N-gram windows, series indexed by originating row."""
+        ex = texts.fillna("").str.lower().str.strip().str.split().explode().dropna()
+        parts = [ex] + [ex.groupby(level=0).shift(-k) for k in range(1, N)]
+        return parts[0].str.cat(parts[1:], sep=" ").dropna()
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ids % 37 == 0
+        g = windows(t["text"].to_pandas()[mask]).drop_duplicates()
+        return pa.table({"gram": pa.array(g.to_numpy(dtype=object), pa.string())})
+
+    bench = docs.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    bench_arr = pa.array(np.unique(bench["gram"].to_numpy(dtype=object)), pa.string())
+    bench_ref = ray.put(bench_arr)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 37 != 0
+        texts = t["text"].to_pandas()[keep]
+        g = windows(texts)
+        bset = ray.get(bench_ref)
+        if len(g):
+            hit = pc.is_in(pa.array(g.to_numpy(dtype=object), pa.string()),
+                           value_set=bset).to_numpy(zero_copy_only=False)
+            nw = g.groupby(level=0).size()
+            nc = pd.Series(hit.astype(np.int64), index=g.index).groupby(level=0).sum()
+        else:
+            nw = nc = pd.Series(dtype=np.int64)
+        nw = nw.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+        nc = nc.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+        flag = ((nc * 10 >= nw) & (nw > 0)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[keep]), "n_windows": pa.array(nw),
+                         "n_contam": pa.array(nc), "contaminated": pa.array(flag)})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = (
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w "
+    "FROM documents WHERE trim(text) <> ''), "
+    "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM t), "
+    "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0), "
+    "hits AS (SELECT g.doc_id, COUNT(*) AS n_windows, "
+    "CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam "
+    "FROM g LEFT JOIN bench b ON g.gram = b.gram WHERE g.doc_id % 37 <> 0 GROUP BY 1) "
+    "SELECT d.doc_id, COALESCE(h.n_windows, 0) AS n_windows, "
+    "COALESCE(h.n_contam, 0) AS n_contam, "
+    "CAST(CASE WHEN COALESCE(h.n_contam, 0) * 10 >= COALESCE(h.n_windows, 0) "
+    "AND COALESCE(h.n_windows, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated "
+    "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id WHERE d.doc_id % 37 <> 0"
+)
+
+
+def q_stopword_filter(sf_dir: str):
+    """Corpus-LEARNED boilerplate removal (the CCNet/RefinedWeb idea of
+    stripping tokens so common they carry no signal, without a hand-written
+    stopword list): phase 1 computes per-word document frequency across the
+    corpus (distinct (doc, word) explode -> one small groupby); words in
+    more than 80% of documents become the learned stop set, broadcast via
+    ``ray.put``; phase 2 rewrites every doc order-preservingly without
+    them.  The stop set is bounded by vocabulary size (Heaps' law: ~1e6
+    words even at 100 TB), so the broadcast stays small while the corpus
+    never shuffles in phase 2."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def distinct_words(t: pa.Table) -> pa.Table:
+        ex = (t["text"].to_pandas().fillna("").str.lower().str.strip()
+              .str.split().explode().dropna())
+        df = pd.DataFrame({"doc": ex.index, "word": ex.to_numpy()}).drop_duplicates()
+        return pa.table({"word": pa.array(df["word"].to_numpy(dtype=object), pa.string())})
+
+    wdf = (docs.map_batches(distinct_words, batch_format="pyarrow")
+           .groupby("word").aggregate(Count(alias_name="nd")).to_pandas())
+    stop = wdf.loc[wdf["nd"].to_numpy(dtype=np.int64) * 10 > n_docs * 8, "word"]
+    stop_ref = ray.put(pa.array(np.sort(stop.to_numpy(dtype=object)), pa.string()))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        ex = texts.str.split().explode().dropna()
+        sw = ray.get(stop_ref)
+        if len(ex):
+            hit = pc.is_in(pa.array(ex.to_numpy(dtype=object), pa.string()),
+                           value_set=sw).to_numpy(zero_copy_only=False)
+            n_tok = ex.groupby(level=0).size()
+            n_rm = pd.Series(hit.astype(np.int64), index=ex.index).groupby(level=0).sum()
+            clean = ex[~hit].groupby(level=0).agg(" ".join)
+        else:
+            n_tok = n_rm = pd.Series(dtype=np.int64)
+            clean = pd.Series(dtype=object)
+        n_tok = n_tok.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+        n_rm = n_rm.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+        clean = clean.reindex(texts.index, fill_value="").to_numpy(dtype=object)
+        return pa.table({"doc_id": t["doc_id"], "clean_text": pa.array(clean, pa.string()),
+                         "n_kept": pa.array(n_tok - n_rm), "n_removed": pa.array(n_rm)})
+
+    return docs.map_batches(rewrite, batch_format="pyarrow")
+
+
+SQL_STOPWORD_FILTER = (
+    "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+    "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w FROM documents), "
+    "tok AS (SELECT DISTINCT doc_id, unnest(w) AS word FROM t), "
+    "stats AS (SELECT word, COUNT(*) AS nd FROM tok GROUP BY 1), "
+    "stop AS (SELECT COALESCE((SELECT list(word) FROM stats "
+    "WHERE nd * 10 > (SELECT COUNT(*) FROM documents) * 8), []) AS sw), "
+    "f AS (SELECT doc_id, w, list_filter(w, x -> NOT list_contains(s.sw, x)) AS kept "
+    "FROM t, stop s) "
+    "SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS clean_text, "
+    "CAST(len(kept) AS BIGINT) AS n_kept, "
+    "CAST(len(w) - len(kept) AS BIGINT) AS n_removed FROM f"
+)
+
+
+def q_mixture_sample(sf_dir: str):
+    """LANGUAGE-BALANCED mixture sampling (the multilingual rebalancing /
+    temperature-sampling step of corpus assembly, at tau=0: equalize to the
+    smallest language): phase 1 is one tiny per-lang count; phase 2 keeps a
+    doc iff ``kmv_hash(doc_id) % n_lang < n_min`` — a deterministic
+    per-row rule (the KMV Mersenne-mod hash, int64/BIGINT-safe), so the
+    sample is identical on any cluster size and the SQL twin reproduces the
+    exact row set.  No shuffle: counts broadcast as a plain dict."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from .relational import _kmv_hash
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "source"])
+    cnt = docs.groupby("lang").aggregate(Count(alias_name="ns")).to_pandas()
+    ns = dict(zip(cnt["lang"], cnt["ns"].astype(np.int64)))
+    n_min = int(min(ns.values()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mod = np.array([ns[l] for l in t["lang"].to_pylist()], dtype=np.int64)
+        return t.filter(pa.array(_kmv_hash(ids) % mod < n_min))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+def _sql_mixture_sample() -> str:
+    from .relational import _KMV_A, _KMV_A2, _KMV_B, _KMV_P
+
+    return (
+        f"WITH cnt AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY 1), "
+        f"mn AS (SELECT MIN(ns) AS nmin FROM cnt), "
+        f"h1 AS (SELECT doc_id, lang, source, "
+        f"(doc_id * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h FROM documents), "
+        f"hh AS (SELECT doc_id, lang, source, "
+        f"((h % 1073741824) * {_KMV_A2}) % {_KMV_P} AS term1, "
+        f"((h // 1073741824) * {_KMV_A2}) % {_KMV_P} AS tt FROM h1) "
+        f"SELECT doc_id, lang, source FROM hh JOIN cnt USING (lang), mn WHERE "
+        f"((term1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) % {_KMV_P}) % {_KMV_P}) "
+        f"% ns < nmin"
+    )

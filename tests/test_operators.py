@@ -1462,3 +1462,132 @@ class TestTrajectoryQuantizeGaps:
         x = (g["cell"].to_numpy() >> 29) & ((1 << 29) - 1)
         y = g["cell"].to_numpy() & ((1 << 29) - 1)
         assert x.min() >= 49 and x.max() <= 62 and y.min() >= 46 and y.max() <= 62
+
+
+class TestDecontaminate:
+    def test_planted_benchmark_overlap(self, ray_session, tmp_path):
+        """doc 37 is the benchmark; doc 1 copies one of its 3-gram windows,
+        doc 2 is fully disjoint, doc 3 IS the benchmark text verbatim."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_decontaminate
+
+        bench = "alpha beta gamma delta"            # windows: abc, bcd
+        docs = pa.table({
+            "doc_id": pa.array([37, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                bench,
+                "one two alpha beta gamma three",   # hits 'alpha beta gamma'
+                "nine ten eleven twelve",            # disjoint
+                bench,                               # verbatim copy
+            ]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = q_decontaminate(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+
+        assert 37 not in out.index  # benchmark rows are not scored
+        assert out.loc[1, "n_windows"] == 4 and out.loc[1, "n_contam"] == 1
+        # 1/4 = 25% >= 10% -> flagged
+        assert out.loc[1, "contaminated"] == 1
+        assert out.loc[2, "n_contam"] == 0 and out.loc[2, "contaminated"] == 0
+        assert out.loc[3, "n_windows"] == 2 and out.loc[3, "n_contam"] == 2
+        assert out.loc[3, "contaminated"] == 1
+
+    def test_short_and_empty_docs_zero_windows(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_decontaminate
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),  # 0 is benchmark
+            "text": pa.array(["a b c d", "two words", "  "]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = q_decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert (out["n_windows"] == 0).all() and (out["contaminated"] == 0).all()
+
+    def test_matches_duckdb_sf0001(self, ray_session):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.text import (SQL_DECONTAMINATE,
+                                                             q_decontaminate)
+
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        oracle = con.sql(SQL_DECONTAMINATE).df().sort_values("doc_id").reset_index(drop=True)
+        mine = (q_decontaminate("/root/testdata/sf0.001").to_pandas()
+                .sort_values("doc_id").reset_index(drop=True)[oracle.columns.tolist()])
+        assert oracle.astype("int64").equals(mine.astype("int64"))
+        assert oracle["n_contam"].sum() > 0  # nonvacuous on the driver data
+
+
+class TestStopwordFilter:
+    def test_learned_stop_set_and_order_preserved(self, ray_session, tmp_path):
+        """'noise' appears in >80% of docs and is stripped; original word
+        order of the survivors is preserved."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_stopword_filter
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "noise alpha noise beta",
+                "gamma noise delta",
+                "noise epsilon",
+                "zeta noise",
+                "noise eta noise theta noise",
+            ]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = (q_stopword_filter(str(tmp_path)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert out.loc[0, "clean_text"] == "alpha beta"
+        assert out.loc[0, "n_removed"] == 2 and out.loc[0, "n_kept"] == 2
+        assert out.loc[4, "clean_text"] == "eta theta"
+        assert out.loc[4, "n_removed"] == 3
+
+    def test_all_tokens_removed_yields_empty_string(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_stopword_filter
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["only only only", "only"]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = q_stopword_filter(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert (out["clean_text"] == "").all() and (out["n_kept"] == 0).all()
+
+
+class TestMixtureSample:
+    def test_balances_to_smallest_lang(self, ray_session, tmp_path):
+        """Skewed langs: the majority class downsamples to ~n_min while the
+        minority class keeps every row (mod < n_min always true)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_mixture_sample
+
+        n_en, n_de = 400, 40
+        docs = pa.table({
+            "doc_id": pa.array(np.arange(n_en + n_de), pa.int64()),
+            "lang": pa.array(["en"] * n_en + ["de"] * n_de),
+            "source": pa.array(["s"] * (n_en + n_de)),
+            "text": pa.array(["x"] * (n_en + n_de)),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = q_mixture_sample(str(tmp_path)).to_pandas()
+        by = out.groupby("lang").size()
+        assert by["de"] == n_de              # minority fully kept
+        assert 10 <= by["en"] <= 90          # ~40 expected, hash-thinned 10x
+        # determinism: second run identical
+        out2 = q_mixture_sample(str(tmp_path)).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
