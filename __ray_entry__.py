@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_join": G.q_rect_join,
         "cell_compact": G.q_cell_compact,
         "coverage_gaps": G.q_coverage_gaps,
+        "kring_smooth": G.q_kring_smooth,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,
@@ -315,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),
+        "kring_smooth": G.kring_smooth_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

@@ -535,3 +535,96 @@ def coverage_gaps_sql() -> str:
         f"occ AS (SELECT DISTINCT {cell6} AS cell FROM events) "
         "SELECT cell FROM cand WHERE cell NOT IN (SELECT cell FROM occ)"
     )
+
+
+# --- k-ring neighborhood smoothing ------------------------------------------
+
+KRING_RES = 6
+
+
+def q_kring_smooth(sf_dir: str):
+    """K-RING NEIGHBORHOOD SMOOTHING over the cell index (the H3 k-ring /
+    focal-statistics primitive of raster-style analytics on a discrete
+    global grid): per-cell (count, sum) aggregates are SCATTERED to their
+    3x3 neighborhood and re-summed, yielding for every touched cell the
+    smoothed count and value sum of its ring.
+
+    Scale shape: the corpus reduces FIRST (per-batch partials -> one
+    groupby bounded by 4^res cells); only per-cell aggregate rows — never
+    points — are replicated 9x (vectorized repeat + offset add, bounds
+    clipped at the grid edge) into a second tiny groupby.  Both shuffles
+    move O(#occupied cells) rows, so the operator costs the same at 100 TB
+    as the plain per-cell aggregate.  Integer-exact: value folds as e4
+    integers (the money-cents discipline), so the DuckDB twin hashes
+    bit-identically."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..geo.cell import RES_SHIFT, XY_BITS, XY_MASK
+
+    n_side = 1 << KRING_RES
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+
+    def percell(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        cells = cell_encode(lon, lat, KRING_RES)
+        e4 = round_half_away(t["value"].to_numpy(zero_copy_only=False) * 1e4).astype(np.int64)
+        g = pd.DataFrame({"cell": cells, "e4": e4}).groupby("cell", sort=False)
+        agg = g.agg(n_pts=("e4", "size"), s_e4=("e4", "sum")).reset_index()
+        return pa.table({"cell": pa.array(agg["cell"].to_numpy()),
+                         "n_pts": pa.array(agg["n_pts"].to_numpy(dtype=np.int64)),
+                         "s_e4": pa.array(agg["s_e4"].to_numpy(dtype=np.int64))})
+
+    percell_agg = (ds.map_batches(percell, batch_format="pyarrow")
+                   .groupby("cell")
+                   .aggregate(Sum("n_pts", alias_name="n"), Sum("s_e4", alias_name="s")))
+
+    offs = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], dtype=np.int64)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (c >> XY_BITS) & XY_MASK
+        y = c & XY_MASK
+        m = len(c)
+        tx = np.repeat(x, 9) + np.tile(offs[:, 0], m)
+        ty = np.repeat(y, 9) + np.tile(offs[:, 1], m)
+        ok = (tx >= 0) & (tx < n_side) & (ty >= 0) & (ty < n_side)
+        tgt = (np.int64(KRING_RES) << RES_SHIFT) | (tx[ok] << XY_BITS) | ty[ok]
+        return pa.table({"cell": pa.array(tgt),
+                         "n_pts": pa.array(np.repeat(n, 9)[ok]),
+                         "s_e4": pa.array(np.repeat(s, 9)[ok])})
+
+    out = (percell_agg.map_batches(scatter, batch_format="pyarrow")
+           .groupby("cell")
+           .aggregate(Sum("n_pts", alias_name="n_ring"), Sum("s_e4", alias_name="sum_ring_e4")))
+    pdf = out.to_pandas()
+    for col in ("cell", "n_ring", "sum_ring_e4"):
+        pdf[col] = pdf[col].astype("int64")
+    return pdf
+
+
+def kring_smooth_sql() -> str:
+    from ..geo.cell import RES_SHIFT, XY_BITS, XY_MASK, cell_encode_sql
+
+    lon, lat = lonlat_sql("event_id")
+    cell = cell_encode_sql(lon, lat, KRING_RES)
+    n_side = 1 << KRING_RES
+    return (
+        f"WITH c AS (SELECT {cell} AS cell, COUNT(*) AS n, "
+        f"CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) AS s "
+        f"FROM events GROUP BY 1), "
+        f"d AS (SELECT cell, n, s, (cell >> {XY_BITS}) & {XY_MASK} AS x, "
+        f"cell & {XY_MASK} AS y FROM c), "
+        f"nb AS (SELECT ((CAST({KRING_RES} AS BIGINT) << {RES_SHIFT}) | "
+        f"((x + dx) << {XY_BITS}) | (y + dy)) AS cell, n, s "
+        f"FROM d CROSS JOIN (VALUES (-1), (0), (1)) AS dxs(dx) "
+        f"CROSS JOIN (VALUES (-1), (0), (1)) AS dys(dy) "
+        f"WHERE x + dx BETWEEN 0 AND {n_side - 1} AND y + dy BETWEEN 0 AND {n_side - 1}) "
+        f"SELECT cell, CAST(SUM(n) AS BIGINT) AS n_ring, "
+        f"CAST(SUM(s) AS BIGINT) AS sum_ring_e4 FROM nb GROUP BY 1"
+    )

@@ -447,3 +447,68 @@ class TestOverviewPyramid:
         want = want.sort_values(["tile", "r", "c"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
         assert (got["n_img"] > 1).any(), "no tile aggregates >1 image (vacuous mosaic)"
+
+
+class TestKringSmooth:
+    def _events(self, tmp_path, eids, values):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "event_id": pa.array(eids, pa.int64()),
+            "value": pa.array(values, pa.float64()),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_corner_event_clips_to_quadrant(self, ray_session, tmp_path):
+        """event_id 0 lands in grid cell (0, 0); its ring scatter must clip
+        to the 4 in-bounds neighbours (2x2 corner quadrant)."""
+        from stac_catalog_builder_ray.pipelines.geospatial import q_kring_smooth
+
+        out = q_kring_smooth(self._events(tmp_path, [0], [2.5]))
+        assert len(out) == 4
+        assert (out["n_ring"] == 1).all()
+        assert (out["sum_ring_e4"] == 25000).all()
+
+    def test_matches_numpy_oracle_sf0001(self, ray_session):
+        """Independent dense-grid numpy recomputation at sf0.001."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.geo.cell import RES_SHIFT, XY_BITS
+        from stac_catalog_builder_ray.pipelines.geospatial import (KRING_RES,
+                                                                   q_kring_smooth)
+
+        t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                          columns=["event_id", "value"])
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        n = 1 << KRING_RES
+        x = np.minimum(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), n - 1)
+        y = np.minimum(np.floor((lat + 90.0) / 180.0 * n).astype(np.int64), n - 1)
+        e4 = round_half_away(t["value"].to_numpy() * 1e4).astype(np.int64)
+        cnt = np.zeros((n, n), np.int64)
+        sm = np.zeros((n, n), np.int64)
+        np.add.at(cnt, (x, y), 1)
+        np.add.at(sm, (x, y), e4)
+        # dense 3x3 box filter (edge-clipped) over the aggregate grids
+        ring_c = np.zeros_like(cnt)
+        ring_s = np.zeros_like(sm)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                src = cnt[max(0, -dx):n - max(0, dx), max(0, -dy):n - max(0, dy)]
+                ring_c[max(0, dx):n - max(0, -dx), max(0, dy):n - max(0, -dy)] += src
+                srcs = sm[max(0, -dx):n - max(0, dx), max(0, -dy):n - max(0, dy)]
+                ring_s[max(0, dx):n - max(0, -dx), max(0, dy):n - max(0, -dy)] += srcs
+        # expected = dilated occupancy (every cell touched by a scatter)
+        touched = ring_c > 0
+        out = q_kring_smooth("/root/testdata/sf0.001").set_index("cell")
+        assert len(out) == int(touched.sum())
+        xs, ys = np.nonzero(touched)
+        cells = (np.int64(KRING_RES) << RES_SHIFT) | (xs << XY_BITS) | ys
+        got = out.loc[cells]
+        assert (got["n_ring"].to_numpy() == ring_c[xs, ys]).all()
+        assert (got["sum_ring_e4"].to_numpy() == ring_s[xs, ys]).all()
