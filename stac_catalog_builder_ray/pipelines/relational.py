@@ -2288,3 +2288,53 @@ SQL_TRAJECTORY_LEN = (
     "* 1000000, 0) AS BIGINT)), 0) AS BIGINT) AS path_e6, "
     "COUNT(plon) AS n_steps FROM steps GROUP BY user_id"
 )
+
+
+def q_traj_simplify(sf_dir: str):
+    """Per-user TRAJECTORY SIMPLIFICATION (Douglas-Peucker, eps = 15 deg):
+    the movement-analytics compaction step — each user's (ts, event_id)-
+    ordered polyline is reduced to the vertices that matter at the given
+    tolerance, reported as per-user (n_points, n_kept, kept_id_sum).
+
+    Rows-only (recursive geometric split — not SQL-expressible); ground
+    truth = an independently-coded recursive DP in
+    tests/test_operators.py::TestTrajSimplify plus the golden pin.
+
+    Scale shape: one crc user-bucket shuffle, then per-bucket vectorized
+    grouping; DP itself is O(n log n) typical per trajectory and
+    trajectories are bounded per user (the same partitioning assumption
+    trajectory_len documents: one user's track fits in a group)."""
+    from ..geo.simplify import douglas_peucker_mask
+
+    EPS = 15.0
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"], "lon": pa.array(lon), "lat": pa.array(lat),
+                         "bucket": pa.array((uid * 2654435761) % 64)})
+
+    def simplify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
+        rows = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            m = douglas_peucker_mask(lon[a:b], lat[a:b], EPS)
+            rows.append((u[a], b - a, int(m.sum()), int(eid[a:b][m].sum())))
+        return pd.DataFrame(rows, columns=["user_id", "n_points", "n_kept",
+                                           "kept_id_sum"])
+
+    return (
+        ds.map_batches(add_cols, batch_format="pyarrow")
+        .repartition(cluster_partitions())
+        .groupby("bucket")
+        .map_groups(simplify, batch_format="pandas")
+    )

@@ -1591,3 +1591,69 @@ class TestMixtureSample:
         # determinism: second run identical
         out2 = q_mixture_sample(str(tmp_path)).to_pandas()
         assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+class TestTrajSimplify:
+    def test_square_wave_keeps_corners(self, ray_session, tmp_path):
+        """A planted L-shaped track: only the corner survives between the
+        endpoints at a tolerance below the corner's deviation."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.geo.simplify import douglas_peucker_mask
+
+        # straight run along x then a right-angle turn up y
+        x = np.array([0.0, 1, 2, 3, 4, 4, 4, 4], dtype=np.float64)
+        y = np.array([0.0, 0, 0, 0, 0, 1, 2, 3], dtype=np.float64)
+        m = douglas_peucker_mask(x, y, eps=0.1)
+        assert m[0] and m[-1] and m[4]          # both ends + the corner
+        assert m.sum() == 3                      # collinear interiors dropped
+        # degenerate chord: closed loop start == end
+        xc = np.array([0.0, 5.0, 0.0])
+        yc = np.array([0.0, 0.0, 0.0])
+        mc = douglas_peucker_mask(xc, yc, eps=1.0)
+        assert mc.tolist() == [True, True, True]
+
+    def test_matches_recursive_oracle_sf0001(self, ray_session):
+        """Independent recursive-form DP over the same derived trajectories."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_traj_simplify
+
+        def dp_rec(x, y, eps, lo, hi, keep):
+            if hi <= lo + 1:
+                return
+            dx, dy = x[hi] - x[lo], y[hi] - y[lo]
+            seg2 = dx * dx + dy * dy
+            best, bi = -1.0, lo + 1
+            for i in range(lo + 1, hi):
+                if seg2 == 0.0:
+                    d2 = (x[i] - x[lo]) ** 2 + (y[i] - y[lo]) ** 2
+                else:
+                    c = (x[i] - x[lo]) * dy - (y[i] - y[lo]) * dx
+                    d2 = c * c / seg2
+                if d2 > best:
+                    best, bi = d2, i
+            if best > eps * eps:
+                keep.add(bi)
+                dp_rec(x, y, eps, lo, bi, keep)
+                dp_rec(x, y, eps, bi, hi, keep)
+
+        t = (pq.read_table("/root/testdata/sf0.001/events.parquet",
+                           columns=["event_id", "user_id", "ts"]).to_pandas()
+             .sort_values(["user_id", "ts", "event_id"], kind="stable"))
+        want = {}
+        for u, g in t.groupby("user_id"):
+            eid = g["event_id"].to_numpy().astype(np.int64)
+            lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+            lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+            keep = {0, len(eid) - 1}
+            dp_rec(lon, lat, 15.0, 0, len(eid) - 1, keep)
+            idx = sorted(keep)
+            want[int(u)] = (len(eid), len(idx), int(eid[idx].sum()))
+
+        out = q_traj_simplify("/root/testdata/sf0.001").to_pandas()
+        got = {int(r.user_id): (int(r.n_points), int(r.n_kept), int(r.kept_id_sum))
+               for r in out.itertuples()}
+        assert got == want
+        assert sum(v[1] for v in want.values()) < sum(v[0] for v in want.values())

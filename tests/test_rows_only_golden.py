@@ -53,6 +53,9 @@ GOLDEN = {
     # per-tile overview/pyramid mosaic (independent numpy oracle:
     # test_spatial.py::TestOverviewPyramid)
     "overview": ("b414cc37f7938861", 1200),
+    # Douglas-Peucker trajectory simplification (independent recursive-DP
+    # oracle: test_operators::TestTrajSimplify)
+    "traj_simplify": ("6f89cad318afbe67", 15),
 }
 
 
