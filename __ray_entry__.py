@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_compact": G.q_cell_compact,
         "coverage_gaps": G.q_coverage_gaps,
         "kring_smooth": G.q_kring_smooth,
+        "image_stats": G.q_image_stats,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,

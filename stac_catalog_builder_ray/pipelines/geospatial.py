@@ -628,3 +628,16 @@ def kring_smooth_sql() -> str:
         f"SELECT cell, CAST(SUM(n) AS BIGINT) AS n_ring, "
         f"CAST(SUM(s) AS BIGINT) AS sum_ring_e4 FROM nb GROUP BY 1"
     )
+
+
+def q_image_stats(sf_dir: str):
+    """Per-image integer-exact quality statistics over the documents-derived
+    images table (rows-only: pixel decode is not SQL-expressible) — the
+    image-corpus filter pass (flat/washed-out/low-information detection).
+    Independent numpy oracle: tests/test_operators.py::TestImageStats."""
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.multimodal import image_stats
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    out = image_stats(rd.read_parquet(images))
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)

@@ -290,3 +290,63 @@ def augment_images(images, epoch: int = 0, crop_frac: float = 0.875,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageStatsStage:
+    """Per-image QUALITY-STATISTICS filter (the image-side analogue of the
+    Gopher text-quality signals): decode -> integer-exact per-image stats
+    used to drop flat / washed-out / low-information images from a training
+    corpus.
+
+    Emitted per image (all int64, so results are independent of block
+    layout and bit-stable across engines):
+    - ``n_px``            total pixels
+    - ``n_distinct``      distinct pixel values
+    - ``px_range``        max - min
+    - ``top_share_e4``    floor(mode_count * 10000 / n_px) — dominance of
+                          the most frequent value (a flat image -> 10000)
+    - ``low_info``        1 when top_share_e4 >= 5000 or n_distinct <= 4
+
+    Actor pool: the codec table lives in the actor; pixels never leave the
+    task (only the tiny stats row crosses the object store)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        self._decode = DecodeStage(strict=strict)._decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bts = batch["bytes"]
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        n = batch.num_rows
+        n_px = np.empty(n, np.int64)
+        n_distinct = np.empty(n, np.int64)
+        px_range = np.empty(n, np.int64)
+        top_share = np.empty(n, np.int64)
+        for i in range(n):
+            px = self._decode(bts[i].as_py(), fmts[i], ws[i], hs[i])
+            flat = px.ravel()
+            vals, counts = np.unique(flat, return_counts=True)
+            n_px[i] = flat.size
+            n_distinct[i] = len(vals)
+            # float bands: range over the quantized int view keeps int64-ness
+            lo, hi = vals[0], vals[-1]
+            px_range[i] = int(np.int64(hi) - np.int64(lo)) if np.issubdtype(
+                vals.dtype, np.integer) else int(np.ceil(float(hi)) - np.floor(float(lo)))
+            top_share[i] = int(counts.max()) * 10000 // flat.size
+        low = ((top_share >= 5000) | (n_distinct <= 4)).astype(np.int64)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "n_px": pa.array(n_px), "n_distinct": pa.array(n_distinct),
+            "px_range": pa.array(px_range), "top_share_e4": pa.array(top_share),
+            "low_info": pa.array(low),
+        })
+
+
+def image_stats(images, concurrency=(1, 8), batch_size: int = 128):
+    """images Dataset -> per-image quality-stats Dataset."""
+    return images.map_batches(
+        ImageStatsStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )

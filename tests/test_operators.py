@@ -1657,3 +1657,66 @@ class TestTrajSimplify:
                for r in out.itertuples()}
         assert got == want
         assert sum(v[1] for v in want.values()) < sum(v[0] for v in want.values())
+
+
+class TestImageStats:
+    def test_planted_flat_and_binary_images(self, ray_session):
+        """A flat image, a 2-value 'binary' image, and a full-ramp image get
+        exactly the stats the definitions dictate."""
+        import numpy as np
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.codec.raster import encode_image
+        from stac_catalog_builder_ray.stages.multimodal import image_stats
+
+        flat = np.full((8, 8), 7, np.uint16)
+        binary = np.zeros((8, 8), np.uint16)
+        binary[::2] = 100                      # half 0, half 100
+        ramp = np.arange(64, dtype=np.uint16).reshape(8, 8)
+        rows = [{"image_id": n, "bytes": encode_image(px, "raw"),
+                 "w": 8, "h": 8, "fmt": "raw"}
+                for n, px in [("flat", flat), ("binary", binary), ("ramp", ramp)]]
+        out = image_stats(rd.from_items(rows), concurrency=1, batch_size=3)
+        got = {r["image_id"]: r for r in out.to_pandas().to_dict("records")}
+
+        assert got["flat"]["n_distinct"] == 1 and got["flat"]["px_range"] == 0
+        assert got["flat"]["top_share_e4"] == 10000 and got["flat"]["low_info"] == 1
+        assert got["binary"]["n_distinct"] == 2 and got["binary"]["px_range"] == 100
+        assert got["binary"]["top_share_e4"] == 5000 and got["binary"]["low_info"] == 1
+        assert got["ramp"]["n_distinct"] == 64 and got["ramp"]["px_range"] == 63
+        assert got["ramp"]["top_share_e4"] == 156  # 1*10000//64
+        assert got["ramp"]["low_info"] == 0
+
+    def test_matches_numpy_oracle_on_corpus_sample(self, ray_session):
+        """Independent local decode+stats over the first rows of the
+        documents-derived images table."""
+        import glob
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.pipelines.geospatial import q_image_stats
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+            images_from_documents,
+        )
+
+        full = q_image_stats("/root/testdata/sf0.001")
+        # the images table plants recurring image_ids — compare unique ones
+        out = full[~full["image_id"].duplicated(keep=False)].set_index("image_id")
+        path = images_from_documents("/root/testdata/sf0.001", "/tmp/scbr-query-cache")
+        part = sorted(glob.glob(path + "/*.parquet"))[0]
+        t = pq.read_table(part).slice(0, 20)
+        checked = 0
+        for r in t.to_pylist():
+            if r["image_id"] not in out.index:
+                continue
+            checked += 1
+            px = decode_image(r["bytes"], r["fmt"])
+            flat = px.ravel()
+            vals, counts = np.unique(flat, return_counts=True)
+            row = out.loc[r["image_id"]]
+            assert row["n_px"] == flat.size
+            assert row["n_distinct"] == len(vals)
+            assert row["top_share_e4"] == int(counts.max()) * 10000 // flat.size
+        assert checked >= 10

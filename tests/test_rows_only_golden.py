@@ -56,6 +56,9 @@ GOLDEN = {
     # Douglas-Peucker trajectory simplification (independent recursive-DP
     # oracle: test_operators::TestTrajSimplify)
     "traj_simplify": ("6f89cad318afbe67", 15),
+    # per-image quality statistics (independent local decode oracle +
+    # planted flat/binary/ramp images: test_operators::TestImageStats)
+    "image_stats": ("f5bcc890650380a5", 500),
 }
 
 
