@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": T.q_decontaminate,
         "stopword_filter": T.q_stopword_filter,
         "mixture_sample": T.q_mixture_sample,
+        "semdedup": T.q_semdedup,
     }
 
 

@@ -218,17 +218,13 @@ def q_ann_cosine(sf_dir: str):
     return brute_force_topk(emb, queries, k=5)
 
 
-def q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup pairs at threshold 0.95.
-
-    The raw table has no near-duplicates (max pairwise cosine ~0.51), so the
-    corpus is augmented with a deterministic BOUNDARY copy of every 25th
-    vector (vec_id + 1_000_000) constructed at cosine EXACTLY 0.96 — close
-    to the 0.95 threshold where single-table projection bucketing loses
-    ~half the pairs — so this query exercises the banded multi-table recall
-    guarantee, not just near-identical copies."""
+def _planted_embedding_corpus(sf_dir: str):
+    """The embeddings table augmented with a deterministic BOUNDARY copy of
+    every 25th vector (vec_id + 1_000_000) at cosine EXACTLY 0.96 — the raw
+    table has no near-duplicates (max pairwise cosine ~0.51).  Shared by
+    the near-dup queries (``embedding_dedup``, ``semdedup``) so both
+    exercise the 0.95-threshold boundary, not just near-identical copies."""
     import numpy as np
-    import ray.data as rd
 
     emb = _emb(sf_dir, ["vec_id", "embedding"])
 
@@ -255,8 +251,14 @@ def q_embedding_dedup(sf_dir: str):
         })
 
     planted = emb.map_batches(plant, batch_format="pyarrow")
-    corpus = emb.union(planted)
-    return embedding_neardup_pairs(corpus, threshold=0.95)
+    return emb.union(planted)
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs at threshold 0.95 over the planted
+    boundary corpus — exercises the banded multi-table LSH recall
+    guarantee near the threshold (see ``_planted_embedding_corpus``)."""
+    return embedding_neardup_pairs(_planted_embedding_corpus(sf_dir), threshold=0.95)
 
 
 NEARDUP_EDGE_THRESHOLD = 0.85
@@ -1232,3 +1234,15 @@ def _sql_mixture_sample() -> str:
         f"((term1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) % {_KMV_P}) % {_KMV_P}) "
         f"% ns < nmin"
     )
+
+
+def q_semdedup(sf_dir: str):
+    """SemDedup semantic near-dup pruning over the embeddings table, run on
+    the same boundary-planted corpus as ``embedding_dedup`` (the raw table
+    has no pairs above 0.51 cosine) so the prune is nonvacuous (rows-only:
+    iterative k-means + float matmul).  Planted-pair semantics proven in
+    tests/test_operators.py::TestSemDedup; corpus output golden-pinned."""
+    from ..stages.dedup import semdedup_labels
+
+    corpus = _planted_embedding_corpus(sf_dir)
+    return semdedup_labels(corpus, k=10, tau=0.95)

@@ -947,3 +947,79 @@ def connected_components_distributed(edges, node_ids=None, max_iters: int = 64,
         if n_changed == 0:
             break
     return labels
+
+
+# --- SemDedup: cluster-then-prune semantic dedup ----------------------------
+
+
+def semdedup_labels(emb, k: int = 10, tau: float = 0.95, n_iters: int = 25,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SEMANTIC deduplication, SemDedup-style (Abbas et al. 2023, public
+    method): k-means clusters the embedding space, then each cluster is
+    pruned independently — exact pairwise cosine within the cluster,
+    connected components over pairs >= ``tau``, keep the min-id member.
+
+    Complement to the banded-LSH ``embedding_neardup_pairs``: LSH bounds
+    recall analytically per pair; SemDedup bounds COST structurally — the
+    O(n^2) matrix never forms, only O(sum c_i^2) with c_i the cluster
+    sizes, so k is the scale knob (the published recipe uses k ~ n/1000 so
+    clusters stay ~1000 rows; cross-cluster near-dups are the documented
+    recall loss of the method).  One shuffle (groupby cluster); vectors
+    cross it once.
+
+    Returns a pandas frame (vec_id, cluster, keep_id, is_dup)."""
+    import pandas as pd
+
+    from .cluster import kmeans_fit
+
+    import ray as _ray
+
+    from .cluster import _nearest, quantize_vectors
+
+    emb = emb.materialize()
+    cents, _ = kmeans_fit(emb, k, n_iters, id_col, vec_col)
+    cents_ref = _ray.put(cents)
+
+    # assignment rides the SAME pass that carries the vector into the
+    # cluster shuffle (Ray's hash join rejects list-typed payload columns,
+    # and a join would move the vectors twice anyway)
+    def assign_with_vec(t: pa.Table) -> pa.Table:
+        c = _ray.get(cents_ref)
+        a, _d = _nearest(quantize_vectors(t, vec_col), c)
+        return pa.table({id_col: t[id_col], vec_col: t[vec_col],
+                         "cluster": pa.array(a)})
+
+    joined = emb.map_batches(assign_with_vec, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        V = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        n = len(ids)
+        norms = np.sqrt((V * V).sum(axis=1))
+        V = V / np.maximum(norms, 1e-12)[:, None]
+        S = V @ V.T
+        iu, ju = np.triu_indices(n, k=1)
+        hit = S[iu, ju] >= tau
+        parent = np.arange(n)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in zip(iu[hit], ju[hit]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        keep = ids[[find(i) for i in range(n)]]  # min id: ids ascend w/ index
+        return pd.DataFrame({id_col: ids, "cluster": g["cluster"].to_numpy(),
+                             "keep_id": keep,
+                             "is_dup": (keep != ids).astype(np.int64)})
+
+    out = joined.groupby("cluster").map_groups(prune, batch_format="pandas")
+    pdf = out.to_pandas().sort_values(id_col).reset_index(drop=True)
+    for c in (id_col, "cluster", "keep_id", "is_dup"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf

@@ -1720,3 +1720,43 @@ class TestImageStats:
             assert row["n_distinct"] == len(vals)
             assert row["top_share_e4"] == int(counts.max()) * 10000 // flat.size
         assert checked >= 10
+
+
+class TestSemDedup:
+    def test_planted_blob_pair(self, ray_session, tmp_path):
+        """Two far-apart blobs; an exact duplicate inside blob A is pruned
+        to its min-id twin, everything else survives."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.stages.dedup import semdedup_labels
+
+        rng = np.random.default_rng(7)
+        d = 16
+        a = np.tile([10.0] + [0.0] * (d - 1), (6, 1)) + rng.normal(0, 0.5, (6, d))
+        b = np.tile([0.0] * (d - 1) + [10.0], (6, 1)) + rng.normal(0, 0.5, (6, d))
+        a[3] = a[1]                       # exact dup inside blob A
+        V = np.vstack([a, b]).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(np.arange(12), pa.int64()),
+                      "embedding": pa.array([r.tolist() for r in V],
+                                            pa.list_(pa.float32()))})
+        pq.write_table(t, str(tmp_path / "emb.parquet"))
+        out = semdedup_labels(
+            rd.read_parquet(str(tmp_path / "emb.parquet")), k=2, tau=0.999,
+        ).set_index("vec_id")
+        assert out.loc[3, "is_dup"] == 1 and out.loc[3, "keep_id"] == 1
+        assert out.drop(index=3)["is_dup"].sum() == 0
+        # the blobs landed in different clusters
+        assert out.loc[0, "cluster"] != out.loc[6, "cluster"]
+
+    def test_recovers_planted_boundary_pairs_sf0001(self, ray_session):
+        """Every 0.96-cosine planted copy is pruned back onto its original
+        (same-cluster capture of the SemDedup recipe on this corpus)."""
+        from stac_catalog_builder_ray.pipelines.text import q_semdedup
+
+        out = q_semdedup("/root/testdata/sf0.001")
+        dups = out[out["is_dup"] == 1]
+        assert len(dups) == 20
+        assert (dups["vec_id"] - dups["keep_id"] == 1_000_000).all()

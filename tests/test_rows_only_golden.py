@@ -59,6 +59,9 @@ GOLDEN = {
     # per-image quality statistics (independent local decode oracle +
     # planted flat/binary/ramp images: test_operators::TestImageStats)
     "image_stats": ("f5bcc890650380a5", 500),
+    # SemDedup cluster-then-prune semantic dedup over the planted boundary
+    # corpus (planted-pair recovery: test_operators::TestSemDedup)
+    "semdedup": ("f331915369d7cf4b", 520),
 }
 
 
