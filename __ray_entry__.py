@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_filter": T.q_stopword_filter,
         "mixture_sample": T.q_mixture_sample,
         "semdedup": T.q_semdedup,
+        "chunk_docs": T.q_chunk_docs,
     }
 
 
@@ -341,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": T.SQL_DECONTAMINATE,
         "stopword_filter": T.SQL_STOPWORD_FILTER,
         "mixture_sample": T._sql_mixture_sample(),
+        "chunk_docs": T.SQL_CHUNK_DOCS,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

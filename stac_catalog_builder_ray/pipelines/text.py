@@ -1246,3 +1246,55 @@ def q_semdedup(sf_dir: str):
 
     corpus = _planted_embedding_corpus(sf_dir)
     return semdedup_labels(corpus, k=10, tau=0.95)
+
+
+CHUNK_W, CHUNK_S = 16, 12  # window / stride (overlap = 4 tokens)
+
+
+def q_chunk_docs(sf_dir: str):
+    """Sliding-window DOCUMENT CHUNKING (the RAG / context-window prep
+    operator): each doc splits into overlapping word windows of
+    ``CHUNK_W`` tokens at stride ``CHUNK_S`` (chunks start at 0, S, 2S, ...
+    while the start is inside the doc; the tail chunk may be short).
+    Emits (doc_id, chunk_id, chunk_text, n_tokens).
+
+    Embarrassingly parallel — no shuffle; chunk counts/offsets are
+    vectorized, only the per-chunk string assembly is per-output-row work
+    (string construction is inherently O(len) per emitted row)."""
+    import numpy as np
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip().str.split()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = s.map(len).to_numpy(dtype=np.int64)
+        keep = n > 0
+        words = s.to_numpy()[keep]
+        ids, n = ids[keep], n[keep]
+        n_chunks = (n - 1) // CHUNK_S + 1
+        tot = int(n_chunks.sum())
+        did = np.repeat(ids, n_chunks)
+        first = np.zeros(tot, np.int64)
+        first[np.cumsum(n_chunks)[:-1]] = n_chunks[:-1]
+        cid = np.arange(tot, dtype=np.int64) - np.cumsum(first)
+        n_rep = np.repeat(n, n_chunks)
+        n_tok = np.minimum(cid * CHUNK_S + CHUNK_W, n_rep) - cid * CHUNK_S
+        texts = [" ".join(w[c * CHUNK_S:c * CHUNK_S + CHUNK_W])
+                 for w, nc in zip(words, n_chunks) for c in range(nc)]
+        return pa.table({"doc_id": pa.array(did), "chunk_id": pa.array(cid),
+                         "chunk_text": pa.array(texts, pa.string()),
+                         "n_tokens": pa.array(n_tok)})
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+SQL_CHUNK_DOCS = (
+    f"WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w "
+    f"FROM documents WHERE trim(text) <> ''), "
+    f"c AS (SELECT doc_id, w, unnest(generate_series(0, "
+    f"CAST(floor((len(w) - 1) / {CHUNK_S}) AS BIGINT))) AS chunk_id FROM t) "
+    f"SELECT doc_id, chunk_id, "
+    f"array_to_string(w[chunk_id * {CHUNK_S} + 1 : chunk_id * {CHUNK_S} + {CHUNK_W}], ' ') AS chunk_text, "
+    f"LEAST(chunk_id * {CHUNK_S} + {CHUNK_W}, len(w)) - chunk_id * {CHUNK_S} AS n_tokens FROM c"
+)

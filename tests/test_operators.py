@@ -1760,3 +1760,36 @@ class TestSemDedup:
         dups = out[out["is_dup"] == 1]
         assert len(dups) == 20
         assert (dups["vec_id"] - dups["keep_id"] == 1_000_000).all()
+
+
+class TestChunkDocs:
+    def test_window_stride_overlap(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_chunk_docs
+
+        w30 = " ".join(f"w{i}" for i in range(30))
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([w30, "a b c d e", "   "]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = (q_chunk_docs(str(tmp_path)).to_pandas()
+               .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+
+        d1 = out[out["doc_id"] == 1]
+        assert d1["chunk_id"].tolist() == [0, 1, 2]  # starts 0, 12, 24
+        assert d1["n_tokens"].tolist() == [16, 16, 6]
+        # overlap: chunk 1 starts at word 12, chunk 0 ends at word 15
+        assert d1.iloc[1]["chunk_text"].split()[0] == "w12"
+        assert d1.iloc[0]["chunk_text"].split()[-1] == "w15"
+        assert d1.iloc[2]["chunk_text"] == "w24 w25 w26 w27 w28 w29"
+        d2 = out[out["doc_id"] == 2]
+        assert len(d2) == 1 and d2.iloc[0]["chunk_text"] == "a b c d e"
+        assert (out["doc_id"] != 3).all()  # blank doc emits nothing
+        # every token of every doc is covered by at least one chunk
+        covered = set()
+        for r in d1.itertuples():
+            covered.update(r.chunk_text.split())
+        assert covered == set(w30.split())
