@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_join": R.q_cooccur_join,
         "fk_integrity": R.q_fk_integrity,
         "global_rank": R.q_global_rank,
+        "pagerank": R.q_pagerank,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_join": R.SQL_COOCCUR_JOIN,
         "fk_integrity": R.SQL_FK_INTEGRITY,
         "global_rank": R.SQL_GLOBAL_RANK,
+        "pagerank": R.pagerank_sql(),
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

@@ -2338,3 +2338,89 @@ def q_traj_simplify(sf_dir: str):
         .groupby("bucket")
         .map_groups(simplify, batch_format="pandas")
     )
+
+
+PAGERANK_ITERS = 10
+PAGERANK_SCALE = 10**12
+
+
+def q_pagerank(sf_dir: str):
+    """Distributed PAGERANK (power iteration) over a deterministic
+    2-out graph derived from events (node = event_id, edges
+    src -> (src^2+7) % N and src -> (src^3+3) % N — NONLINEAR maps, an
+    affine map mod N is a bijection and would make every indegree 2 and
+    the ranks uniform): the canonical
+    ITERATIVE graph algorithm expressed as K rounds of
+    map_batches(partial contributions) -> groupby(dst).sum.
+
+    Integer-exact power iteration (so the unrolled SQL twin is bit-equal):
+    r0 = SCALE // N for every node; each round
+    r = (15 * r0_unit) // 100 + (85 * sum(r_prev(src) // outdeg)) // 100
+    — all int64, order-independent sums, no float drift.
+
+    Scale shape: the edge table materializes ONCE and streams through every
+    round; per-batch contributions pre-aggregate by dst (dense per-batch
+    vector here — the sparse (dst, c) partial swap is the >1e8-node path),
+    one bounded groupby per round; the driver holds only the O(N) rank
+    vector, broadcast via ray.put each round (the partitioned rank-join
+    swap applies when ranks outgrow a node's memory)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_id"])
+    n_nodes = ds.count()
+    scale_n = PAGERANK_SCALE // n_nodes
+    base = (15 * scale_n) // 100
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        src = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = (src * src + 7) % n_nodes
+        d2 = (src * src * src + 3) % n_nodes
+        return pa.table({"src": pa.array(np.concatenate([src, src])),
+                         "dst": pa.array(np.concatenate([d1, d2]))})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow").materialize()
+
+    ranks = np.full(n_nodes, scale_n, dtype=np.int64)
+    for _ in range(PAGERANK_ITERS):
+        ref = ray.put(ranks)
+
+        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
+            r = ray.get(_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            part = np.zeros(len(r), np.int64)
+            np.add.at(part, dst, r[src] // 2)  # outdeg == 2 by construction
+            nz = np.flatnonzero(part)
+            return pa.table({"dst": pa.array(nz), "c": pa.array(part[nz])})
+
+        agg = (edges.map_batches(contrib, batch_format="pyarrow")
+               .groupby("dst").aggregate(Sum("c", alias_name="c")).to_pandas())
+        ranks = np.full(n_nodes, base, dtype=np.int64)
+        ranks[agg["dst"].to_numpy(dtype=np.int64)] += (
+            85 * agg["c"].to_numpy(dtype=np.int64)) // 100
+
+    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                         "rank": ranks})
+
+
+def pagerank_sql() -> str:
+    """Unrolled K-stage twin of q_pagerank (fixed iteration count, so no
+    recursive aggregation is needed)."""
+    nn = "(SELECT COUNT(*) FROM events)"
+    sql = [
+        f"WITH nodes AS (SELECT event_id AS node FROM events), ",
+        f"edges AS (SELECT event_id AS src, (event_id * event_id + 7) % {nn} AS dst FROM events "
+        f"UNION ALL SELECT event_id, (event_id * event_id * event_id + 3) % {nn} FROM events), ",
+        f"r0 AS (SELECT node, {PAGERANK_SCALE} // {nn} AS rank FROM nodes)",
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        sql.append(
+            f", r{k} AS (SELECT n.node, CAST((15 * ({PAGERANK_SCALE} // {nn})) // 100 "
+            f"+ COALESCE((85 * s.c) // 100, 0) AS BIGINT) AS rank FROM nodes n "
+            f"LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.rank // 2) AS BIGINT) AS c "
+            f"FROM edges e JOIN r{k - 1} r ON e.src = r.node GROUP BY 1) s "
+            f"ON n.node = s.node)"
+        )
+    sql.append(f" SELECT node, rank FROM r{PAGERANK_ITERS}")
+    return "".join(sql)

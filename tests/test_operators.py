@@ -1793,3 +1793,49 @@ class TestChunkDocs:
         for r in d1.itertuples():
             covered.update(r.chunk_text.split())
         assert covered == set(w30.split())
+
+
+class TestPagerank:
+    def test_mass_conservation_and_convergence_direction(self, ray_session):
+        """Total rank stays within integer-floor loss of SCALE; a node with
+        extra in-edges outranks the uniform baseline."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            PAGERANK_SCALE, q_pagerank)
+
+        out = q_pagerank("/root/testdata/sf0.001")
+        n = len(out)
+        total = int(out["rank"].sum())
+        # each of the 10 rounds floors at most 1 unit per node per term
+        assert PAGERANK_SCALE * 0.99 <= total <= PAGERANK_SCALE
+        # indegree counts from the construction
+        src = np.arange(n, dtype=np.int64)
+        deg = np.zeros(n, np.int64)
+        np.add.at(deg, (src * src + 7) % n, 1)
+        np.add.at(deg, (src * src * src + 3) % n, 1)
+        r = out.set_index("node")["rank"]
+        assert r[deg >= 4].mean() > r[deg == 0].mean()
+        # zero-indegree nodes hold exactly the teleport base after round 1+
+        base = (15 * (PAGERANK_SCALE // n)) // 100
+        assert (r[deg == 0] == base).all()
+
+    def test_matches_local_power_iteration(self, ray_session):
+        """Independent local numpy power iteration reproduces every rank."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            PAGERANK_ITERS, PAGERANK_SCALE, q_pagerank)
+
+        n = 1000
+        src = np.arange(n, dtype=np.int64)
+        dst = np.concatenate([(src * src + 7) % n, (src * src * src + 3) % n])
+        srcs = np.concatenate([src, src])
+        scale_n = PAGERANK_SCALE // n
+        r = np.full(n, scale_n, np.int64)
+        for _ in range(PAGERANK_ITERS):
+            c = np.zeros(n, np.int64)
+            np.add.at(c, dst, r[srcs] // 2)
+            r = np.full(n, (15 * scale_n) // 100, np.int64) + (85 * c) // 100
+        out = q_pagerank("/root/testdata/sf0.001").set_index("node")["rank"]
+        assert (out.to_numpy() == r).all()
