@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": T.q_mixture_sample,
         "semdedup": T.q_semdedup,
         "chunk_docs": T.q_chunk_docs,
+        "inverted_index": T.q_inverted_index,
     }
 
 
@@ -345,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_filter": T.SQL_STOPWORD_FILTER,
         "mixture_sample": T._sql_mixture_sample(),
         "chunk_docs": T.SQL_CHUNK_DOCS,
+        "inverted_index": T.SQL_INVERTED_INDEX,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

@@ -1298,3 +1298,53 @@ SQL_CHUNK_DOCS = (
     f"array_to_string(w[chunk_id * {CHUNK_S} + 1 : chunk_id * {CHUNK_S} + {CHUNK_W}], ' ') AS chunk_text, "
     f"LEAST(chunk_id * {CHUNK_S} + {CHUNK_W}, len(w)) - chunk_id * {CHUNK_S} AS n_tokens FROM c"
 )
+
+
+def q_inverted_index(sf_dir: str):
+    """INVERTED INDEX build (term -> ordered doc-id posting list, the search
+    / retrieval artifact a corpus pipeline materializes alongside training
+    shards): distinct (doc, word) pairs explode vectorized, shuffle ONCE on
+    a crc word-bucket, and each reducer emits its bucket's postings as
+    comma-joined ordered doc ids.  Terms in fewer than 2 or more than 400
+    docs are dropped (stop/hapax pruning — the df window every real index
+    applies).  Posting-list construction is inherently per-term string
+    work; sort + grouping are vectorized per bucket."""
+    import zlib as _z
+
+    import numpy as np
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        ex = (t["text"].to_pandas().fillna("").str.lower().str.strip()
+              .str.split().explode().dropna())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": ids[ex.index], "word": ex.to_numpy()}).drop_duplicates()
+        w = df["word"].to_numpy(dtype=object)
+        b = np.fromiter((_z.crc32(x.encode()) % 64 for x in w),
+                        dtype=np.int64, count=len(w))
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+                         "word": pa.array(w, pa.string()),
+                         "bucket": pa.array(b)})
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["word", "doc_id"], kind="stable")
+        agg = g.groupby("word", sort=False)["doc_id"].agg(
+            [("postings", lambda s: ",".join(map(str, s))), ("df", "size")])
+        agg["df"] = agg["df"].astype("int64")
+        out = agg.reset_index()
+        return out[(out["df"] >= 2) & (out["df"] <= 400)]
+
+    return (
+        docs.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(postings, batch_format="pandas")
+    )
+
+
+SQL_INVERTED_INDEX = (
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array("
+    "lower(trim(text)), '\\s+')) AS word FROM documents WHERE trim(text) <> '') "
+    "SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings, "
+    "COUNT(*) AS df FROM tok GROUP BY word HAVING COUNT(*) BETWEEN 2 AND 400"
+)

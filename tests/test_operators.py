@@ -1839,3 +1839,29 @@ class TestPagerank:
             r = np.full(n, (15 * scale_n) // 100, np.int64) + (85 * c) // 100
         out = q_pagerank("/root/testdata/sf0.001").set_index("node")["rank"]
         assert (out.to_numpy() == r).all()
+
+
+class TestInvertedIndex:
+    def test_postings_ordered_and_df_window(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_inverted_index
+
+        docs = pa.table({
+            "doc_id": pa.array([5, 3, 9, 7], pa.int64()),
+            "text": pa.array([
+                "apple banana apple",     # within-doc repeat counts once
+                "banana cherry",
+                "apple banana",
+                "date",                    # hapax -> dropped
+            ]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        out = (q_inverted_index(str(tmp_path)).to_pandas()
+               .set_index("word").sort_index())
+        assert "date" not in out.index and "cherry" not in out.index
+        assert out.loc["apple", "postings"] == "5,9"   # ordered by doc_id
+        assert out.loc["apple", "df"] == 2
+        assert out.loc["banana", "postings"] == "3,5,9"
+        assert out.loc["banana", "df"] == 3
