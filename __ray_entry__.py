@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_dedup": R.q_throttle_dedup,
         "trajectory_len": R.q_trajectory_len,
         "traj_simplify": R.q_traj_simplify,
+        "traj_hull": R.q_traj_hull,
         "salted_agg": R.q_salted_agg,
         "asof_join": R.q_asof_join,
         "topk_per_group": R.q_topk_per_group,

@@ -53,3 +53,49 @@ def douglas_peucker_mask(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray
             stack.append((i, m))
             stack.append((m, j))
     return keep
+
+
+def convex_hull_int(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the convex hull of integer lattice points, counter-
+    clockwise from the lexicographically smallest point (Andrew's monotone
+    chain, public algorithm).  INTEGER cross products — no float
+    comparisons, so the hull is exactly reproducible on any platform.
+    Collinear boundary points are excluded (strict turns).  Duplicate
+    points must be removed by the caller."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    n = len(x)
+    if n != len(y):
+        raise ValueError("x and y must have equal length")
+    if n <= 2:
+        return np.arange(n)
+    order = np.lexsort((y, x))
+
+    def half(idx):
+        out = []
+        for i in idx:
+            while len(out) >= 2:
+                ax, ay = x[out[-2]], y[out[-2]]
+                bx, by = x[out[-1]], y[out[-1]]
+                if (bx - ax) * (y[i] - ay) - (by - ay) * (x[i] - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def polygon_area2_int(x: np.ndarray, y: np.ndarray) -> int:
+    """Twice the signed area of an integer polygon (shoelace), exact int64.
+    Positive for counter-clockwise vertex order."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    if len(x) < 3:
+        return 0
+    xn = np.roll(x, -1)
+    yn = np.roll(y, -1)
+    return int((x * yn - xn * y).sum())

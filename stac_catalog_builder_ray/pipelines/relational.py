@@ -2424,3 +2424,49 @@ def pagerank_sql() -> str:
         )
     sql.append(f" SELECT node, rank FROM r{PAGERANK_ITERS}")
     return "".join(sql)
+
+
+def q_traj_hull(sf_dir: str):
+    """Per-user trajectory CONVEX HULL statistics (the coverage-footprint
+    aggregate of movement analytics): distinct points per user -> integer
+    monotone-chain hull -> exact lattice shoelace area.
+
+    INTEGER-EXACT end to end: the derived lon/lat are exact multiples of
+    0.05, so scaling by 20 makes every coordinate an int64 lattice point —
+    hull turns and areas are integer cross products, bit-stable on any
+    platform/partitioning (rows-only: convex hull is not SQL-expressible;
+    independent gift-wrapping oracle in
+    tests/test_operators.py::TestTrajHull).  Same one-bucket-shuffle shape
+    as the other per-user trajectory ops."""
+    from ..geo.simplify import convex_hull_int, polygon_area2_int
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id"])
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        # lon20 = lon * 20 exactly (lon = (eid % 3600)/10 - 180 + 0.05)
+        lon20 = (eid % 3600) * 2 - 3600 + 1
+        lat20 = ((eid * 7) % 1800) * 2 - 1800 + 1
+        return pa.table({"user_id": t["user_id"],
+                         "x": pa.array(lon20), "y": pa.array(lat20),
+                         "bucket": pa.array((uid * 2654435761) % 64)})
+
+    def hull(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for u, gg in g.groupby("user_id", sort=False):
+            pts = gg[["x", "y"]].drop_duplicates()
+            x = pts["x"].to_numpy(dtype=np.int64)
+            y = pts["y"].to_numpy(dtype=np.int64)
+            h = convex_hull_int(x, y)
+            rows.append((u, len(x), len(h),
+                         abs(polygon_area2_int(x[h], y[h]))))
+        return pd.DataFrame(rows, columns=["user_id", "n_distinct_pts",
+                                           "hull_vertices", "hull_area2"])
+
+    return (
+        ds.map_batches(add_cols, batch_format="pyarrow")
+        .repartition(cluster_partitions())
+        .groupby("bucket")
+        .map_groups(hull, batch_format="pandas")
+    )

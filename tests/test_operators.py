@@ -1865,3 +1865,70 @@ class TestInvertedIndex:
         assert out.loc["apple", "df"] == 2
         assert out.loc["banana", "postings"] == "3,5,9"
         assert out.loc["banana", "df"] == 3
+
+
+class TestTrajHull:
+    def test_kernel_square_collinear_degenerate(self):
+        import numpy as np
+
+        from stac_catalog_builder_ray.geo.simplify import (convex_hull_int,
+                                                           polygon_area2_int)
+
+        # square + interior + collinear edge point -> 4 strict corners
+        x = np.array([0, 4, 4, 0, 2, 2])
+        y = np.array([0, 0, 4, 4, 2, 0])
+        h = convex_hull_int(x, y)
+        assert len(h) == 4
+        assert abs(polygon_area2_int(x[h], y[h])) == 32
+        # fully collinear -> 2 endpoints, zero area
+        xc = np.array([0, 1, 2, 3])
+        yc = np.array([0, 2, 4, 6])
+        hc = convex_hull_int(xc, yc)
+        assert len(hc) == 2 and polygon_area2_int(xc[hc], yc[hc]) == 0
+
+    def test_matches_gift_wrapping_oracle_sf0001(self, ray_session):
+        """Independent O(n*h) gift-wrapping hull per user (different
+        algorithm family from the operator's monotone chain)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_traj_hull
+
+        def wrap_area2(x, y):
+            pts = sorted(set(zip(x.tolist(), y.tolist())))
+            if len(pts) < 3:
+                return len(pts), 0
+            start = pts[0]
+            hull = [start]
+            cur = start
+            while True:
+                cand = pts[0] if pts[0] != cur else pts[1]
+                for p in pts:
+                    if p == cur:
+                        continue
+                    cr = ((cand[0] - cur[0]) * (p[1] - cur[1])
+                          - (cand[1] - cur[1]) * (p[0] - cur[0]))
+                    if cr < 0 or (cr == 0 and
+                                  (p[0] - cur[0]) ** 2 + (p[1] - cur[1]) ** 2 >
+                                  (cand[0] - cur[0]) ** 2 + (cand[1] - cur[1]) ** 2):
+                        cand = p
+                hull.append(cand)
+                cur = cand
+                if cand == start:
+                    break
+            hx = np.array([p[0] for p in hull[:-1]], np.int64)
+            hy = np.array([p[1] for p in hull[:-1]], np.int64)
+            a2 = int((hx * np.roll(hy, -1) - np.roll(hx, -1) * hy).sum())
+            return len(hull) - 1, abs(a2)
+
+        t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                          columns=["event_id", "user_id"]).to_pandas()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        t["x"] = (eid % 3600) * 2 - 3600 + 1
+        t["y"] = ((eid * 7) % 1800) * 2 - 1800 + 1
+        out = q_traj_hull("/root/testdata/sf0.001").to_pandas().set_index("user_id")
+        for u, g in t.groupby("user_id"):
+            nv, a2 = wrap_area2(g["x"].to_numpy(), g["y"].to_numpy())
+            assert out.loc[u, "hull_vertices"] == nv, u
+            assert out.loc[u, "hull_area2"] == a2, u
+            assert out.loc[u, "n_distinct_pts"] == len(g[["x", "y"]].drop_duplicates())

@@ -62,6 +62,9 @@ GOLDEN = {
     # SemDedup cluster-then-prune semantic dedup over the planted boundary
     # corpus (planted-pair recovery: test_operators::TestSemDedup)
     "semdedup": ("f331915369d7cf4b", 520),
+    # per-user integer-lattice convex hull (independent gift-wrapping
+    # oracle: test_operators::TestTrajHull)
+    "traj_hull": ("039501908f7b7703", 15),
 }
 
 
