@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": T.q_semdedup,
         "chunk_docs": T.q_chunk_docs,
         "inverted_index": T.q_inverted_index,
+        "training_manifest": T.q_training_manifest,
     }
 
 
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": T._sql_mixture_sample(),
         "chunk_docs": T.SQL_CHUNK_DOCS,
         "inverted_index": T.SQL_INVERTED_INDEX,
+        "training_manifest": T._sql_training_manifest(),
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

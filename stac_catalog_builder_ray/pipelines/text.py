@@ -1049,6 +1049,14 @@ SQL_EMBED_QUANTIZE = (
 # --- benchmark decontamination / corpus-learned filtering / mixture ---------
 
 
+def _word_windows(texts: pd.Series, n: int) -> pd.Series:
+    """All word n-gram windows of each text, series indexed by originating
+    row (pandas shift-chain explode — vectorized, no token loop)."""
+    ex = texts.fillna("").str.lower().str.strip().str.split().explode().dropna()
+    parts = [ex] + [ex.groupby(level=0).shift(-k) for k in range(1, n)]
+    return parts[0].str.cat(parts[1:], sep=" ").dropna()
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark n-gram DECONTAMINATION check — the eval-leakage guard every
     LLM training pipeline runs before finalizing a corpus (the 13-gram
@@ -1071,12 +1079,7 @@ def q_decontaminate(sf_dir: str):
 
     N = 3
     docs = _docs(sf_dir, ["doc_id", "text"])
-
-    def windows(texts: pd.Series) -> pd.Series:
-        """All word N-gram windows, series indexed by originating row."""
-        ex = texts.fillna("").str.lower().str.strip().str.split().explode().dropna()
-        parts = [ex] + [ex.groupby(level=0).shift(-k) for k in range(1, N)]
-        return parts[0].str.cat(parts[1:], sep=" ").dropna()
+    windows = lambda texts: _word_windows(texts, N)  # noqa: E731
 
     def bench_grams(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -1348,3 +1351,167 @@ SQL_INVERTED_INDEX = (
     "SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings, "
     "COUNT(*) AS df FROM tok GROUP BY word HAVING COUNT(*) BETWEEN 2 AND 400"
 )
+
+
+def q_training_manifest(sf_dir: str):
+    """End-to-end CORPUS ASSEMBLY MANIFEST — the composite pass a training
+    run actually ships: every document is routed to exactly one fate with
+    fixed precedence
+      benchmark (doc_id % 37 == 0, held out) > duplicate (exact-text, keep
+      min id) > contaminated (3-gram benchmark overlap >= 10%) >
+      low_quality (Gopher rules) > not_sampled (language-balance hash
+      rule) > kept
+    and ``keep`` = 1 only for 'kept'.  Composes five individually
+    oracle-checked operators into one decision column; the SQL twin
+    composes their five twins.
+
+    Scale shape: one vectorized flag pass (broadcast bench-gram set +
+    lang-count dict ride ``ray.put``), ONE content-bucketed shuffle for the
+    exact-dup flag, one partitioned int-key join to merge — nothing
+    driver-held scales with the corpus."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.text import gopher_quality_batch
+    from .relational import _kmv_hash, cluster_partitions
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    # tiny phase 0: language counts + benchmark gram set
+    cnt = docs.groupby("lang").aggregate(Count(alias_name="ns")).to_pandas()
+    ns = dict(zip(cnt["lang"], cnt["ns"].astype(np.int64)))
+    n_min = int(min(ns.values()))
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        g = _word_windows(t["text"].to_pandas()[ids % 37 == 0], 3).drop_duplicates()
+        return pa.table({"gram": pa.array(g.to_numpy(dtype=object), pa.string())})
+
+    bench = docs.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    bench_ref = ray.put(pa.array(np.unique(bench["gram"].to_numpy(dtype=object)),
+                                 pa.string()))
+
+    # exact-dup flag: one content-bucketed shuffle, per-row verdict
+    import zlib as _z
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        b = np.fromiter(((_z.crc32((s or "").encode()) % 64) for s in texts),
+                        dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "bucket": pa.array(b)})
+
+    def dup_flag(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("text", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                             "dup": (g["doc_id"].to_numpy() != m.to_numpy())
+                             .astype(np.int64)})
+
+    dup = (docs.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(dup_flag, batch_format="pandas"))
+    # map_groups emits schema-less 0-row blocks on empty hash partitions,
+    # which pyarrow's join rejects — rebuild from nonempty refs (small: one
+    # int row per doc)
+    from ..stages.dedup import _compact_nonempty
+
+    dup = _compact_nonempty(dup.materialize(),
+                            pa.schema([("doc_id", pa.int64()),
+                                       ("dup", pa.int64())]))
+
+    # one vectorized pass for every per-row signal
+    def flags(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pandas()
+        is_bench = (ids % 37 == 0).astype(np.int64)
+        g = _word_windows(texts, 3)
+        bset = ray.get(bench_ref)
+        if len(g):
+            hit = pc.is_in(pa.array(g.to_numpy(dtype=object), pa.string()),
+                           value_set=bset).to_numpy(zero_copy_only=False)
+            nw = g.groupby(level=0).size()
+            nc = pd.Series(hit.astype(np.int64), index=g.index).groupby(level=0).sum()
+        else:
+            nw = nc = pd.Series(dtype=np.int64)
+        nw = nw.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+        nc = nc.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+        contam = ((nc * 10 >= nw) & (nw > 0)).astype(np.int64)
+        quality = gopher_quality_batch(t)["keep"].to_numpy(zero_copy_only=False)
+        mod = np.array([ns[l] for l in t["lang"].to_pylist()], dtype=np.int64)
+        sampled = (_kmv_hash(ids) % mod < n_min).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "is_bench": pa.array(is_bench),
+                         "contam": pa.array(contam), "quality": pa.array(quality),
+                         "sampled": pa.array(sampled)})
+
+    sig = docs.map_batches(flags, batch_format="pyarrow")
+    joined = sig.join(dup, join_type="inner", num_partitions=cluster_partitions(),
+                      on=("doc_id",))
+
+    REASONS = np.array(["benchmark", "duplicate", "contaminated", "low_quality",
+                        "not_sampled", "kept"])
+
+    def decide(t: pa.Table) -> pa.Table:
+        b = t["is_bench"].to_numpy(zero_copy_only=False).astype(bool)
+        d = t["dup"].to_numpy(zero_copy_only=False).astype(bool)
+        c = t["contam"].to_numpy(zero_copy_only=False).astype(bool)
+        q = t["quality"].to_numpy(zero_copy_only=False).astype(bool)
+        m = t["sampled"].to_numpy(zero_copy_only=False).astype(bool)
+        code = np.select([b, d, c, ~q, ~m], [0, 1, 2, 3, 4], default=5)
+        return pa.table({"doc_id": t["doc_id"],
+                         "reason": pa.array(REASONS[code], pa.string()),
+                         "keep": pa.array((code == 5).astype(np.int64))})
+
+    return joined.map_batches(decide, batch_format="pyarrow")
+
+
+def _sql_training_manifest() -> str:
+    from .relational import _KMV_A, _KMV_A2, _KMV_B, _KMV_P
+
+    return (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w "
+        "FROM documents WHERE trim(text) <> ''), "
+        "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM t), "
+        "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0), "
+        "hits AS (SELECT g.doc_id, COUNT(*) AS nw, "
+        "CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc "
+        "FROM g LEFT JOIN bench b ON g.gram = b.gram GROUP BY 1), "
+        "contam AS (SELECT doc_id, CASE WHEN nc * 10 >= nw AND nw > 0 THEN 1 ELSE 0 END AS c "
+        "FROM hits), "
+        "dup AS (SELECT doc_id, CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY text) "
+        "THEN 1 ELSE 0 END AS d FROM documents), "
+        "words AS (SELECT doc_id, unnest(w) AS word FROM t), "
+        "st AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(length(word)) AS wl, "
+        "SUM(CASE WHEN word IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS stop_hits, "
+        "SUM(CASE WHEN regexp_matches(word, '[a-z]') THEN 1 ELSE 0 END) AS alpha_hits "
+        "FROM words GROUP BY doc_id), "
+        "tw AS (SELECT doc_id, MAX(c) AS top_count FROM "
+        "(SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2) GROUP BY doc_id), "
+        "gq AS (SELECT d.doc_id, CASE WHEN COALESCE(st.n_tokens, 0) BETWEEN 20 AND 100000 "
+        "AND COALESCE(st.wl * 1000000 // st.n_tokens, 0) BETWEEN 2000000 AND 10000000 "
+        "AND COALESCE(tw.top_count * 1000000 // st.n_tokens, 0) <= 200000 "
+        "AND COALESCE(st.stop_hits, 0) >= 1 "
+        "AND COALESCE(st.alpha_hits * 1000000 // st.n_tokens, 0) >= 800000 "
+        "THEN 1 ELSE 0 END AS q "
+        "FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN tw USING (doc_id)), "
+        "cnt AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY 1), "
+        "mn AS (SELECT MIN(ns) AS nmin FROM cnt), "
+        f"h1 AS (SELECT doc_id, lang, (doc_id * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h "
+        "FROM documents), "
+        f"hh AS (SELECT doc_id, lang, ((h % 1073741824) * {_KMV_A2}) % {_KMV_P} AS term1, "
+        f"((h // 1073741824) * {_KMV_A2}) % {_KMV_P} AS tt FROM h1), "
+        f"mix AS (SELECT doc_id, CASE WHEN ((term1 + ((tt % 2147483648) * 1073741824 "
+        f"+ tt // 2147483648) % {_KMV_P}) % {_KMV_P}) % c.ns < mn.nmin THEN 1 ELSE 0 END AS m "
+        "FROM hh JOIN cnt c USING (lang), mn) "
+        "SELECT d.doc_id, "
+        "CASE WHEN d.doc_id % 37 = 0 THEN 'benchmark' "
+        "WHEN dup.d = 1 THEN 'duplicate' "
+        "WHEN COALESCE(contam.c, 0) = 1 THEN 'contaminated' "
+        "WHEN gq.q = 0 THEN 'low_quality' "
+        "WHEN mix.m = 0 THEN 'not_sampled' ELSE 'kept' END AS reason, "
+        "CAST(CASE WHEN d.doc_id % 37 <> 0 AND dup.d = 0 AND COALESCE(contam.c, 0) = 0 "
+        "AND gq.q = 1 AND mix.m = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep "
+        "FROM documents d JOIN dup USING (doc_id) JOIN gq USING (doc_id) "
+        "JOIN mix USING (doc_id) LEFT JOIN contam USING (doc_id)"
+    )

@@ -1932,3 +1932,60 @@ class TestTrajHull:
             assert out.loc[u, "hull_vertices"] == nv, u
             assert out.loc[u, "hull_area2"] == a2, u
             assert out.loc[u, "n_distinct_pts"] == len(g[["x", "y"]].drop_duplicates())
+
+
+class TestTrainingManifest:
+    def test_all_reasons_fire_with_precedence(self, ray_session, tmp_path):
+        """A tiny corpus routing at least one doc to every fate, and a doc
+        that fails several checks lands on the HIGHEST-precedence reason."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import _kmv_hash
+        from stac_catalog_builder_ray.pipelines.text import (
+            _sql_training_manifest, q_training_manifest)
+
+        good = ("the quick brown fox jumps over a lazy dog and runs far "
+                "away to the old mill pond every single day without fail")
+        bench_txt = "alpha beta gamma delta epsilon"
+        contaminated = bench_txt + " " + bench_txt + " six seven"
+        docs = {
+            0: bench_txt,                     # doc 0: benchmark (0 % 37 == 0)
+            1: good,                          # kept (en majority, hash-dependent)
+            2: good,                          # duplicate of 1 (min id wins)
+            3: contaminated,                  # mostly benchmark windows
+            4: "short text",                  # low_quality (<20 tokens)
+            5: good + " extra tail of words padding the document further on",
+        }
+        langs = {0: "en", 1: "en", 2: "en", 3: "en", 4: "en", 5: "de"}
+        t = pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)]),
+            "lang": pa.array([langs[k] for k in sorted(docs)]),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = (q_training_manifest(str(tmp_path)).to_pandas()
+               .set_index("doc_id").sort_index())
+
+        assert out.loc[0, "reason"] == "benchmark"
+        assert out.loc[2, "reason"] == "duplicate"   # loses to doc 1
+        assert out.loc[3, "reason"] == "contaminated"
+        assert out.loc[4, "reason"] == "low_quality"
+        # lang counts: en=5, de=1 -> n_min=1; kept iff hash % ns < 1
+        ids = out.index.to_numpy().astype(np.int64)
+        h = _kmv_hash(ids)
+        for d in (1, 5):
+            mod = 5 if langs[d] == "en" else 1
+            expect = "kept" if h[d] % mod < 1 else "not_sampled"
+            if out.loc[d, "reason"] in ("kept", "not_sampled"):
+                assert out.loc[d, "reason"] == expect, d
+        assert (out["keep"] == (out["reason"] == "kept").astype(int)).all()
+        # exact cross-engine equality on this planted corpus
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+        oracle = (con.sql(_sql_training_manifest()).df()
+                  .set_index("doc_id").sort_index())
+        assert (oracle["reason"] == out["reason"]).all()
