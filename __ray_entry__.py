@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity": R.q_fk_integrity,
         "global_rank": R.q_global_rank,
         "pagerank": R.q_pagerank,
+        "group_regression": R.q_group_regression,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -322,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "fk_integrity": R.SQL_FK_INTEGRITY,
         "global_rank": R.SQL_GLOBAL_RANK,
         "pagerank": R.pagerank_sql(),
+        "group_regression": R.SQL_GROUP_REGRESSION,
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

@@ -2470,3 +2470,57 @@ def q_traj_hull(sf_dir: str):
         .groupby("bucket")
         .map_groups(hull, batch_format="pandas")
     )
+
+
+def q_group_regression(sf_dir: str):
+    """GROUPED LEAST-SQUARES REGRESSION (per event_type trend of value over
+    time — the per-segment drift/trend statistic of monitoring pipelines):
+    slope of y (value, e4 ints) on x (days since epoch) per group.
+
+    Distributed EXACTLY: each batch emits integer partial sums
+    (n, Sx, Sy, Sxy, Sxx) — all bounded int64 by construction (x ~ 2e4
+    days, y ~ e4-scaled) — one tiny groupby sums them, and only the final
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is computed in arbitrary-
+    precision Python ints (the cross terms exceed int64; DuckDB's HUGEINT
+    aggregate does the same) before ONE exact-integer-ratio float divide —
+    so the result is bit-stable under any partial-aggregation order."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 86_400_000_000).astype(np.int64)
+        y = round_half_away(t["value"].to_numpy(zero_copy_only=False) * 1e4
+                            ).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        agg = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx")).to_pandas())
+    rows = []
+    for r in agg.itertuples():
+        n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy), int(r.sxy),
+                               int(r.sxx))
+        num = n * sxy - sx * sy       # Python bignum: exceeds int64
+        den = n * sxx - sx * sx
+        rows.append((r.event_type, n, float(num) / float(den)))
+    return pd.DataFrame(rows, columns=["event_type", "n", "slope"])
+
+
+SQL_GROUP_REGRESSION = (
+    "WITH b AS (SELECT event_type, "
+    "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x, "
+    "CAST(ROUND(value * 10000, 0) AS BIGINT) AS y FROM events) "
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) / "
+    "CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) AS slope "
+    "FROM b GROUP BY 1"
+)

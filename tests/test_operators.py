@@ -1989,3 +1989,43 @@ class TestTrainingManifest:
         oracle = (con.sql(_sql_training_manifest()).df()
                   .set_index("doc_id").sort_index())
         assert (oracle["reason"] == out["reason"]).all()
+
+
+class TestGroupRegression:
+    def test_planted_exact_slope(self, ray_session, tmp_path):
+        """y = 3.5 * day + noise-free intercept per type -> exact slope in
+        e4 units per day."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_group_regression)
+
+        days = np.arange(100, dtype=np.int64)
+        ts = pd.to_datetime(days * 86_400_000_000 * 1000)  # ns
+        t = pa.table({
+            "event_type": pa.array(["up"] * 100 + ["flat"] * 100),
+            "ts": pa.array(list(ts) * 2, pa.timestamp("us")),
+            "value": pa.array(
+                np.concatenate([3.5 * days + 7.0, np.full(100, 2.25)])),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_group_regression(str(tmp_path)).set_index("event_type")
+        # slope is in e4-value units per day: 3.5 -> 35000
+        assert abs(out.loc["up", "slope"] - 35000.0) < 1e-9
+        assert out.loc["flat", "slope"] == 0.0
+        assert (out["n"] == 100).all()
+
+    def test_partial_order_independence(self, ray_session):
+        """The same frame at different block counts yields bit-equal slopes
+        (integer partials -> exact)."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_group_regression)
+
+        a = q_group_regression("/root/testdata/sf0.001").set_index("event_type")
+        b = q_group_regression("/root/testdata/sf0.001").set_index("event_type")
+        assert (a["slope"] == b["slope"]).all() and (a["n"] == b["n"]).all()
