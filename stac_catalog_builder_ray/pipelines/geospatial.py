@@ -641,3 +641,91 @@ def q_image_stats(sf_dir: str):
     images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
     out = image_stats(rd.read_parquet(images))
     return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+def q_change_detect(sf_dir: str):
+    """RASTER CHANGE DETECTION over the image time series (the temporal
+    analytics step of an EO catalog: per (tile, asset-type) day-over-day
+    total-radiance delta).  Rows-only (pixel decode is not
+    SQL-expressible); planted-step test + independent local-decode oracle
+    in tests/test_spatial.py::TestChangeDetect.
+
+    Shape: actor-pool decode reduces every image to ONE int64 pixel sum in
+    the read tasks (pixels never shuffle); (tile, atype, date) metadata is
+    regex-parsed vectorized; recurring image_ids aggregate by SUM + count
+    (deterministic whatever the duplication); the per-series diff runs in a
+    crc-bucketed map_groups over series keys — O(#images) rows through one
+    small shuffle."""
+    from ..pipelines.spatial_catalog import images_from_documents
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    return change_detect(rd.read_parquet(images))
+
+
+def change_detect(images):
+    """images Dataset -> per-(tile, atype, date) px_sum + day-over-day
+    delta Dataset (see q_change_detect)."""
+    import re as _re
+    import zlib as _z
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.multimodal import DecodeStage
+
+    class PxSum:
+        def __init__(self):
+            self._decode = DecodeStage(strict=False)._decode
+            self._pat = _re.compile(
+                r"tiles/([^/]+)/\d+/[^_]+_(.+)_\1_(\d{4}-\d{2}-\d{2})\.tif$")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["image_id"].to_pylist()
+            fmts = t["fmt"].to_pylist()
+            ws = t["w"].to_pylist()
+            hs = t["h"].to_pylist()
+            bts = t["bytes"]
+            n = t.num_rows
+            sums = np.empty(n, np.int64)
+            for i in range(n):
+                px = self._decode(bts[i].as_py(), fmts[i], ws[i], hs[i])
+                sums[i] = int(np.asarray(px, dtype=np.int64).sum()) if (
+                    np.issubdtype(np.asarray(px).dtype, np.integer)) else int(
+                    np.round(np.asarray(px, dtype=np.float64)).sum())
+            tiles, atypes, dates = [], [], []
+            for s in ids:
+                m = self._pat.search(s)
+                tiles.append(m.group(1) if m else "")
+                atypes.append(m.group(2) if m else "")
+                dates.append(m.group(3) if m else "")
+            return pa.table({"tile": pa.array(tiles, pa.string()),
+                             "atype": pa.array(atypes, pa.string()),
+                             "date": pa.array(dates, pa.string()),
+                             "px_sum": pa.array(sums)})
+
+    per_img = images.map_batches(
+        PxSum, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+    per_date = (per_img.groupby(["tile", "atype", "date"])
+                .aggregate(Sum("px_sum", alias_name="px_sum"),
+                           Count(alias_name="n_img")))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = [f"{a}|{b}" for a, b in zip(t["tile"].to_pylist(),
+                                           t["atype"].to_pylist())]
+        b = np.fromiter((_z.crc32(k.encode()) % 16 for k in keys),
+                        dtype=np.int64, count=len(keys))
+        return t.append_column("bucket", pa.array(b))
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tile", "atype", "date"], kind="stable")
+        key = g["tile"] + "|" + g["atype"]
+        prev = g["px_sum"].shift(1)
+        same = key == key.shift(1)
+        delta = np.where(same, g["px_sum"] - prev.fillna(0), 0).astype(np.int64)
+        out = g.drop(columns=["bucket"]).copy()
+        out["delta"] = delta
+        out["px_sum"] = out["px_sum"].astype("int64")
+        out["n_img"] = out["n_img"].astype("int64")
+        return out
+
+    return (per_date.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(diff, batch_format="pandas"))

@@ -65,6 +65,9 @@ GOLDEN = {
     # per-user integer-lattice convex hull (independent gift-wrapping
     # oracle: test_operators::TestTrajHull)
     "traj_hull": ("039501908f7b7703", 15),
+    # raster day-over-day change detection (independent local-decode+diff
+    # oracle: test_spatial::TestChangeDetect)
+    "change_detect": ("ecdfed881eaf0340", 494),
 }
 
 

@@ -512,3 +512,78 @@ class TestKringSmooth:
         got = out.loc[cells]
         assert (got["n_ring"].to_numpy() == ring_c[xs, ys]).all()
         assert (got["sum_ring_e4"].to_numpy() == ring_s[xs, ys]).all()
+
+
+class TestChangeDetect:
+    def test_planted_step_series(self, ray_session):
+        """Three dates for one (tile, band) with a step change, a recurring
+        duplicate on one date, and an unrelated band that must not chain."""
+        import numpy as np
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.codec.raster import encode_image
+        from stac_catalog_builder_ray.pipelines.geospatial import change_detect
+
+        def img(iid, fill):
+            px = np.full((4, 4), fill, np.uint16)
+            return {"image_id": iid, "bytes": encode_image(px, "raw"),
+                    "w": 4, "h": 4, "fmt": "raw"}
+
+        A = "tiles/E01N01/2000/observations_bandx_E01N01_2000-01-0{d}.tif"
+        B = "tiles/E01N01/2000/observations_bandy_E01N01_2000-01-01.tif"
+        rows = [
+            img(A.format(d=1), 10),           # sum 160
+            img(A.format(d=2), 10),           # no change
+            img(A.format(d=2), 10),           # recurring duplicate same date
+            img(A.format(d=3), 50),           # step: sum 800
+            img(B, 99),                        # different band, one date
+        ]
+        out = (change_detect(rd.from_items(rows)).to_pandas()
+               .sort_values(["atype", "date"]).reset_index(drop=True))
+        x = out[out["atype"] == "bandx"].reset_index(drop=True)
+        assert x["px_sum"].tolist() == [160, 320, 800]   # dup date sums 2x
+        assert x["n_img"].tolist() == [1, 2, 1]
+        assert x["delta"].tolist() == [0, 160, 480]
+        y = out[out["atype"] == "bandy"]
+        assert len(y) == 1 and y.iloc[0]["delta"] == 0    # series head
+
+    def test_matches_local_decode_sf0001(self, ray_session):
+        """Independent local decode + pandas diff over the whole table."""
+        import glob
+        import re
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.pipelines.geospatial import q_change_detect
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+            images_from_documents,
+        )
+
+        path = images_from_documents("/root/testdata/sf0.001",
+                                     "/tmp/scbr-query-cache")
+        pat = re.compile(
+            r"tiles/([^/]+)/\d+/[^_]+_(.+)_\1_(\d{4}-\d{2}-\d{2})\.tif$")
+        recs = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            for r in pq.read_table(f).to_pylist():
+                px = np.asarray(decode_image(r["bytes"], r["fmt"]))
+                s = (int(px.astype(np.int64).sum())
+                     if np.issubdtype(px.dtype, np.integer)
+                     else int(np.round(px.astype(np.float64)).sum()))
+                m = pat.search(r["image_id"])
+                recs.append((m.group(1), m.group(2), m.group(3), s))
+        df = pd.DataFrame(recs, columns=["tile", "atype", "date", "px_sum"])
+        want = (df.groupby(["tile", "atype", "date"], as_index=False)
+                .agg(px_sum=("px_sum", "sum"), n_img=("px_sum", "size"))
+                .sort_values(["tile", "atype", "date"]))
+        key = want["tile"] + "|" + want["atype"]
+        prev = want["px_sum"].shift(1)
+        want["delta"] = np.where(key == key.shift(1),
+                                 want["px_sum"] - prev.fillna(0), 0).astype(np.int64)
+        got = (q_change_detect("/root/testdata/sf0.001").to_pandas()
+               .sort_values(["tile", "atype", "date"]).reset_index(drop=True))
+        want = want.reset_index(drop=True)[got.columns.tolist()]
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
