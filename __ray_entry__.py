@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": R.q_global_rank,
         "pagerank": R.q_pagerank,
         "group_regression": R.q_group_regression,
+        "er_join": R.q_er_join,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -325,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": R.SQL_GLOBAL_RANK,
         "pagerank": R.pagerank_sql(),
         "group_regression": R.SQL_GROUP_REGRESSION,
+        "er_join": R.SQL_ER_JOIN,
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

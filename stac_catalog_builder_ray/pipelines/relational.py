@@ -2524,3 +2524,67 @@ SQL_GROUP_REGRESSION = (
     "CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) AS slope "
     "FROM b GROUP BY 1"
 )
+
+
+def q_er_join(sf_dir: str):
+    """ENTITY-RESOLUTION blocked similarity self-join (record linkage):
+    candidate pairs are generated only WITHIN a blocking key (first 16
+    chars of c_name — the standard blocking that makes fuzzy matching
+    tractable at scale: O(sum block^2) instead of O(n^2)), then scored
+    with exact Levenshtein and kept at distance <= 1.
+
+    Shape: one crc block-bucket shuffle; per bucket a vectorized
+    upper-triangle pair expansion + the batched DP kernel
+    (``stages.text.levenshtein_batch`` — one numpy DP per length
+    combination, not one Python table per pair).  The blocking-key size
+    bounds reducer memory; skewed blocks would salt exactly like the other
+    bucketed reducers."""
+    import zlib as _z
+
+    from ..stages.text import levenshtein_batch
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def add_block(t: pa.Table) -> pa.Table:
+        names = t["c_name"].to_pylist()
+        blk = [n[:16] for n in names]
+        b = np.fromiter((_z.crc32(k.encode()) % 64 for k in blk),
+                        dtype=np.int64, count=len(blk))
+        return pa.table({"c_custkey": t["c_custkey"], "c_name": t["c_name"],
+                         "blk": pa.array(blk, pa.string()),
+                         "bucket": pa.array(b)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, gg in g.groupby("blk", sort=False):
+            gg = gg.sort_values("c_custkey", kind="stable")
+            keys = gg["c_custkey"].to_numpy(dtype=np.int64)
+            names = gg["c_name"].tolist()
+            m = len(keys)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, k=1)
+            dist = levenshtein_batch([names[i] for i in iu],
+                                     [names[j] for j in ju])
+            hit = dist <= 1
+            out.append(pd.DataFrame({
+                "custkey_a": keys[iu[hit]], "custkey_b": keys[ju[hit]],
+                "dist": dist[hit]}))
+        if not out:
+            return pd.DataFrame({"custkey_a": pd.Series(dtype="int64"),
+                                 "custkey_b": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return (ds.map_batches(add_block, batch_format="pyarrow")
+            .repartition(cluster_partitions())
+            .groupby("bucket").map_groups(pairs, batch_format="pandas"))
+
+
+SQL_ER_JOIN = (
+    "WITH b AS (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer) "
+    "SELECT a.c_custkey AS custkey_a, b2.c_custkey AS custkey_b, "
+    "CAST(levenshtein(a.c_name, b2.c_name) AS BIGINT) AS dist "
+    "FROM b a JOIN b b2 ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey "
+    "WHERE levenshtein(a.c_name, b2.c_name) <= 1"
+)

@@ -2029,3 +2029,50 @@ class TestGroupRegression:
         a = q_group_regression("/root/testdata/sf0.001").set_index("event_type")
         b = q_group_regression("/root/testdata/sf0.001").set_index("event_type")
         assert (a["slope"] == b["slope"]).all() and (a["n"] == b["n"]).all()
+
+
+class TestErJoin:
+    def test_kernel_fuzz_vs_reference_dp(self):
+        """Random pairs vs a plain per-pair DP (different implementation)."""
+        import random
+
+        from stac_catalog_builder_ray.stages.text import levenshtein_batch
+
+        def ref(a, b):
+            la, lb = len(a), len(b)
+            d = list(range(lb + 1))
+            for i in range(1, la + 1):
+                prev, d[0] = d[0], i
+                for j in range(1, lb + 1):
+                    prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                           prev + (a[i - 1] != b[j - 1]))
+            return d[lb]
+
+        rng = random.Random(42)
+        pairs = [("".join(rng.choices("abcxyz", k=rng.randint(0, 9))),
+                  "".join(rng.choices("abcxyz", k=rng.randint(0, 9))))
+                 for _ in range(300)]
+        got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+        assert got.tolist() == [ref(a, b) for a, b in pairs]
+
+    def test_blocking_and_threshold(self, ray_session, tmp_path):
+        """Pairs only form within a block; distance-1 kept, distance-2 cut,
+        cross-block near-identical names never compared."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_er_join
+
+        names = {
+            1: "Customer#000000001",   # block A
+            2: "Customer#000000002",   # dist 1 from 1 -> pair
+            3: "Customer#000000033",   # dist 2 from 1 -> cut
+            4: "Customer#111111111",   # different block, never compared
+        }
+        t = pa.table({"c_custkey": pa.array(sorted(names), pa.int64()),
+                      "c_name": pa.array([names[k] for k in sorted(names)])})
+        pq.write_table(t, str(tmp_path / "customer.parquet"))
+        out = q_er_join(str(tmp_path)).to_pandas()
+        got = set(map(tuple, out[["custkey_a", "custkey_b"]].to_numpy()))
+        # 1-2: one substitution; 1-3 and 2-3 need two; 4 is cross-block
+        assert got == {(1, 2)}
