@@ -109,6 +109,9 @@ def ivf_topk(corpus, queries_df: pd.DataFrame, k: int = 5, n_centroids: int = 16
     q_ref = ray.put((q_ids, q_mat, q_buckets))
 
     def probe(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "bucket" not in g.columns:
+            # empty hash partitions reach map_groups as schema-less frames
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
         # per-worker cache: ray.get is zero-copy from plasma but still pays
         # a lookup per call; map_groups calls this once per bucket group
         key = q_ref.hex()
