@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": R.q_pagerank,
         "group_regression": R.q_group_regression,
         "er_join": R.q_er_join,
+        "outlier_trim": R.q_outlier_trim,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": R.pagerank_sql(),
         "group_regression": R.SQL_GROUP_REGRESSION,
         "er_join": R.SQL_ER_JOIN,
+        "outlier_trim": R.SQL_OUTLIER_TRIM,
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

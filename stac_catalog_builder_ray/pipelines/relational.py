@@ -2588,3 +2588,116 @@ SQL_ER_JOIN = (
     "FROM b a JOIN b b2 ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey "
     "WHERE levenshtein(a.c_name, b2.c_name) <= 1"
 )
+
+
+def q_outlier_trim(sf_dir: str):
+    """Percentile OUTLIER TRIMMING per group (the winsorization flag pass
+    of feature hygiene) with EXACT distributed quantiles over a
+    high-cardinality value column — the classic two-phase algorithm, never
+    a sort of the corpus:
+
+    1. per-group (n, min, max) aggregate;
+    2. per-(group, 256-range-bin) counts -> the driver locates, for each
+       of p05/p95, the bin holding rank ceil(q*n) and the rank within it
+       (O(groups x 256) driver state);
+    3. ONE more pass gathers only the values inside target bins (~n/256
+       rows per group) -> exact discrete quantile (DuckDB quantile_disc
+       semantics: 1-based rank ceil(q*n));
+    4. a final vectorized pass flags rows strictly outside [p05, p95].
+
+    Everything integer (value e4), so the SQL twin hashes bit-identically."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..functions.rounding import round_half_away
+
+    B = 256
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_e4(t: pa.Table) -> pa.Table:
+        e4 = round_half_away(t["value"].to_numpy(zero_copy_only=False) * 1e4
+                             ).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"], "e4": pa.array(e4)})
+
+    v = ds.map_batches(to_e4, batch_format="pyarrow").materialize()
+    stats = (v.groupby("event_type")
+             .aggregate(Count(alias_name="n"), Min("e4", alias_name="mn"),
+                        Max("e4", alias_name="mx")).to_pandas())
+    srow = {r.event_type: (int(r.n), int(r.mn), int(r.mx))
+            for r in stats.itertuples()}
+
+    def bin_of(et_arr, e4_arr):
+        mn = np.array([srow[e][1] for e in et_arr], dtype=np.int64)
+        mx = np.array([srow[e][2] for e in et_arr], dtype=np.int64)
+        return (e4_arr - mn) * B // (mx - mn + 1)
+
+    def binned(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        e4 = t["e4"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "bin": bin_of(et, e4)})
+        p = df.value_counts(["event_type", "bin"]).reset_index(name="n")
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    counts = (v.map_batches(binned, batch_format="pyarrow")
+              .groupby(["event_type", "bin"]).aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+
+    # driver: locate the bin + within-bin rank for each target quantile
+    targets: dict = {}
+    for et, g in counts.groupby("event_type"):
+        g = g.sort_values("bin")
+        cum = g["n"].astype(np.int64).cumsum().to_numpy()
+        bins = g["bin"].to_numpy(dtype=np.int64)
+        n = srow[et][0]
+        for q in (0.05, 0.95):
+            rank = int(np.ceil(q * n))
+            i = int(np.searchsorted(cum, rank))
+            before = int(cum[i - 1]) if i > 0 else 0
+            targets.setdefault(et, []).append((q, int(bins[i]), rank - before))
+    tbins = {(et, b) for et, lst in targets.items() for _, b, _ in lst}
+
+    def gather(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        e4 = t["e4"].to_numpy(zero_copy_only=False)
+        bn = bin_of(et, e4)
+        keep = np.fromiter(((e, b) in tbins for e, b in zip(et, bn)),
+                           dtype=bool, count=len(et))
+        return pa.table({"event_type": pa.array([e for e, k in zip(et, keep) if k],
+                                                pa.string()),
+                         "bin": pa.array(bn[keep]), "e4": pa.array(e4[keep])})
+
+    got = v.map_batches(gather, batch_format="pyarrow").to_pandas()
+    thr: dict = {}
+    for et, lst in targets.items():
+        qs = {}
+        for q, b, rib in lst:
+            vals = np.sort(got[(got["event_type"] == et) & (got["bin"] == b)]
+                           ["e4"].to_numpy(dtype=np.int64))
+            qs[q] = int(vals[rib - 1])
+        thr[et] = (qs[0.05], qs[0.95])
+
+    def flag(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        e4 = t["e4"].to_numpy(zero_copy_only=False)
+        lo = np.array([thr[e][0] for e in et], dtype=np.int64)
+        hi = np.array([thr[e][1] for e in et], dtype=np.int64)
+        m = (e4 < lo) | (e4 > hi)
+        tail = np.where(e4 < lo, "low", "high")
+        return pa.table({"event_id": t["event_id"].filter(pa.array(m)),
+                         "event_type": pa.array(np.array(et, dtype=object)[m],
+                                                pa.string()),
+                         "value_e4": pa.array(e4[m]),
+                         "tail": pa.array(tail[m], pa.string())})
+
+    return v.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_OUTLIER_TRIM = (
+    "WITH v AS (SELECT event_id, event_type, "
+    "CAST(ROUND(value * 10000, 0) AS BIGINT) AS e4 FROM events), "
+    "q AS (SELECT event_type, quantile_disc(e4, 0.05) AS p05, "
+    "quantile_disc(e4, 0.95) AS p95 FROM v GROUP BY 1) "
+    "SELECT v.event_id, v.event_type, v.e4 AS value_e4, "
+    "CASE WHEN v.e4 < q.p05 THEN 'low' ELSE 'high' END AS tail "
+    "FROM v JOIN q USING (event_type) WHERE v.e4 < q.p05 OR v.e4 > q.p95"
+)

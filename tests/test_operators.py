@@ -2076,3 +2076,46 @@ class TestErJoin:
         got = set(map(tuple, out[["custkey_a", "custkey_b"]].to_numpy()))
         # 1-2: one substitution; 1-3 and 2-3 need two; 4 is cross-block
         assert got == {(1, 2)}
+
+
+class TestOutlierTrim:
+    def test_planted_distribution_exact_cuts(self, ray_session, tmp_path):
+        """Values 1..100 (e4-scaled) per type: p05 = 5, p95 = 95 exactly
+        (ceil-rank discrete quantile), so outliers are strictly outside."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_outlier_trim
+
+        vals = np.arange(1, 101, dtype=np.float64)
+        t = pa.table({
+            "event_id": pa.array(np.arange(200), pa.int64()),
+            "event_type": pa.array(["a"] * 100 + ["b"] * 100),
+            "ts": pa.array(pd.to_datetime(np.zeros(200)), pa.timestamp("us")),
+            "value": pa.array(np.concatenate([vals, vals * 10.0])),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_outlier_trim(str(tmp_path)).to_pandas()
+        a = out[out["event_type"] == "a"]
+        # rank ceil(0.05*100)=5 -> p05 = 5.0 (e4 50000); p95 = 95.0
+        assert sorted(a["value_e4"] // 10000) == [1, 2, 3, 4, 96, 97, 98, 99, 100]
+        assert set(a[a["tail"] == "low"]["value_e4"] // 10000) == {1, 2, 3, 4}
+        b = out[out["event_type"] == "b"]
+        assert sorted(b["value_e4"] // 100000) == [1, 2, 3, 4, 96, 97, 98, 99, 100]
+
+    def test_matches_duckdb_quantiles_sf0001(self, ray_session):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_OUTLIER_TRIM, q_outlier_trim)
+
+        con = duckdb.connect()
+        con.sql("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet')")
+        want = (con.sql(SQL_OUTLIER_TRIM).df()
+                .sort_values("event_id").reset_index(drop=True))
+        got = (q_outlier_trim("/root/testdata/sf0.001").to_pandas()
+               .sort_values("event_id").reset_index(drop=True)[want.columns.tolist()])
+        assert want.equals(got.astype(want.dtypes.to_dict()))
