@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kring_smooth": G.q_kring_smooth,
         "image_stats": G.q_image_stats,
         "change_detect": G.q_change_detect,
+        "image_sim": G.q_image_sim,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,

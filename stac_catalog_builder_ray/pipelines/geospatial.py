@@ -729,3 +729,46 @@ def change_detect(images):
 
     return (per_date.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(diff, batch_format="pandas"))
+
+
+def q_image_sim(sf_dir: str):
+    """End-to-end IMAGE SIMILARITY SEARCH from pixels (the retrieval path
+    of a multimodal corpus): actor-pool decode -> histogram+moment feature
+    vectors (the engine-native stand-in for batched model inference) ->
+    brute-force cosine top-5 against a deterministic query subset
+    (crc32(image_id) % 50 == 0).  Rows-only (pixel decode + float matmul);
+    independent local-decode numpy oracle in
+    tests/test_spatial.py::TestImageSim.
+
+    Scale shape: features extract in-task (pixels never shuffle), the
+    corpus streams ONCE through the broadcast query matrix with per-batch
+    partial top-k; recurring image_ids reduce to one corpus row first
+    (identical payload -> identical features) so top-k lists never contain
+    duplicate neighbors."""
+    import zlib as _z
+
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.ann import brute_force_topk
+    from ..stages.multimodal import FeatureExtractStage
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    feats = rd.read_parquet(images).map_batches(
+        FeatureExtractStage, fn_constructor_kwargs={"bins": 16},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+
+    def first_per_id(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("image_id")
+
+    uniq = feats.groupby("image_id").map_groups(first_per_id,
+                                                batch_format="pandas").materialize()
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        m = np.fromiter((_z.crc32(s.encode()) % 50 == 0 for s in ids),
+                        dtype=bool, count=len(ids))
+        return t.filter(pa.array(m))
+
+    qdf = uniq.map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = brute_force_topk(uniq, qdf, k=5, id_col="image_id", vec_col="features")
+    return (out.to_pandas().sort_values(["query_id", "neighbor_id"])
+            .reset_index(drop=True))

@@ -68,6 +68,9 @@ GOLDEN = {
     # raster day-over-day change detection (independent local-decode+diff
     # oracle: test_spatial::TestChangeDetect)
     "change_detect": ("ecdfed881eaf0340", 494),
+    # pixels -> features -> cosine top-5 retrieval (independent local
+    # decode+numpy oracle: test_spatial::TestImageSim)
+    "image_sim": ("0b0f7990a2d2ced5", 40),
 }
 
 

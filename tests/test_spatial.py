@@ -587,3 +587,50 @@ class TestChangeDetect:
                .sort_values(["tile", "atype", "date"]).reset_index(drop=True))
         want = want.reset_index(drop=True)[got.columns.tolist()]
         pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+class TestImageSim:
+    def test_matches_local_numpy_retrieval(self, ray_session):
+        """Independent local decode -> feature -> exact cosine top-5."""
+        import glob
+        import zlib
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.pipelines.geospatial import q_image_sim
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+            images_from_documents,
+        )
+
+        path = images_from_documents("/root/testdata/sf0.001",
+                                     "/tmp/scbr-query-cache")
+        edges = np.linspace(0, 65536, 17)
+        feats = {}
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            for r in pq.read_table(f).to_pylist():
+                if r["image_id"] in feats:
+                    continue                      # recurring ids: keep first
+                px = decode_image(r["bytes"], r["fmt"])
+                h, _ = np.histogram(px, bins=edges)
+                h = h / max(1, px.size)
+                v = np.concatenate([h, [px.mean() / 65535.0, px.std() / 65535.0]])
+                feats[r["image_id"]] = v.astype(np.float32)
+
+        ids = np.array(sorted(feats))
+        M = np.stack([feats[i] for i in ids]).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        qmask = np.array([zlib.crc32(i.encode()) % 50 == 0 for i in ids])
+        sims = M[qmask] @ M.T
+        want = {}
+        for qi, qid in enumerate(ids[qmask]):
+            s = sims[qi].copy()
+            s[ids == qid] = -np.inf
+            order = sorted(zip(-s, ids), key=lambda x: (x[0], x[1]))[:5]
+            want[qid] = sorted(str(n) for _, n in order)
+
+        out = q_image_sim("/root/testdata/sf0.001")
+        got = {q: sorted(g["neighbor_id"]) for q, g in out.groupby("query_id")}
+        assert got == want
+        assert len(want) >= 5 and all(len(v) == 5 for v in want.values())
