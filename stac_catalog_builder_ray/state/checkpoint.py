@@ -290,3 +290,105 @@ def write_sorted_partitioned(ds, store_root: str, key: str,
         staged = staged.map_batches(drop_done, batch_format="pyarrow")
     return (staged.groupby("_range")
             .map_groups(write_range, batch_format="pandas").to_pandas())
+
+
+def pack_image_shards(ds, store_root: str, budget_bytes: int = 1 << 20,
+                      id_col: str = "image_id", payload_col: str = "bytes",
+                      ranges: int = 16):
+    """WEBDATASET-STYLE SHARD PACKING sink: images in deterministic
+    ``id_col`` order fill fixed byte-budget shards (an image belongs to the
+    shard where its FIRST byte lands — the seq_pack rule applied to
+    payload bytes), each shard publishing atomically with lineage so an
+    interrupted run rewrites only missing shards.
+
+    Distributed shape — a global ordered byte-cumsum WITHOUT a global
+    sort: ids range-partition by persisted sampled split points
+    (reused on resume, like write_sorted_partitioned), pass 1 aggregates
+    per-range byte totals (tiny), the driver prefix-sums the offsets,
+    pass 2 computes each row's global bytes-before locally and the shard
+    groupby moves every payload ONCE into its writer.  Payload bytes
+    cross the shuffle exactly once — unavoidable, the write must
+    co-locate a shard's members."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    store = CheckpointStore(store_root)
+    os.makedirs(store_root, exist_ok=True)
+    splits_path = os.path.join(store_root, "splits.json")
+    if os.path.exists(splits_path):
+        with open(splits_path) as f:
+            splits = json.load(f)["splits"]
+    else:
+        def sample(t: pa.Table) -> pa.Table:
+            v = sorted(t[id_col].to_pylist())
+            idx = np.linspace(0, len(v) - 1, min(32, len(v))).astype(int)
+            return pa.table({id_col: pa.array([v[i] for i in idx], pa.string())})
+
+        sampled = sorted(ds.map_batches(sample, batch_format="pyarrow")
+                         .to_pandas()[id_col])
+        qs = np.linspace(0, len(sampled) - 1, ranges + 1).astype(int)[1:-1]
+        splits = sorted({sampled[i] for i in qs})
+        tmp = f"{splits_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"key": id_col, "splits": splits}, f)
+        os.replace(tmp, splits_path)
+
+    sp = list(splits)
+
+    def assign_range(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        r = np.searchsorted(np.array(sp, dtype=object), np.array(ids, dtype=object),
+                            side="right").astype(np.int64)
+        sizes = pa.compute.binary_length(t[payload_col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return t.append_column("_range", pa.array(r)).append_column(
+            "_size", pa.array(sizes))
+
+    staged = ds.map_batches(assign_range, batch_format="pyarrow").materialize()
+    totals = (staged.select_columns(["_range", "_size"])
+              .groupby("_range").aggregate(Sum("_size", alias_name="total"))
+              .to_pandas().sort_values("_range"))
+    offsets = {}
+    acc = 0
+    for _, row in totals.iterrows():
+        offsets[int(row["_range"])] = acc
+        acc += int(row["total"])
+
+    def assign_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        before = offsets[int(g["_range"].iloc[0])] + (
+            g["_size"].cumsum().shift(1, fill_value=0).to_numpy())
+        g = g.drop(columns=["_range", "_size"]).copy()
+        g["_shard"] = (before // budget_bytes).astype(np.int64)
+        return g
+
+    sharded = staged.groupby("_range").map_groups(assign_shard,
+                                                  batch_format="pandas")
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        sid = f"{int(g['_shard'].iloc[0]):05d}"
+        g = g.sort_values(id_col, kind="stable").drop(columns=["_shard"])
+        if store.is_finished(sid):
+            return pd.DataFrame({"shard": [sid], "rows": [len(g)],
+                                 "skipped": [True]})
+        shard_dir = os.path.join(store_root, f"shard={sid}")
+        tmp_dir = f"{shard_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        g.to_parquet(os.path.join(tmp_dir, "data.parquet"), index=False)
+        if os.path.exists(shard_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        else:
+            os.replace(tmp_dir, shard_dir)
+        store.mark_finished(sid, {
+            "shard": sid, "rows": int(len(g)),
+            "bytes": int(g[payload_col].map(len).sum()), "ts": time.time()})
+        return pd.DataFrame({"shard": [sid], "rows": [len(g)],
+                             "skipped": [False]})
+
+    return (sharded.groupby("_shard")
+            .map_groups(write_shard, batch_format="pandas").to_pandas())

@@ -180,3 +180,61 @@ class TestSortedPartitionedWrite:
             assert json.load(f) == splits_before
         rewritten = pq.read_table(os.path.join(root, f"part={victim}", "data.parquet"))
         assert rewritten.num_rows == mf.set_index("partition").loc[victim, "rows"]
+
+
+class TestPackImageShards:
+    def test_budget_order_and_resume(self, ray_session, tmp_path):
+        import glob
+        import shutil
+
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+            images_from_documents,
+        )
+        from stac_catalog_builder_ray.state.checkpoint import (CheckpointStore,
+                                                               pack_image_shards)
+
+        src = images_from_documents("/root/testdata/sf0.001",
+                                    "/tmp/scbr-query-cache")
+        ds = ray.data.read_parquet(src)
+        root = str(tmp_path / "shards")
+        budget = 512 * 1024
+        summary = pack_image_shards(ds, root, budget_bytes=budget)
+        assert not summary["skipped"].any()
+        parts = sorted(glob.glob(os.path.join(root, "shard=*", "data.parquet")))
+        assert len(parts) >= 3
+
+        frames = [pq.read_table(p) for p in parts]
+        # completeness: every source row lands exactly once
+        n_src = sum(pq.ParquetFile(f).metadata.num_rows
+                    for f in glob.glob(src + "/*.parquet"))
+        assert sum(f.num_rows for f in frames) == n_src
+        # global id order across shard concatenation
+        all_ids = [i for f in frames for i in f["image_id"].to_pylist()]
+        assert all_ids == sorted(all_ids)
+        # budget rule: an image starts a new shard only once the budget is
+        # consumed -> every shard except the last starts before its
+        # boundary and total bytes-before of its first row == shard*budget
+        # floor rule; simpler invariant: every shard's byte size is within
+        # budget + one max image of the budget
+        max_img = max(len(b) for f in frames for b in f["bytes"].to_pylist())
+        for f in frames[:-1]:
+            size = sum(len(b) for b in f["bytes"].to_pylist())
+            assert size <= budget + max_img
+
+        # resume: nuke one shard -> only it rewrites, ids identical
+        st = CheckpointStore(root)
+        victim = "00002"
+        before_ids = pq.read_table(
+            os.path.join(root, f"shard={victim}", "data.parquet"))["image_id"].to_pylist()
+        shutil.rmtree(os.path.join(root, f"shard={victim}"))
+        os.remove(st._pid_path(victim))
+        summary2 = pack_image_shards(ds, root, budget_bytes=budget)
+        by = summary2.set_index("shard")["skipped"]
+        assert not by.loc[victim] and by.drop(victim).all()
+        after_ids = pq.read_table(
+            os.path.join(root, f"shard={victim}", "data.parquet"))["image_id"].to_pylist()
+        assert after_ids == before_ids
