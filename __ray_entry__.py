@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_regression": R.q_group_regression,
         "er_join": R.q_er_join,
         "outlier_trim": R.q_outlier_trim,
+        "event_transitions": R.q_event_transitions,
+        "time_weighted_avg": R.q_time_weighted_avg,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -155,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": T.q_chunk_docs,
         "inverted_index": T.q_inverted_index,
         "training_manifest": T.q_training_manifest,
+        "dim_stats": T.q_dim_stats,
     }
 
 
@@ -330,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
         "group_regression": R.SQL_GROUP_REGRESSION,
         "er_join": R.SQL_ER_JOIN,
         "outlier_trim": R.SQL_OUTLIER_TRIM,
+        "event_transitions": R.SQL_EVENT_TRANSITIONS,
+        "time_weighted_avg": R.SQL_TIME_WEIGHTED_AVG,
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),
@@ -358,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": T.SQL_CHUNK_DOCS,
         "inverted_index": T.SQL_INVERTED_INDEX,
         "training_manifest": T._sql_training_manifest(),
+        "dim_stats": T.SQL_DIM_STATS,
         # minhash_dedup / simhash / fingerprint / ann_cosine / embedding_dedup:
         # genuinely non-SQL-expressible (hash permutations / bit ops on binary
         # sketches / float matmul) -> rows-only checks

@@ -2701,3 +2701,101 @@ SQL_OUTLIER_TRIM = (
     "CASE WHEN v.e4 < q.p05 THEN 'low' ELSE 'high' END AS tail "
     "FROM v JOIN q USING (event_type) WHERE v.e4 < q.p05 OR v.e4 > q.p95"
 )
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov TRANSITION COUNTS over the per-user event stream (the
+    sequence-statistics aggregate behind session modeling): consecutive
+    (prev_type -> next_type) pairs in (ts, event_id) order per user,
+    counted corpus-wide.  One crc user-bucket shuffle, one vectorized
+    shift pass per bucket emitting tiny (pair, n) partials, one
+    O(|types|^2) groupby."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 64))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        prev = np.roll(et, 1)
+        df = pd.DataFrame({"prev_type": prev[same], "next_type": et[same]})
+        p = df.value_counts(["prev_type", "next_type"]).reset_index(name="n")
+        return p
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .repartition(cluster_partitions())
+           .groupby("bucket").map_groups(pairs, batch_format="pandas")
+           .groupby(["prev_type", "next_type"]).aggregate(Sum("n", alias_name="n")))
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf
+
+
+SQL_EVENT_TRANSITIONS = (
+    "WITH s AS (SELECT user_id, event_type, "
+    "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+    "FROM events) "
+    "SELECT prev_type, event_type AS next_type, COUNT(*) AS n FROM s "
+    "WHERE prev_type IS NOT NULL GROUP BY 1, 2"
+)
+
+
+def q_time_weighted_avg(sf_dir: str):
+    """TIME-WEIGHTED AVERAGE per user (the TSDB/metering aggregate: each
+    value holds until the next observation): sum(v_e4 * dt_sec) /
+    sum(dt_sec) over consecutive events per user.
+
+    Integer-exact: dt in whole seconds (microsecond floor division),
+    v_e4 e4-quantized; per-user numerator/denominator fold as int64 sums
+    (bounded: years-of-seconds x e4 values x events stays < 2^63) and the
+    single final divide is an exact-integer ratio, so the HUGEINT SQL twin
+    hashes identically.  Same one-bucket-shuffle trajectory shape."""
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        e4 = round_half_away(t["value"].to_numpy(zero_copy_only=False) * 1e4
+                             ).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"], "e4": pa.array(e4),
+                         "bucket": pa.array((uid * 2654435761) % 64)})
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        ts_us = g["ts"].astype("int64").to_numpy()
+        e4 = g["e4"].to_numpy()
+        same = np.concatenate([u[1:] == u[:-1], [False]])  # row has a NEXT
+        dt_s = np.concatenate([(ts_us[1:] - ts_us[:-1]) // 1_000_000, [0]])
+        num = np.where(same, e4 * dt_s, 0)
+        den = np.where(same, dt_s, 0)
+        df = pd.DataFrame({"user_id": u, "num": num, "den": den})
+        agg = df.groupby("user_id", sort=False).agg(
+            num=("num", "sum"), den=("den", "sum")).reset_index()
+        agg = agg[agg["den"] > 0]
+        return pd.DataFrame({
+            "user_id": agg["user_id"].to_numpy(dtype=np.int64),
+            "twa": agg["num"].to_numpy(dtype=np.float64)
+            / agg["den"].to_numpy(dtype=np.float64),
+        })
+
+    return (ds.map_batches(add_cols, batch_format="pyarrow")
+            .repartition(cluster_partitions())
+            .groupby("bucket").map_groups(twa, batch_format="pandas"))
+
+
+SQL_TIME_WEIGHTED_AVG = (
+    "WITH s AS (SELECT user_id, CAST(ROUND(value * 10000, 0) AS BIGINT) AS e4, "
+    "(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "- epoch_us(ts)) // 1000000 AS dt_s FROM events) "
+    "SELECT user_id, CAST(SUM(e4 * dt_s) AS DOUBLE) / CAST(SUM(dt_s) AS DOUBLE) AS twa "
+    "FROM s WHERE dt_s IS NOT NULL GROUP BY user_id HAVING SUM(dt_s) > 0"
+)

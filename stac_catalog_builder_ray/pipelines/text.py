@@ -1515,3 +1515,47 @@ def _sql_training_manifest() -> str:
         "FROM documents d JOIN dup USING (doc_id) JOIN gq USING (doc_id) "
         "JOIN mix USING (doc_id) LEFT JOIN contam USING (doc_id)"
     )
+
+
+def q_dim_stats(sf_dir: str):
+    """Per-DIMENSION corpus statistics of the embedding table (the vector-
+    column profiling pass: feature drift / dead-dimension detection):
+    n, e6-quantized sum, min, max per dimension.  Per-batch vectorized
+    partials (one row per dim per batch — D rows cross the shuffle, never
+    vectors), one tiny groupby."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.rounding import round_half_away
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        V = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = round_half_away(V * 1e6).astype(np.int64)
+        d = V.shape[1]
+        return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                         "n": pa.array(np.full(d, len(V), dtype=np.int64)),
+                         "s_e6": pa.array(q.sum(axis=0)),
+                         "mn_e6": pa.array(q.min(axis=0)),
+                         "mx_e6": pa.array(q.max(axis=0))})
+
+    out = (emb.map_batches(partial, batch_format="pyarrow")
+           .groupby("dim")
+           .aggregate(Sum("n", alias_name="n"), Sum("s_e6", alias_name="s_e6"),
+                      Min("mn_e6", alias_name="mn_e6"),
+                      Max("mx_e6", alias_name="mx_e6")))
+    pdf = out.to_pandas()
+    for c in pdf.columns:
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
+SQL_DIM_STATS = (
+    "WITH q AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim, "
+    "CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "
+    "FROM embeddings) "
+    "SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n, "
+    "CAST(SUM(v) AS BIGINT) AS s_e6, MIN(v) AS mn_e6, MAX(v) AS mx_e6 "
+    "FROM q GROUP BY 1"
+)

@@ -2119,3 +2119,74 @@ class TestOutlierTrim:
         got = (q_outlier_trim("/root/testdata/sf0.001").to_pandas()
                .sort_values("event_id").reset_index(drop=True)[want.columns.tolist()])
         assert want.equals(got.astype(want.dtypes.to_dict()))
+
+
+class TestEventTransitions:
+    def test_planted_chain(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_event_transitions)
+
+        # user 1: A B A B ; user 2: A A  -> AB:2, BA:1, AA:1 and NO
+        # cross-user pair (B of u1 -> A of u2 must not count)
+        t = pa.table({
+            "event_id": pa.array(np.arange(6), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["A", "B", "A", "B", "A", "A"]),
+            "ts": pa.array(pd.to_datetime(np.arange(6) * 1000_000_000),
+                           pa.timestamp("us")),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_event_transitions(str(tmp_path)).set_index(
+            ["prev_type", "next_type"])["n"]
+        assert out.loc[("A", "B")] == 2
+        assert out.loc[("B", "A")] == 1
+        assert out.loc[("A", "A")] == 1
+        assert out.sum() == 4
+
+
+class TestTimeWeightedAvg:
+    def test_planted_hold_values(self, ray_session, tmp_path):
+        """v=10 held 30 s then v=40 held 10 s -> twa = (10*30+40*10)/40."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_time_weighted_avg)
+
+        ts = pd.to_datetime(np.array([0, 30, 40, 41]) * 1_000_000_000)
+        t = pa.table({
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array([10.0, 40.0, 5.0, 99.0]),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_time_weighted_avg(str(tmp_path)).to_pandas().set_index("user_id")
+        # segments: 10 for 30s, 40 for 10s, 5 for 1s; last value never counts
+        want = (10e4 * 30 + 40e4 * 10 + 5e4 * 1) / 41
+        assert abs(out.loc[7, "twa"] - want) < 1e-9
+
+
+class TestDimStats:
+    def test_matches_direct_numpy(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.text import q_dim_stats
+
+        V = np.stack(pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+                     ["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = round_half_away(V * 1e6).astype(np.int64)
+        out = q_dim_stats("/root/testdata/sf0.001").sort_values("dim")
+        assert (out["s_e6"].to_numpy() == q.sum(axis=0)).all()
+        assert (out["mn_e6"].to_numpy() == q.min(axis=0)).all()
+        assert (out["mx_e6"].to_numpy() == q.max(axis=0)).all()
+        assert (out["n"] == len(V)).all()
