@@ -772,3 +772,128 @@ def q_image_sim(sf_dir: str):
     out = brute_force_topk(uniq, qdf, k=5, id_col="image_id", vec_col="features")
     return (out.to_pandas().sort_values(["query_id", "neighbor_id"])
             .reset_index(drop=True))
+
+
+DBSCAN_MIN_NBRS = 2  # core iff >= 2 eps-neighbors (classic minPts=3 w/ self)
+
+
+def q_dbscan(sf_dir: str):
+    """Distributed DBSCAN over the hashed point set (eps = RADIUS,
+    minPts = 3 incl. the point): the density-clustering composite of two
+    verified primitives — the grid epsilon-join supplies the neighbor
+    graph, connected components over CORE-CORE edges supply cluster ids
+    (min core id), border points attach to the MIN label among their core
+    neighbors (the deterministic tie-rule that makes classic DBSCAN's
+    order-dependent border assignment well-defined for the SQL twin),
+    everything else is noise (-1).
+
+    Scale shape: epsilon-join is the only quadratic-risk step (cell-
+    bounded, see radius_join); degrees/core flags are one explode +
+    groupby; component labels ride ``neardup_cluster_labels`` (auto-routed
+    driver union-find / distributed min-label propagation); the final
+    labeling streams the points through broadcast core/border maps (O(#
+    clustered points) driver state — the partitioned-join swap applies
+    when labels outgrow a node, exactly as documented for pagerank)."""
+    return dbscan_labels(hashed_points(sf_dir), RADIUS, DBSCAN_MIN_NBRS)
+
+
+def dbscan_labels(points, eps: float, min_nbrs: int = DBSCAN_MIN_NBRS):
+    """(event_id, lon, lat) points Dataset -> (event_id, label) DBSCAN
+    labels (see q_dbscan for the algorithm and scale notes)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import neardup_cluster_labels
+    from ..stages.spatial import radius_join
+
+    pts = points.materialize()
+    edges = radius_join(pts, eps, id_col="event_id").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"id": pa.array(np.concatenate([a, b]))})
+
+    deg = (edges.map_batches(explode, batch_format="pyarrow")
+           .groupby("id").aggregate(Count(alias_name="deg")).to_pandas())
+    core_ids = np.sort(deg.loc[deg["deg"].to_numpy(dtype=np.int64)
+                               >= min_nbrs, "id"].to_numpy(dtype=np.int64))
+    core_arr = pa.array(core_ids)
+    core_ref = ray.put(core_arr)
+
+    def core_core(t: pa.Table) -> pa.Table:
+        ca = ray.get(core_ref)
+        m = (pc.is_in(t["id_a"], value_set=ca).to_numpy(zero_copy_only=False)
+             & pc.is_in(t["id_b"], value_set=ca).to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(m))
+
+    core_edges = edges.map_batches(core_core, batch_format="pyarrow")
+
+    def core_pts(t: pa.Table) -> pa.Table:
+        ca = ray.get(core_ref)
+        m = pc.is_in(t["event_id"], value_set=ca).to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": t["event_id"].filter(pa.array(m))})
+
+    core_ds = pts.map_batches(core_pts, batch_format="pyarrow")
+    labels = neardup_cluster_labels(core_ds, core_edges, id_col="event_id",
+                                    pair_cols=("id_a", "id_b")).to_pandas()
+    if "event_id" not in labels.columns:  # 0 cores: to_pandas drops schema
+        labels = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                               "keep_id": pd.Series(dtype="int64")})
+    lab = dict(zip(labels["event_id"].astype(np.int64),
+                   labels["keep_id"].astype(np.int64)))
+    lab_ref = ray.put(lab)
+
+    # border points: min core-neighbor component label
+    def border_partial(t: pa.Table) -> pa.Table:
+        lb = ray.get(lab_ref)
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        out_id, out_lb = [], []
+        for x, y in ((a, b), (b, a)):
+            for i in range(len(x)):
+                if x[i] not in lb and y[i] in lb:
+                    out_id.append(int(x[i]))
+                    out_lb.append(lb[int(y[i])])
+        return pa.table({"id": pa.array(np.array(out_id, np.int64)),
+                         "lbl": pa.array(np.array(out_lb, np.int64))})
+
+    from ray.data.aggregate import Min
+
+    border = (edges.map_batches(border_partial, batch_format="pyarrow")
+              .groupby("id").aggregate(Min("lbl", alias_name="lbl")).to_pandas())
+    bord = dict(zip(border["id"].astype(np.int64),
+                    border["lbl"].astype(np.int64))) if len(border) else {}
+    bord_ref = ray.put(bord)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lb = ray.get(lab_ref)
+        bo = ray.get(bord_ref)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.fromiter((lb.get(i, bo.get(i, -1)) for i in ids),
+                          dtype=np.int64, count=len(ids))
+        return pa.table({"event_id": pa.array(ids), "label": pa.array(out)})
+
+    return pts.map_batches(assign, batch_format="pyarrow")
+
+
+def dbscan_sql() -> str:
+    base = radius_join_sql()
+    return (
+        f"WITH RECURSIVE e AS ({base}), "
+        "bi AS (SELECT id_a AS u, id_b AS v FROM e "
+        "UNION ALL SELECT id_b, id_a FROM e), "
+        "deg AS (SELECT u AS id, COUNT(*) AS d FROM bi GROUP BY 1), "
+        f"core AS (SELECT id FROM deg WHERE d >= {DBSCAN_MIN_NBRS}), "
+        "ce AS (SELECT u, v FROM bi WHERE u IN (SELECT id FROM core) "
+        "AND v IN (SELECT id FROM core)) "
+        ", reach(src, dst) AS (SELECT id, id FROM core "
+        "UNION SELECT r.src, c.v FROM reach r JOIN ce c ON c.u = r.dst), "
+        "lbl AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY 1), "
+        "border AS (SELECT b.u AS id, MIN(l.label) AS label FROM bi b "
+        "JOIN lbl l ON b.v = l.id WHERE b.u NOT IN (SELECT id FROM core) GROUP BY 1) "
+        "SELECT event_id, COALESCE(l.label, bo.label, -1) AS label "
+        "FROM (SELECT DISTINCT event_id FROM events) p "
+        "LEFT JOIN lbl l ON p.event_id = l.id "
+        "LEFT JOIN border bo ON p.event_id = bo.id"
+    )

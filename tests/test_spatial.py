@@ -634,3 +634,37 @@ class TestImageSim:
         got = {q: sorted(g["neighbor_id"]) for q, g in out.groupby("query_id")}
         assert got == want
         assert len(want) >= 5 and all(len(v) == 5 for v in want.values())
+
+
+class TestDbscan:
+    def test_planted_clusters_border_noise(self, ray_session):
+        """Two dense blobs, one chain border point, isolated noise — the
+        textbook DBSCAN taxonomy, with the deterministic min-label border
+        rule."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines.geospatial import dbscan_labels
+
+        pts = {
+            # blob A: 1,2,3 mutually within eps -> all core, label 1
+            1: (0.0, 0.0), 2: (0.1, 0.0), 3: (0.0, 0.1),
+            # border 4: within eps of core 2 only -> label 1
+            4: (0.55, 0.0),
+            # blob B: 10,11,12 -> label 10
+            10: (5.0, 5.0), 11: (5.1, 5.0), 12: (5.0, 5.1),
+            # noise: 20 isolated; 21-22 a lone pair (deg 1 each, not core)
+            20: (20.0, 20.0), 21: (30.0, 30.0), 22: (30.1, 30.0),
+        }
+        t = pa.table({
+            "event_id": pa.array(sorted(pts), pa.int64()),
+            "lon": pa.array([pts[k][0] for k in sorted(pts)]),
+            "lat": pa.array([pts[k][1] for k in sorted(pts)]),
+        })
+        out = (dbscan_labels(rd.from_arrow(t), eps=0.5, min_nbrs=2)
+               .to_pandas().set_index("event_id")["label"])
+        assert out.loc[[1, 2, 3]].tolist() == [1, 1, 1]
+        assert out.loc[4] == 1                       # border via core 2
+        assert out.loc[[10, 11, 12]].tolist() == [10, 10, 10]
+        assert out.loc[[20, 21, 22]].tolist() == [-1, -1, -1]
