@@ -2379,26 +2379,54 @@ def q_pagerank(sf_dir: str):
         return pa.table({"src": pa.array(np.concatenate([src, src])),
                          "dst": pa.array(np.concatenate([d1, d2]))})
 
-    edges = ds.map_batches(mk_edges, batch_format="pyarrow").materialize()
+    # coalesce: the edge table re-executes every round — dozens of tiny read
+    # blocks would mean dozens of per-round tasks each allocating an O(N)
+    # dense partial; ~1 block per 2 cpus keeps the per-round task count (and
+    # the number of dense partials summed) proportional to the cluster
+    edges = (ds.map_batches(mk_edges, batch_format="pyarrow")
+             .repartition(max(4, cluster_partitions() // 2)).materialize())
 
+    # two reduce strategies, identical results (exact int sums, order-free):
+    # - dense: each block emits ONE row holding its dense contribution
+    #   vector; the driver sums ~#blocks vectors.  Strictly faster while the
+    #   O(N) vector fits comfortably in memory (no per-round shuffle).
+    # - sparse: per-batch (dst, c) partials -> groupby sum.  The >DENSE_LIMIT
+    #   path where rank vectors outgrow single-node aggregation.
+    DENSE_LIMIT = 1 << 22
     ranks = np.full(n_nodes, scale_n, dtype=np.int64)
     for _ in range(PAGERANK_ITERS):
         ref = ray.put(ranks)
 
-        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
-            r = ray.get(_ref)
-            src = t["src"].to_numpy(zero_copy_only=False)
-            dst = t["dst"].to_numpy(zero_copy_only=False)
-            part = np.zeros(len(r), np.int64)
-            np.add.at(part, dst, r[src] // 2)  # outdeg == 2 by construction
-            nz = np.flatnonzero(part)
-            return pa.table({"dst": pa.array(nz), "c": pa.array(part[nz])})
+        if n_nodes <= DENSE_LIMIT:
+            def contrib_dense(t: pa.Table, _ref=ref) -> pa.Table:
+                r = ray.get(_ref)
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                part = np.zeros(len(r), np.int64)
+                np.add.at(part, dst, r[src] // 2)  # outdeg == 2
+                return pa.table({"part": pa.array([part.tobytes()], pa.binary())})
 
-        agg = (edges.map_batches(contrib, batch_format="pyarrow")
-               .groupby("dst").aggregate(Sum("c", alias_name="c")).to_pandas())
-        ranks = np.full(n_nodes, base, dtype=np.int64)
-        ranks[agg["dst"].to_numpy(dtype=np.int64)] += (
-            85 * agg["c"].to_numpy(dtype=np.int64)) // 100
+            blobs = (edges.map_batches(contrib_dense, batch_format="pyarrow",
+                                       batch_size=None).to_pandas()["part"])
+            total = np.zeros(n_nodes, np.int64)
+            for b in blobs:
+                total += np.frombuffer(b, dtype=np.int64)
+            ranks = np.full(n_nodes, base, dtype=np.int64) + (85 * total) // 100
+        else:
+            def contrib(t: pa.Table, _ref=ref) -> pa.Table:
+                r = ray.get(_ref)
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                part = np.zeros(len(r), np.int64)
+                np.add.at(part, dst, r[src] // 2)
+                nz = np.flatnonzero(part)
+                return pa.table({"dst": pa.array(nz), "c": pa.array(part[nz])})
+
+            agg = (edges.map_batches(contrib, batch_format="pyarrow")
+                   .groupby("dst").aggregate(Sum("c", alias_name="c")).to_pandas())
+            ranks = np.full(n_nodes, base, dtype=np.int64)
+            ranks[agg["dst"].to_numpy(dtype=np.int64)] += (
+                85 * agg["c"].to_numpy(dtype=np.int64)) // 100
 
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "rank": ranks})
