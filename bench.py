@@ -57,6 +57,13 @@ QUERY_NAMES = [
     "image_neardup_cluster",
     # grid epsilon-join over hash-derived points (~60k pairs, ~3 s at sf0.1)
     "radius_join",
+    # post-bench round-3 operators (sf0.1 walls measured 2026-08-17:
+    # pagerank 4.4s after the dense-reduce fix, dbscan ~12s —
+    # overhead-bound on 121 clustered points, manifest ~8s over the
+    # 500-doc corpus: five composed passes)
+    "pagerank",
+    "dbscan",
+    "training_manifest",
 ]
 
 
