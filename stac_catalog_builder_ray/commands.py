@@ -175,6 +175,8 @@ def _main(argv: List[str]) -> int:
         vp.add_argument("--product-types", default="default")
         if name == "vpp-collection-config":
             vp.add_argument("collection_id")
+    cm = sub.add_parser("corpus-manifest")
+    cm.add_argument("sf_dir"); cm.add_argument("out_parquet")
     a = p.parse_args(argv)
 
     if a.cmd == "list-files":
@@ -207,6 +209,16 @@ def _main(argv: List[str]) -> int:
 
             r = build_grouped_collections(a.images_path, a.out_dir)
             print(json.dumps(r, default=str))
+        elif a.cmd == "corpus-manifest":
+            from .pipelines.text import q_training_manifest
+
+            pdf = q_training_manifest(a.sf_dir).to_pandas()
+            pdf.sort_values("doc_id").to_parquet(a.out_parquet, index=False)
+            print(json.dumps({
+                "rows": int(len(pdf)),
+                "by_reason": {k: int(v) for k, v in
+                              pdf["reason"].value_counts().items()},
+            }))
         elif a.cmd.startswith("vpp-"):
             from .sources.slots import (
                 collection_config_from_products,

@@ -147,3 +147,24 @@ class TestVppCli:
         out = capsys.readouterr().out.strip().splitlines()[-1]
         assert _json.loads(out) == {"collection_id": "demo",
                                     "item_assets": ["fapar", "ndvi"]}
+
+
+class TestCorpusManifestCli:
+    def test_writes_manifest_parquet(self, ray_session, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "manifest.parquet")
+        r = subprocess.run(
+            [sys.executable, "-m", "stac_catalog_builder_ray",
+             "corpus-manifest", "/root/testdata/sf0.001", out],
+            capture_output=True, text=True, cwd="/root/repo", timeout=240)
+        assert r.returncode == 0, r.stderr[-800:]
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        t = pq.read_table(out)
+        assert t.num_rows == info["rows"] == 500
+        assert set(t.column_names) == {"doc_id", "reason", "keep"}
+        assert info["by_reason"].get("kept", 0) > 0
