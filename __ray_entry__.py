@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_trim": R.q_outlier_trim,
         "event_transitions": R.q_event_transitions,
         "time_weighted_avg": R.q_time_weighted_avg,
+        "funnel": R.q_funnel,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -336,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "outlier_trim": R.SQL_OUTLIER_TRIM,
         "event_transitions": R.SQL_EVENT_TRANSITIONS,
         "time_weighted_avg": R.SQL_TIME_WEIGHTED_AVG,
+        "funnel": R.SQL_FUNNEL,
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

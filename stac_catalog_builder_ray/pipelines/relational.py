@@ -2827,3 +2827,74 @@ SQL_TIME_WEIGHTED_AVG = (
     "SELECT user_id, CAST(SUM(e4 * dt_s) AS DOUBLE) / CAST(SUM(dt_s) AS DOUBLE) AS twa "
     "FROM s WHERE dt_s IS NOT NULL GROUP BY user_id HAVING SUM(dt_s) > 0"
 )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 86_400_000_000  # 24 h conversion window per stage
+
+
+def q_funnel(sf_dir: str):
+    """FUNNEL CONVERSION per user (product-analytics staple): how far each
+    user progresses through view -> click -> purchase in strict event-time
+    order (stage k+1 must occur STRICTLY after the earliest completion of
+    stage k and within the 24 h conversion window).  Emits (user_id, stages, t1_us, t2_us, t3_us) with NULL-free
+    int64 columns (-1 = stage not reached) so the SQL twin hashes exactly.
+
+    One crc user-bucket shuffle; per bucket the three stage times compute
+    as vectorized grouped mins over masked frames — no per-user Python
+    loop."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 64))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64")
+        g = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                          "event_type": g["event_type"].to_numpy(),
+                          "ts": ts.to_numpy()})
+        users = np.unique(g["user_id"].to_numpy())
+        out = pd.DataFrame({"user_id": users}).set_index("user_id")
+        prev = None
+        for i, stage in enumerate(FUNNEL_STAGES, start=1):
+            m = g["event_type"].to_numpy() == stage
+            sub = g[m]
+            if prev is not None:
+                lim = out[f"t{i - 1}_us"].reindex(sub["user_id"]).to_numpy()
+                ok = (sub["ts"].to_numpy() > lim) & (
+                    sub["ts"].to_numpy() <= lim + FUNNEL_WINDOW_US)
+                sub = sub[ok]
+            t = sub.groupby("user_id")["ts"].min()
+            out[f"t{i}_us"] = t.reindex(users).fillna(-1).astype(np.int64)
+            prev = stage
+        out["stages"] = (out[["t1_us", "t2_us", "t3_us"]].to_numpy() >= 0).sum(
+            axis=1).astype(np.int64)
+        return out.reset_index()[["user_id", "stages", "t1_us", "t2_us", "t3_us"]]
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .repartition(cluster_partitions())
+            .groupby("bucket").map_groups(funnel, batch_format="pandas"))
+
+
+SQL_FUNNEL = (
+    "WITH u AS (SELECT DISTINCT user_id FROM events), "
+    "s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t1 "
+    f"AND epoch_us(e.ts) <= s1.t1 + {FUNNEL_WINDOW_US} "
+    "WHERE e.event_type = 'click' GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e "
+    "JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t2 "
+    f"AND epoch_us(e.ts) <= s2.t2 + {FUNNEL_WINDOW_US} "
+    "WHERE e.event_type = 'purchase' GROUP BY 1) "
+    "SELECT u.user_id, "
+    "CAST(CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END "
+    "+ CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END "
+    "+ CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stages, "
+    "COALESCE(s1.t1, -1) AS t1_us, COALESCE(s2.t2, -1) AS t2_us, "
+    "COALESCE(s3.t3, -1) AS t3_us "
+    "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+    "LEFT JOIN s3 USING (user_id)"
+)

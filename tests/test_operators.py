@@ -2190,3 +2190,42 @@ class TestDimStats:
         assert (out["mn_e6"].to_numpy() == q.min(axis=0)).all()
         assert (out["mx_e6"].to_numpy() == q.max(axis=0)).all()
         assert (out["n"] == len(V)).all()
+
+
+class TestFunnel:
+    def test_planted_sequences(self, ray_session, tmp_path):
+        """Strict-order + 24h-window semantics: completion, wrong order,
+        window expiry, and click-before-view not counting."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_funnel
+
+        H = 3_600_000_000_000  # ns per hour
+        rows = [
+            # user 1: full funnel inside windows
+            (1, "view", 0), (1, "click", 2 * H), (1, "purchase", 4 * H),
+            # user 2: click BEFORE the first view -> stalls at stage 1
+            (2, "click", 0), (2, "view", 1 * H), (2, "purchase", 50 * H),
+            # user 3: click past the 24h window -> stage 1
+            (3, "view", 0), (3, "click", 30 * H),
+            # user 4: purchase past click's window -> stage 2
+            (4, "view", 0), (4, "click", 1 * H), (4, "purchase", 40 * H),
+        ]
+        t = pa.table({
+            "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array(pd.to_datetime([r[2] for r in rows]),
+                           pa.timestamp("us")),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_funnel(str(tmp_path)).to_pandas().set_index("user_id")
+        assert out.loc[1, "stages"] == 3
+        assert out.loc[2, "stages"] == 1      # strict order from first view
+        assert out.loc[3, "stages"] == 1      # window expired
+        assert out.loc[4, "stages"] == 2
+        assert out.loc[1, "t3_us"] == 4 * 3_600_000_000
+        assert out.loc[3, "t2_us"] == -1
