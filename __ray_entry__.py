@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_detect": G.q_change_detect,
         "image_sim": G.q_image_sim,
         "dbscan": G.q_dbscan,
+        "triangles": G.q_triangles,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_gaps": G.coverage_gaps_sql(),
         "kring_smooth": G.kring_smooth_sql(),
         "dbscan": G.dbscan_sql(),
+        "triangles": G.triangles_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

@@ -897,3 +897,71 @@ def dbscan_sql() -> str:
         "LEFT JOIN lbl l ON p.event_id = l.id "
         "LEFT JOIN border bo ON p.event_id = bo.id"
     )
+
+
+def q_triangles(sf_dir: str):
+    """TRIANGLE COUNTING over the spatial neighbor graph (the clustering-
+    coefficient / cohesion primitive of graph analytics): per node, how
+    many triangles of the epsilon-graph it belongs to.
+
+    Engine shape: the epsilon-join emits each undirected edge once
+    (id_a < id_b); the adjacency index (bounded by the PAIR count, not the
+    corpus) broadcasts via ``ray.put`` and edges stream through a
+    compact-node-iterator pass — for edge (u, v) count common neighbors
+    w > v (each triangle found exactly once at its smallest edge), 3
+    per-node partial rows per triangle, one tiny groupby.  At graph sizes
+    where adjacency outgrows a node, the same count is two partitioned
+    joins (wedge enumeration on the shared vertex); documented swap, same
+    result.  Zero triangles at sf0.001 — semantics carried by the planted
+    test; nonvacuous at the sf0.01 gate (14 triangles)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.spatial import radius_join
+
+    pts = hashed_points(sf_dir)
+    edges = radius_join(pts, RADIUS, id_col="event_id").materialize()
+    ep = edges.to_pandas()
+    if "id_a" not in ep.columns or not len(ep):
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "n_tri": pd.Series(dtype="int64")})
+    adj: dict = {}
+    for a, b in zip(ep["id_a"].to_numpy(dtype=np.int64),
+                    ep["id_b"].to_numpy(dtype=np.int64)):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    adj = {k: np.unique(np.array(v, dtype=np.int64)) for k, v in adj.items()}
+    adj_ref = ray.put(adj)
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        A = ray.get(adj_ref)
+        ua = t["id_a"].to_numpy(zero_copy_only=False)
+        va = t["id_b"].to_numpy(zero_copy_only=False)
+        out: list = []
+        for u, v in zip(ua, va):
+            common = np.intersect1d(A[int(u)], A[int(v)], assume_unique=True)
+            for w in common[common > v]:
+                out.extend((int(u), int(v), int(w)))
+        arr = np.array(out, dtype=np.int64)
+        return pa.table({"node": pa.array(arr),
+                         "one": pa.array(np.ones(len(arr), np.int64))})
+
+    out = (edges.map_batches(tri_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("one", alias_name="n_tri")))
+    pdf = out.to_pandas()
+    if "node" not in pdf.columns:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "n_tri": pd.Series(dtype="int64")})
+    return pdf.astype({"node": "int64", "n_tri": "int64"})
+
+
+def triangles_sql() -> str:
+    return (
+        f"WITH e AS ({radius_join_sql()}), "
+        "und AS (SELECT id_a AS u, id_b AS v FROM e), "
+        "tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM und a "
+        "JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v), "
+        "n3 AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri) "
+        "SELECT node, COUNT(*) AS n_tri FROM n3 GROUP BY 1"
+    )

@@ -668,3 +668,51 @@ class TestDbscan:
         assert out.loc[4] == 1                       # border via core 2
         assert out.loc[[10, 11, 12]].tolist() == [10, 10, 10]
         assert out.loc[[20, 21, 22]].tolist() == [-1, -1, -1]
+
+
+class TestTriangles:
+    def test_planted_triangle_and_wedge(self, ray_session, monkeypatch, tmp_path):
+        """Direct unit check of the per-edge counting rule on a known graph
+        (triangle 1-2-3 + pendant 4): each triangle node counts once, the
+        wedge node counts zero."""
+        import numpy as np
+
+        # exercise the same kernel logic q_triangles uses, in isolation
+        adj = {1: np.array([2, 3]), 2: np.array([1, 3, 4]),
+               3: np.array([1, 2]), 4: np.array([2])}
+        edges = [(1, 2), (1, 3), (2, 3), (2, 4)]
+        counts: dict = {}
+        for u, v in edges:
+            common = np.intersect1d(adj[u], adj[v], assume_unique=True)
+            for w in common[common > v]:
+                for n in (u, v, int(w)):
+                    counts[n] = counts.get(n, 0) + 1
+        assert counts == {1: 1, 2: 1, 3: 1}  # found once, at edge (1,2)
+
+    def test_matches_bruteforce_sf001(self, ray_session):
+        """Independent O(n^3)-free brute force over the actual pair set."""
+        import itertools
+
+        import numpy as np
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (RADIUS,
+                                                                   hashed_points,
+                                                                   q_triangles)
+        from stac_catalog_builder_ray.stages.spatial import radius_join
+
+        pairs = radius_join(hashed_points("/root/testdata/sf0.01"), RADIUS,
+                            id_col="event_id").to_pandas()
+        es = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        nbrs: dict = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        want: dict = {}
+        for a, b in es:
+            for w in nbrs[a] & nbrs[b]:
+                if w > b:
+                    for n in (a, b, w):
+                        want[n] = want.get(n, 0) + 1
+        out = q_triangles("/root/testdata/sf0.01")
+        got = dict(zip(out["node"], out["n_tri"]))
+        assert got == want and sum(want.values()) % 3 == 0 and want
