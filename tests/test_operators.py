@@ -1246,20 +1246,29 @@ class TestAugmentStage:
         from stac_catalog_builder_ray.stages.multimodal import augment_images
 
         ds = ray.data.read_parquet(scale_images_dir)
-        a1 = augment_images(ds, epoch=3).to_pandas().sort_values("image_id").reset_index(drop=True)
-        a2 = augment_images(ray.data.read_parquet(scale_images_dir), epoch=3) \
-            .to_pandas().sort_values("image_id").reset_index(drop=True)
+        # the table plants RECURRING image_ids whose payloads differ, so
+        # image_id alone is not a total order — sort on (id, bytes) to make
+        # the cross-run alignment deterministic
+        key = ["image_id", "bytes"]
+        a1 = (augment_images(ds, epoch=3).to_pandas()
+              .sort_values(key).reset_index(drop=True))
+        a2 = (augment_images(ray.data.read_parquet(scale_images_dir), epoch=3)
+              .to_pandas().sort_values(key).reset_index(drop=True))
         # byte-identical across runs
         assert (a1["bytes"] == a2["bytes"]).all()
         # different epoch -> different augmentation somewhere
-        b = augment_images(ray.data.read_parquet(scale_images_dir), epoch=4) \
-            .to_pandas().sort_values("image_id").reset_index(drop=True)
+        b = (augment_images(ray.data.read_parquet(scale_images_dir), epoch=4)
+             .to_pandas().sort_values(key).reset_index(drop=True))
         assert (a1["bytes"] != b["bytes"]).any()
 
         # spot-check param application against a local decode
         src = pq.read_table(scale_images_dir)
-        lut = {src["image_id"][i].as_py(): i for i in range(src.num_rows)}
-        for _, r in a1.head(5).iterrows():
+        from collections import Counter
+
+        id_counts = Counter(src["image_id"].to_pylist())
+        lut = {src["image_id"][i].as_py(): i for i in range(src.num_rows)
+               if id_counts[src["image_id"][i].as_py()] == 1}
+        for _, r in a1[a1["image_id"].isin(lut)].head(5).iterrows():
             i = lut[r["image_id"]]
             px = decode_image(src["bytes"][i].as_py(), src["fmt"][i].as_py())
             want = px[r["crop_y"]:r["crop_y"] + r["h"], r["crop_x"]:r["crop_x"] + r["w"]]
