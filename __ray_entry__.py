@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": R.q_event_transitions,
         "time_weighted_avg": R.q_time_weighted_avg,
         "funnel": R.q_funnel,
+        "sliding_count": R.q_sliding_count,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -339,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": R.SQL_EVENT_TRANSITIONS,
         "time_weighted_avg": R.SQL_TIME_WEIGHTED_AVG,
         "funnel": R.SQL_FUNNEL,
+        "sliding_count": R.SQL_SLIDING_COUNT,
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

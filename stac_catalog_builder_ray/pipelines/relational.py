@@ -2898,3 +2898,50 @@ SQL_FUNNEL = (
     "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
     "LEFT JOIN s3 USING (user_id)"
 )
+
+
+SLIDING_WINDOW_US = 3_600_000_000  # trailing 1 h
+
+
+def q_sliding_count(sf_dir: str):
+    """SLIDING-WINDOW COUNT per event (the rate-limiting / burst-detection
+    primitive, distinct from the tumbling ``hourly_window``): for every
+    event, how many events the same user produced in the trailing hour
+    INCLUSIVE of the event's own timestamp peers (SQL RANGE-frame peer
+    semantics: all rows with equal ts count together).
+
+    One crc user-bucket shuffle; per bucket each user's sorted timestamp
+    array answers every window with two vectorized ``searchsorted`` calls
+    — O(n log n) per user, no per-event loop, never a cross join."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 64))
+
+    def windowed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        out = np.empty(len(g), np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [len(g)]])
+        for a, b in zip(starts, ends):
+            seg = ts[a:b]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - SLIDING_WINDOW_US, side="left")
+            out[a:b] = hi - lo
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(dtype=np.int64),
+                             "user_id": u.astype(np.int64),
+                             "n_trailing": out})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .repartition(cluster_partitions())
+            .groupby("bucket").map_groups(windowed, batch_format="pandas"))
+
+
+SQL_SLIDING_COUNT = (
+    "SELECT event_id, user_id, CAST(COUNT(*) OVER (PARTITION BY user_id "
+    "ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS n_trailing FROM events"
+)

@@ -2238,3 +2238,31 @@ class TestFunnel:
         assert out.loc[4, "stages"] == 2
         assert out.loc[1, "t3_us"] == 4 * 3_600_000_000
         assert out.loc[3, "t2_us"] == -1
+
+
+class TestSlidingCount:
+    def test_planted_bursts_and_peers(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_sliding_count
+
+        M = 60_000_000_000  # ns per minute
+        # user 1: burst of 3 within an hour, then a far event; user 2: two
+        # events at the IDENTICAL timestamp (peers count together)
+        rows = [(0, 1, 0), (1, 1, 30 * M), (2, 1, 59 * M), (3, 1, 200 * M),
+                (4, 2, 0), (5, 2, 0)]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(pd.to_datetime([r[2] for r in rows]),
+                           pa.timestamp("us")),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = (q_sliding_count(str(tmp_path)).to_pandas()
+               .set_index("event_id")["n_trailing"])
+        assert out.loc[0] == 1 and out.loc[1] == 2 and out.loc[2] == 3
+        assert out.loc[3] == 1                      # burst expired
+        assert out.loc[4] == 2 and out.loc[5] == 2  # equal-ts peers
