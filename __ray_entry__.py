@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg": R.q_time_weighted_avg,
         "funnel": R.q_funnel,
         "sliding_count": R.q_sliding_count,
+        "hll_registers": R.q_hll_registers,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -341,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg": R.SQL_TIME_WEIGHTED_AVG,
         "funnel": R.SQL_FUNNEL,
         "sliding_count": R.SQL_SLIDING_COUNT,
+        "hll_registers": R.hll_registers_sql(),
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

@@ -2945,3 +2945,64 @@ SQL_SLIDING_COUNT = (
     "ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
     "AS BIGINT) AS n_trailing FROM events"
 )
+
+
+HLL_BUCKETS = 64
+HLL_W = 55  # value width: the kmv hash is < 2^61; the TOP 6 bits select the
+# bucket (the hash's low bits are visibly structured for small consecutive
+# ids — measured 15/64 distinct low-bit buckets vs 63/64 high-bit), the low
+# 55 bits are the rank value
+HLL_SHIFT = 1 << 55
+
+
+def q_hll_registers(sf_dir: str):
+    """HYPERLOGLOG registers per group (the mergeable distinct-count sketch
+    of the round-4 roadmap, landed early): per event_type, 64 max-rank
+    registers over kmv-hashed user ids.  The KMV discipline applies — the
+    sketch is DETERMINISTIC (same hash both engines), so the DuckDB twin
+    reproduces the registers bit-for-bit rather than a tolerance band; the
+    estimate's error bound is asserted separately in tests.
+
+    Scale shape: per-batch partials reduce to <= groups x 64 rows before
+    ONE bounded groupby-Max — registers merge associatively (max), the
+    textbook distributed-sketch property."""
+    from ray.data.aggregate import Max
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    pow2 = 2 ** np.arange(HLL_W + 1, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _kmv_hash(t["user_id"].to_numpy(zero_copy_only=False))
+        b = h // HLL_SHIFT
+        w = h % HLL_SHIFT
+        bitlen = np.searchsorted(pow2, w, side="right")  # exact, no float log
+        rank = np.where(w > 0, HLL_W - bitlen + 1, HLL_W + 1).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "bucket": b, "rank": rank})
+        p = df.groupby(["event_type", "bucket"], sort=False)["rank"].max()
+        return pa.Table.from_pandas(p.reset_index(name="register"),
+                                    preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "bucket"])
+           .aggregate(Max("register", alias_name="register")))
+    pdf = out.to_pandas()
+    pdf["bucket"] = pdf["bucket"].astype("int64")
+    pdf["register"] = pdf["register"].astype("int64")
+    return pdf
+
+
+def hll_registers_sql() -> str:
+    A, A2, B, P = _KMV_A, _KMV_A2, _KMV_B, _KMV_P
+    return (
+        f"WITH h1 AS (SELECT event_type, (user_id * {A} + {B}) % {P} AS h FROM events), "
+        f"hh AS (SELECT event_type, ((h % 1073741824) * {A2}) % {P} AS term1, "
+        f"((h // 1073741824) * {A2}) % {P} AS tt FROM h1), "
+        f"hx AS (SELECT event_type, ((term1 + ((tt % 2147483648) * 1073741824 "
+        f"+ tt // 2147483648) % {P}) % {P}) AS h FROM hh), "
+        f"r AS (SELECT event_type, h // {HLL_SHIFT} AS bucket, "
+        f"CASE WHEN h % {HLL_SHIFT} = 0 THEN {HLL_W + 1} "
+        f"ELSE {HLL_W} - length(bin(h % {HLL_SHIFT})) + 1 END AS rank FROM hx) "
+        "SELECT event_type, bucket, CAST(MAX(rank) AS BIGINT) AS register "
+        "FROM r GROUP BY 1, 2"
+    )

@@ -2266,3 +2266,59 @@ class TestSlidingCount:
         assert out.loc[0] == 1 and out.loc[1] == 2 and out.loc[2] == 3
         assert out.loc[3] == 1                      # burst expired
         assert out.loc[4] == 2 and out.loc[5] == 2  # equal-ts peers
+
+
+class TestHllRegisters:
+    def test_merge_law_and_estimate_bound(self, ray_session):
+        """Registers from split halves MAX-merge to the full-corpus
+        registers (the mergeable-sketch law), and the standard HLL
+        estimator lands within 3 sigma (1.04/sqrt(64) ~ 13%) of the exact
+        distinct count per event_type."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            HLL_BUCKETS, HLL_W, _kmv_hash, q_hll_registers)
+
+        out = q_hll_registers("/root/testdata/sf0.01")
+        t = pq.read_table("/root/testdata/sf0.01/events.parquet",
+                          columns=["event_type", "user_id"]).to_pandas()
+
+        pow2 = 2 ** np.arange(HLL_W + 1, dtype=np.int64)
+
+        from stac_catalog_builder_ray.pipelines.relational import HLL_SHIFT
+
+        def regs(df):
+            h = _kmv_hash(df["user_id"].to_numpy())
+            b, w = h // HLL_SHIFT, h % HLL_SHIFT
+            bl = np.searchsorted(pow2, w, side="right")
+            rank = np.where(w > 0, HLL_W - bl + 1, HLL_W + 1)
+            r = {}
+            for et, bb, rr in zip(df["event_type"], b, rank):
+                r[(et, int(bb))] = max(r.get((et, int(bb)), 0), int(rr))
+            return r
+
+        full = regs(t)
+        half = regs(t.iloc[::2])
+        other = regs(t.iloc[1::2])
+        merged = dict(half)
+        for k, v in other.items():
+            merged[k] = max(merged.get(k, 0), v)
+        assert merged == full
+        got = {(r.event_type, r.bucket): r.register for r in out.itertuples()}
+        assert got == full
+
+        # estimator accuracy (raw HLL, no small-range correction needed at
+        # these cardinalities ~ a few hundred per type)
+        alpha = 0.709  # alpha_64
+        for et, g in t.groupby("event_type"):
+            exact = g["user_id"].nunique()
+            r = np.zeros(HLL_BUCKETS)
+            for (e, b), v in full.items():
+                if e == et:
+                    r[b] = v
+            est = alpha * HLL_BUCKETS**2 / np.sum(2.0 ** -r)
+            if (r == 0).any() and est <= 2.5 * HLL_BUCKETS:
+                nz = (r == 0).sum()
+                est = HLL_BUCKETS * np.log(HLL_BUCKETS / nz)
+            assert abs(est - exact) / exact < 0.4, (et, est, exact)
