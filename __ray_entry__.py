@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": R.q_funnel,
         "sliding_count": R.q_sliding_count,
         "hll_registers": R.q_hll_registers,
+        "copurchase": R.q_copurchase,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": R.SQL_FUNNEL,
         "sliding_count": R.SQL_SLIDING_COUNT,
         "hll_registers": R.hll_registers_sql(),
+        "copurchase": R.SQL_COPURCHASE,
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

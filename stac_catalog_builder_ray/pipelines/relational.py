@@ -3006,3 +3006,110 @@ def hll_registers_sql() -> str:
         "SELECT event_type, bucket, CAST(MAX(rank) AS BIGINT) AS register "
         "FROM r GROUP BY 1, 2"
     )
+
+
+COPURCHASE_MIN_SUPPORT = 3
+
+
+def q_copurchase(sf_dir: str):
+    """MARKET-BASKET pair mining over lineitem (the co-occurrence /
+    association-rule primitive of recommender pipelines): for every part
+    pair bought together in >= 3 orders, support and integer-exact
+    confidence (n_pair * 1e4 // n_a, the P(b|a) direction with a < b).
+
+    Scale shape: baskets are BOUNDED (TPC-H orders hold <= 7 lines), so
+    the per-order pair explode is O(lines^2) with a tiny constant — one
+    crc order-bucket shuffle colocates each basket, segments batch by
+    BASKET SIZE so the triangle expansion is one reshape + fancy-index per
+    size class (no per-order loop), then one groupby over distinct pairs.
+    Item supports reuse the same colocated groups (global (order, part)
+    dedup is free there); the item map is broadcast into the confidence
+    column (items dwarf pairs, the join is map-side)."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((ok * 2654435761) % 64))
+
+    bucketed = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                .repartition(cluster_partitions()).groupby("bucket"))
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g[["l_orderkey", "l_partkey"]].drop_duplicates()
+             .sort_values(["l_orderkey", "l_partkey"], kind="stable"))
+        ok = g["l_orderkey"].to_numpy()
+        pk = g["l_partkey"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        pa_, pb_ = [], []
+        for m in np.unique(sizes):           # <= 7 size classes, not orders
+            if m < 2:
+                continue
+            seg_starts = starts[sizes == m]
+            # (k, m) matrix of the baskets of size m
+            mat = pk[(seg_starts[:, None] + np.arange(m)[None, :])]
+            iu, ju = np.triu_indices(int(m), k=1)
+            pa_.append(mat[:, iu].ravel())
+            pb_.append(mat[:, ju].ravel())
+        if not pa_:
+            return pd.DataFrame({"part_a": pd.Series(dtype="int64"),
+                                 "part_b": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        df = pd.DataFrame({"part_a": np.concatenate(pa_),
+                           "part_b": np.concatenate(pb_)})
+        p = df.value_counts(["part_a", "part_b"]).reset_index(name="n")
+        # ONE int64 shuffle key (a << 32 | b; part keys < 2^31 by schema):
+        # Ray's multi-column hash aggregate measured 17x slower than the
+        # packed single-key groupby on this pair table (70 s vs 4 s)
+        p["key"] = (p["part_a"].to_numpy(dtype=np.int64) << 32) | \
+            p["part_b"].to_numpy(dtype=np.int64)
+        return p[["key", "n"]]
+
+    # map_groups emits PANDAS blocks; Ray's hash aggregate over them
+    # measured 25x slower than over arrow blocks (56 s vs 2.2 s on this
+    # pair table) — convert + coalesce before the shuffle
+    pairs = (bucketed.map_groups(pair_partial, batch_format="pandas")
+             .map_batches(lambda t: t, batch_format="pyarrow")
+             .repartition(cluster_partitions())
+             .groupby("key").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    pairs = pairs[pairs["n"].astype(np.int64) >= COPURCHASE_MIN_SUPPORT].copy()
+    key = pairs["key"].to_numpy(dtype=np.int64)
+    pairs["part_a"] = key >> 32
+    pairs["part_b"] = key & ((1 << 32) - 1)
+
+    def item_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # orders are colocated here, so this dedup is globally correct
+        df = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        return df.value_counts(["l_partkey"]).reset_index(name="n")
+
+    items = (bucketed.map_groups(item_partial, batch_format="pandas")
+             .map_batches(lambda t: t, batch_format="pyarrow")
+             .repartition(cluster_partitions())
+             .groupby("l_partkey").aggregate(Sum("n", alias_name="n_item"))
+             .to_pandas())
+    supp = dict(zip(items["l_partkey"].astype(np.int64),
+                    items["n_item"].astype(np.int64)))
+
+    na = pairs["part_a"].astype(np.int64).map(supp).to_numpy(dtype=np.int64)
+    out = pd.DataFrame({
+        "part_a": pairs["part_a"].astype("int64").to_numpy(),
+        "part_b": pairs["part_b"].astype("int64").to_numpy(),
+        "n_pair": pairs["n"].astype("int64").to_numpy(),
+        "conf_ab_e4": pairs["n"].astype(np.int64).to_numpy() * 10_000 // na,
+    })
+    return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+SQL_COPURCHASE = (
+    "WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "p AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, COUNT(*) AS n_pair "
+    "FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey "
+    f"GROUP BY 1, 2 HAVING COUNT(*) >= {COPURCHASE_MIN_SUPPORT}), "
+    "s AS (SELECT l_partkey AS part, COUNT(*) AS n_item FROM b GROUP BY 1) "
+    "SELECT p.part_a, p.part_b, p.n_pair, "
+    "CAST(p.n_pair * 10000 // s.n_item AS BIGINT) AS conf_ab_e4 "
+    "FROM p JOIN s ON p.part_a = s.part"
+)

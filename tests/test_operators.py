@@ -2322,3 +2322,45 @@ class TestHllRegisters:
                 nz = (r == 0).sum()
                 est = HLL_BUCKETS * np.log(HLL_BUCKETS / nz)
             assert abs(est - exact) / exact < 0.4, (et, est, exact)
+
+
+class TestCopurchase:
+    def test_planted_baskets(self, ray_session, tmp_path):
+        """Pair counted once per order (line-level dups collapse), support
+        threshold applied, confidence = n_pair/n_a exactly."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_copurchase
+
+        rows = []
+        for o in range(4):                   # parts 1+2 together in 4 orders
+            rows += [(o, 1), (o, 2), (o, 2)]  # duplicate line for part 2
+        rows += [(10, 1), (11, 1)]            # part 1 alone twice -> n_1 = 6
+        rows += [(12, 3), (12, 4)]            # pair (3,4) only once -> cut
+        t = pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        out = q_copurchase(str(tmp_path))
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["part_a"], r["part_b"], r["n_pair"]) == (1, 2, 4)
+        assert r["conf_ab_e4"] == 4 * 10_000 // 6
+
+    def test_matches_duckdb_sf0001(self, ray_session):
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_COPURCHASE, q_copurchase)
+
+        con = duckdb.connect()
+        con.sql("CREATE VIEW lineitem AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/lineitem.parquet')")
+        want = (con.sql(SQL_COPURCHASE).df()
+                .sort_values(["part_a", "part_b"]).reset_index(drop=True))
+        got = q_copurchase("/root/testdata/sf0.001")[want.columns.tolist()]
+        assert want.astype("int64").equals(got.astype("int64"))
+        assert len(want) > 100
