@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_count": R.q_sliding_count,
         "hll_registers": R.q_hll_registers,
         "copurchase": R.q_copurchase,
+        "table_digest": R.q_table_digest,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -345,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_count": R.SQL_SLIDING_COUNT,
         "hll_registers": R.hll_registers_sql(),
         "copurchase": R.SQL_COPURCHASE,
+        "table_digest": R.table_digest_sql(),
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

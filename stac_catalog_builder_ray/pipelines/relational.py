@@ -846,6 +846,26 @@ def _kmv_hash(x: np.ndarray) -> np.ndarray:
     return (term1 + term2) % _KMV_P
 
 
+def _kmv_hash_wide(x: np.ndarray) -> np.ndarray:
+    """_kmv_hash for FULL-DOMAIN inputs x < P (the plain round-1 multiply
+    x*A only stays in int64 for small ids): round 1 uses the same split
+    identity round 2 does — x = x_hi*2^30 + x_lo, and t*2^30 ≡
+    (t & (2^31-1))*2^30 + (t >> 31) (mod P, since 2^61 ≡ 1) — so every
+    product stays < 2^63 and the BIGINT SQL twin is exact."""
+    x = x.astype(np.int64) % _KMV_P
+    x_lo = x & ((1 << 30) - 1)
+    x_hi = x >> 30
+    t = (x_hi * _KMV_A) % _KMV_P
+    part = (((t & ((1 << 31) - 1)) << 30) + (t >> 31)) % _KMV_P
+    h1 = ((x_lo * _KMV_A) % _KMV_P + part + _KMV_B) % _KMV_P
+    lo = h1 & ((1 << 30) - 1)
+    hi = h1 >> 30
+    term1 = (lo * _KMV_A2) % _KMV_P
+    t2 = (hi * _KMV_A2) % _KMV_P
+    term2 = (((t2 & ((1 << 31) - 1)) << 30) + (t2 >> 31)) % _KMV_P
+    return (term1 + term2) % _KMV_P
+
+
 def kmv_partial(values: np.ndarray, k: int) -> np.ndarray:
     """k smallest DISTINCT deterministic hashes of ``values`` — the
     mergeable KMV (k-minimum-values) sketch partial.  Bounded state: k
@@ -3113,3 +3133,87 @@ SQL_COPURCHASE = (
     "CAST(p.n_pair * 10000 // s.n_item AS BIGINT) AS conf_ab_e4 "
     "FROM p JOIN s ON p.part_a = s.part"
 )
+
+
+def q_table_digest(sf_dir: str):
+    """ORDER-INDEPENDENT TABLE DIGEST (the anti-entropy / replica-
+    verification primitive: compare two copies of a 100 TB table without
+    moving either): every row folds to one kmv hash of a canonical integer
+    encoding, and the table digest is the SUM of row hashes mod P — an
+    abelian fold, so ANY partitioning/order yields the same digest, and a
+    single changed row changes it.
+
+    One streaming pass per table, one mod-P partial row per batch, a
+    driver bignum fold at the end.  Digesting orders (key+cents), lineitem
+    (key+line+qty) and events (id+user)."""
+    from ..functions.rounding import round_half_away
+
+    def digest(name: str, make_vals) -> tuple:
+        ds = _t(sf_dir, name, make_vals.__annotations__["cols"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = make_vals(t)
+            h = _kmv_hash_wide(v)
+            # h.sum() over one batch can exceed int64 — fold in Python ints
+            return pa.table({"s": pa.array([int(sum(int(x) for x in h) % _KMV_P)]),
+                             "n": pa.array([len(h)])})
+
+        # one tiny row per batch; the cross-batch fold happens mod P in
+        # Python bignums (a Ray Sum would overflow int64 — the SQL twin's
+        # HUGEINT SUM % P is the same fold)
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return int(parts["n"].sum()), int(sum(int(x) for x in parts["s"]) % _KMV_P)
+
+    def orders_vals(t: pa.Table) -> np.ndarray:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = round_half_away(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                            * 100).astype(np.int64)
+        return (k * 1_000_003 + c) % _KMV_P
+    orders_vals.__annotations__["cols"] = ["o_orderkey", "o_totalprice"]
+
+    def lineitem_vals(t: pa.Table) -> np.ndarray:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (k * 1_000_003 + ln * 1009 + q) % _KMV_P
+    lineitem_vals.__annotations__["cols"] = ["l_orderkey", "l_linenumber",
+                                             "l_quantity"]
+
+    def events_vals(t: pa.Table) -> np.ndarray:
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (e * 1_000_003 + u) % _KMV_P
+    events_vals.__annotations__["cols"] = ["event_id", "user_id"]
+
+    rows = []
+    for name, fn in (("orders", orders_vals), ("lineitem", lineitem_vals),
+                     ("events", events_vals)):
+        n, d = digest(name, fn)
+        rows.append((name, n, d))
+    return pd.DataFrame(rows, columns=["table_name", "n_rows", "digest"])
+
+
+def table_digest_sql() -> str:
+    A, A2, B, P = _KMV_A, _KMV_A2, _KMV_B, _KMV_P
+
+    def kmv_sum(expr: str, src: str) -> str:
+        return (
+            f"(WITH v AS (SELECT ({expr}) % {P} AS x FROM {src}), "
+            f"r1 AS (SELECT ((x >> 30) * {A}) % {P} AS t, x % 1073741824 AS xlo FROM v), "
+            f"h1 AS (SELECT ((xlo * {A}) % {P} "
+            f"+ ((t % 2147483648) * 1073741824 + (t >> 31)) % {P} + {B}) % {P} AS h FROM r1), "
+            f"hh AS (SELECT ((h % 1073741824) * {A2}) % {P} AS term1, "
+            f"((h // 1073741824) * {A2}) % {P} AS tt FROM h1) "
+            f"SELECT CAST(SUM(((term1 + ((tt % 2147483648) * 1073741824 "
+            f"+ (tt >> 31)) % {P}) % {P})) % {P} AS BIGINT) FROM hh)"
+        )
+
+    oc = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+    return (
+        f"SELECT 'orders' AS table_name, (SELECT COUNT(*) FROM orders) AS n_rows, "
+        f"{kmv_sum(f'o_orderkey * 1000003 + {oc}', 'orders')} AS digest "
+        f"UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem), "
+        f"{kmv_sum('l_orderkey * 1000003 + l_linenumber * 1009 + CAST(l_quantity AS BIGINT)', 'lineitem')} "
+        f"UNION ALL SELECT 'events', (SELECT COUNT(*) FROM events), "
+        f"{kmv_sum('event_id * 1000003 + user_id', 'events')}"
+    )

@@ -2364,3 +2364,41 @@ class TestCopurchase:
         got = q_copurchase("/root/testdata/sf0.001")[want.columns.tolist()]
         assert want.astype("int64").equals(got.astype("int64"))
         assert len(want) > 100
+
+
+class TestTableDigest:
+    def test_order_independence_and_sensitivity(self, ray_session, tmp_path):
+        import shutil
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_table_digest, table_digest_sql)
+
+        src = "/root/testdata/sf0.001"
+        a = q_table_digest(src).set_index("table_name")
+        b = q_table_digest(src).set_index("table_name")  # independent run
+        assert (a["digest"] == b["digest"]).all()
+
+        # single-row perturbation flips exactly that table's digest
+        for t in ("orders", "lineitem", "events"):
+            shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+        ev = pq.read_table(tmp_path / "events.parquet").to_pandas()
+        ev.loc[0, "user_id"] += 1
+        pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                       str(tmp_path / "events.parquet"))
+        c = q_table_digest(str(tmp_path)).set_index("table_name")
+        assert c.loc["events", "digest"] != a.loc["events", "digest"]
+        assert c.loc["orders", "digest"] == a.loc["orders", "digest"]
+        assert c.loc["lineitem", "digest"] == a.loc["lineitem", "digest"]
+
+        # SQL twin equality on the perturbed copy too
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "events"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+        want = con.sql(table_digest_sql()).df().set_index("table_name")
+        assert (want["digest"] == c["digest"]).all()
+        assert (want["n_rows"] == c["n_rows"]).all()
