@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": R.q_hll_registers,
         "copurchase": R.q_copurchase,
         "table_digest": R.q_table_digest,
+        "weighted_sample": R.q_weighted_sample,
         # dedup / sort / union
         "dedup_first": R.q_dedup_first,
         "top_orders": R.q_top_orders,
@@ -347,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": R.hll_registers_sql(),
         "copurchase": R.SQL_COPURCHASE,
         "table_digest": R.table_digest_sql(),
+        "weighted_sample": R.weighted_sample_sql(),
         "rect_join": G.rect_join_sql(),
         "cell_compact": G.cell_compact_sql(),
         "coverage_gaps": G.coverage_gaps_sql(),

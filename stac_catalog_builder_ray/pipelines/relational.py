@@ -3217,3 +3217,53 @@ def table_digest_sql() -> str:
         f"UNION ALL SELECT 'events', (SELECT COUNT(*) FROM events), "
         f"{kmv_sum('event_id * 1000003 + user_id', 'events')}"
     )
+
+
+def q_weighted_sample(sf_dir: str):
+    """WEIGHT-PROPORTIONAL sampling (the importance-sampling step of
+    training-data curation: keep probability proportional to a per-row
+    weight, here the event value): keep iff
+    ``kmv_hash(event_id) % max_e4 < value_e4`` — P(keep) = value / max,
+    deterministic on any cluster size, integer-exact, so the SQL twin
+    reproduces the exact row set.
+
+    One tiny MAX aggregate, then an embarrassingly-parallel vectorized
+    mask; no shuffle."""
+    from ray.data.aggregate import Max
+
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_e4(t: pa.Table) -> pa.Table:
+        e4 = round_half_away(t["value"].to_numpy(zero_copy_only=False) * 1e4
+                             ).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"], "value_e4": pa.array(e4)})
+
+    v = ds.map_batches(to_e4, batch_format="pyarrow").materialize()
+    max_e4 = int(v.aggregate(Max("value_e4"))["max(value_e4)"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        e4 = t["value_e4"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_kmv_hash(ids) % max_e4 < e4))
+
+    return v.map_batches(pick, batch_format="pyarrow")
+
+
+def weighted_sample_sql() -> str:
+    A, A2, B, P = _KMV_A, _KMV_A2, _KMV_B, _KMV_P
+    return (
+        "WITH v AS (SELECT event_id, event_type, "
+        "CAST(ROUND(value * 10000, 0) AS BIGINT) AS value_e4 FROM events), "
+        "mx AS (SELECT MAX(value_e4) AS m FROM v), "
+        f"h1 AS (SELECT event_id, event_type, value_e4, "
+        f"(event_id * {A} + {B}) % {P} AS h FROM v), "
+        f"hh AS (SELECT event_id, event_type, value_e4, "
+        f"((h % 1073741824) * {A2}) % {P} AS term1, "
+        f"((h // 1073741824) * {A2}) % {P} AS tt FROM h1) "
+        f"SELECT event_id, event_type, value_e4 FROM hh, mx WHERE "
+        f"((term1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) % {P}) % {P}) "
+        f"% mx.m < value_e4"
+    )

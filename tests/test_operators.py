@@ -2402,3 +2402,33 @@ class TestTableDigest:
         want = con.sql(table_digest_sql()).df().set_index("table_name")
         assert (want["digest"] == c["digest"]).all()
         assert (want["n_rows"] == c["n_rows"]).all()
+
+
+class TestWeightedSample:
+    def test_rate_tracks_weight(self, ray_session, tmp_path):
+        """Rows with weight w keep at ~w/max; zero weight never keeps, max
+        weight always keeps more than low weight; deterministic reruns."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_weighted_sample)
+
+        n = 3000
+        w = np.concatenate([np.zeros(n // 3), np.full(n // 3, 5.0),
+                            np.full(n // 3, 10.0)])
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "event_type": pa.array(["lo"] * (n // 3) + ["mid"] * (n // 3)
+                                   + ["hi"] * (n // 3)),
+            "value": pa.array(w),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_weighted_sample(str(tmp_path)).to_pandas()
+        by = out.groupby("event_type").size()
+        assert "lo" not in by.index                       # zero weight
+        assert abs(by["mid"] / (n // 3) - 0.5) < 0.08     # ~w/max = 0.5
+        assert by["hi"] == n // 3                          # hash % m < m always
+        out2 = q_weighted_sample(str(tmp_path)).to_pandas()
+        assert sorted(out["event_id"]) == sorted(out2["event_id"])
