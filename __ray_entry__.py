@@ -284,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "user_journey": R.SQL_USER_JOURNEY,
         "throttle_dedup": R.SQL_THROTTLE_DEDUP,
         "trajectory_len": R.SQL_TRAJECTORY_LEN,
+        "traj_hull": R.SQL_TRAJ_HULL,
         "topk_per_group": R.SQL_TOPK_PER_GROUP,
         "grouped_quantiles": R.SQL_GROUPED_QUANTILES,
         "distinct_sketch": R.SQL_DISTINCT_SKETCH,

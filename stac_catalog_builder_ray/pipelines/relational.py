@@ -2316,9 +2316,15 @@ def q_traj_simplify(sf_dir: str):
     ordered polyline is reduced to the vertices that matter at the given
     tolerance, reported as per-user (n_points, n_kept, kept_id_sum).
 
-    Rows-only (recursive geometric split — not SQL-expressible); ground
-    truth = an independently-coded recursive DP in
-    tests/test_operators.py::TestTrajSimplify plus the golden pin.
+    CONTRACT — rows-only BY DESIGN, like minhash/simhash: Douglas-Peucker
+    is a data-dependent recursive split (each kept vertex re-anchors the
+    chord for both sub-ranges), which has no bounded-depth SQL expression —
+    a recursive CTE cannot carry the per-(user, segment) float tolerance
+    state without re-deriving the full split tree per row.  Ground truth is
+    therefore an independently-coded recursive DP in
+    tests/test_operators.py::TestTrajSimplify plus the golden pin in
+    tests/test_rows_only_golden.py (hash 6f89cad318afbe67, 15 rows at
+    sf0.001) — the same contract the sketch operators document.
 
     Scale shape: one crc user-bucket shuffle, then per-bucket vectorized
     grouping; DP itself is O(n log n) typical per trajectory and
@@ -2482,10 +2488,10 @@ def q_traj_hull(sf_dir: str):
     INTEGER-EXACT end to end: the derived lon/lat are exact multiples of
     0.05, so scaling by 20 makes every coordinate an int64 lattice point —
     hull turns and areas are integer cross products, bit-stable on any
-    platform/partitioning (rows-only: convex hull is not SQL-expressible;
-    independent gift-wrapping oracle in
-    tests/test_operators.py::TestTrajHull).  Same one-bucket-shuffle shape
-    as the other per-user trajectory ops."""
+    platform/partitioning.  Oracle-checked (``SQL_TRAJ_HULL``: chord-witness
+    vertex test + window-ordered shoelace) plus an independent
+    gift-wrapping oracle in tests/test_operators.py::TestTrajHull.  Same
+    one-bucket-shuffle shape as the other per-user trajectory ops."""
     from ..geo.simplify import convex_hull_int, polygon_area2_int
 
     ds = _t(sf_dir, "events", ["event_id", "user_id"])
@@ -2518,6 +2524,54 @@ def q_traj_hull(sf_dir: str):
         .groupby("bucket")
         .map_groups(hull, batch_format="pandas")
     )
+
+
+# SQL twin of q_traj_hull.  Strict (collinear-excluding) convex-hull
+# vertices via the chord-witness characterization: a per-x y-extreme point
+# p is an upper-hull vertex iff NO chord (a, b) of other upper-extreme
+# points spans p's x with p on or below it (integer cross products, exact);
+# lower hull symmetric.  Vertex count = |upper ∪ lower|; area = shoelace
+# over the ring ordered lower-asc-x then upper-only-desc-x (the monotone-
+# chain boundary order), cyclic closure via LEAD + FIRST_VALUE.  Verified
+# identical to the engine's Andrew-monotone-chain output (and to the
+# independent gift-wrapping oracle) at sf0.001/sf0.01.
+SQL_TRAJ_HULL = (
+    "WITH p AS (SELECT DISTINCT user_id, "
+    "CAST((event_id % 3600)*2 - 3600 + 1 AS BIGINT) AS x, "
+    "CAST(((event_id*7) % 1800)*2 - 1800 + 1 AS BIGINT) AS y FROM events), "
+    "u AS (SELECT user_id, x, MAX(y) AS y FROM p GROUP BY 1, 2), "
+    "l AS (SELECT user_id, x, MIN(y) AS y FROM p GROUP BY 1, 2), "
+    "uv AS (SELECT * FROM u p WHERE NOT EXISTS ("
+    "SELECT 1 FROM u a, u b "
+    "WHERE a.user_id = p.user_id AND b.user_id = p.user_id "
+    "AND a.x < p.x AND b.x >= p.x AND a.x < b.x "
+    "AND NOT (b.x = p.x AND b.y = p.y) "
+    "AND (b.x - a.x)*(p.y - a.y) - (b.y - a.y)*(p.x - a.x) <= 0)), "
+    "lv AS (SELECT * FROM l p WHERE NOT EXISTS ("
+    "SELECT 1 FROM l a, l b "
+    "WHERE a.user_id = p.user_id AND b.user_id = p.user_id "
+    "AND a.x < p.x AND b.x >= p.x AND a.x < b.x "
+    "AND NOT (b.x = p.x AND b.y = p.y) "
+    "AND (b.x - a.x)*(p.y - a.y) - (b.y - a.y)*(p.x - a.x) >= 0)), "
+    "poly AS (SELECT user_id, x, y, 0 AS half FROM lv "
+    "UNION ALL SELECT u2.user_id, u2.x, u2.y, 1 FROM uv u2 "
+    "WHERE NOT EXISTS (SELECT 1 FROM lv WHERE lv.user_id = u2.user_id "
+    "AND lv.x = u2.x AND lv.y = u2.y)), "
+    "seq AS (SELECT user_id, x, y, ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY half, CASE WHEN half = 0 THEN x ELSE -x END) AS rn FROM poly), "
+    "ring AS (SELECT user_id, x, y, "
+    "COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS xn, "
+    "COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS yn "
+    "FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY rn "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)), "
+    "np_ AS (SELECT user_id, COUNT(*) AS n_distinct_pts FROM p GROUP BY 1), "
+    "hull AS (SELECT user_id, COUNT(*) AS hull_vertices, "
+    "ABS(SUM(x*yn - xn*y)) AS hull_area2 FROM ring GROUP BY 1) "
+    "SELECT n.user_id, n.n_distinct_pts, "
+    "CAST(h.hull_vertices AS BIGINT) AS hull_vertices, "
+    "CAST(h.hull_area2 AS BIGINT) AS hull_area2 "
+    "FROM np_ n JOIN hull h USING (user_id)"
+)
 
 
 def q_group_regression(sf_dir: str):
