@@ -791,15 +791,42 @@ def q_dbscan(sf_dir: str):
     bounded, see radius_join); degrees/core flags are one explode +
     groupby; component labels ride ``neardup_cluster_labels`` (auto-routed
     driver union-find / distributed min-label propagation); the final
-    labeling streams the points through broadcast core/border maps (O(#
-    clustered points) driver state — the partitioned-join swap applies
-    when labels outgrow a node, exactly as documented for pagerank)."""
+    labeling AUTO-ROUTES on core-point count — a broadcast sorted-array
+    lookup below ``driver_state_limit``, a chain of partitioned left-outer
+    joins above it (nothing driver-held, the ``neardup_cluster_labels``
+    pattern) — both paths equality-tested."""
     return dbscan_labels(hashed_points(sf_dir), RADIUS, DBSCAN_MIN_NBRS)
 
 
-def dbscan_labels(points, eps: float, min_nbrs: int = DBSCAN_MIN_NBRS):
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray, q: np.ndarray):
+    """Vectorized dict-lookup over int64 arrays: ``keys`` sorted ascending.
+    Returns (found_mask, values) with values undefined where not found."""
+    if len(keys) == 0:
+        return np.zeros(len(q), dtype=bool), np.zeros(len(q), dtype=np.int64)
+    idx = np.searchsorted(keys, q)
+    idx_c = np.minimum(idx, len(keys) - 1)
+    found = keys[idx_c] == q
+    return found, vals[idx_c]
+
+
+def dbscan_labels(points, eps: float, min_nbrs: int = DBSCAN_MIN_NBRS,
+                  driver_state_limit: int = 5_000_000):
     """(event_id, lon, lat) points Dataset -> (event_id, label) DBSCAN
-    labels (see q_dbscan for the algorithm and scale notes)."""
+    labels (see q_dbscan for the algorithm).
+
+    AUTO-ROUTED by core-point count (round-3 review: the label maps were
+    always collected to the driver):
+
+    - <= ``driver_state_limit`` cores: core/border label maps are gathered
+      once as SORTED int64 key/value arrays, broadcast via ``ray.put``,
+      and every lookup is a vectorized ``np.searchsorted`` (no per-row
+      dict probes — round-3 review item #2).
+    - beyond it: core filtering, border attachment and the final labeling
+      are partitioned joins — core ids never leave the cluster, matching
+      ``neardup_cluster_labels``' distributed path.
+
+    Both paths produce identical labels (parametrized equality test in
+    tests/test_operators.py)."""
     import ray
     from ray.data.aggregate import Count
 
@@ -814,10 +841,30 @@ def dbscan_labels(points, eps: float, min_nbrs: int = DBSCAN_MIN_NBRS):
         b = t["id_b"].to_numpy(zero_copy_only=False)
         return pa.table({"id": pa.array(np.concatenate([a, b]))})
 
-    deg = (edges.map_batches(explode, batch_format="pyarrow")
-           .groupby("id").aggregate(Count(alias_name="deg")).to_pandas())
-    core_ids = np.sort(deg.loc[deg["deg"].to_numpy(dtype=np.int64)
-                               >= min_nbrs, "id"].to_numpy(dtype=np.int64))
+    deg_ds = (edges.map_batches(explode, batch_format="pyarrow")
+              .groupby("id").aggregate(Count(alias_name="deg")))
+    core_ds = deg_ds.map_batches(
+        lambda t: pa.table({"id": t["id"].filter(
+            pc.greater_equal(t["deg"], min_nbrs))}),
+        batch_format="pyarrow",
+    ).materialize()
+    n_core = core_ds.count()
+
+    if n_core <= driver_state_limit:
+        return _dbscan_labels_broadcast(pts, edges, core_ds,
+                                        neardup_cluster_labels)
+    return _dbscan_labels_joined(pts, edges, core_ds, neardup_cluster_labels)
+
+
+def _dbscan_labels_broadcast(pts, edges, core_ds, neardup_cluster_labels):
+    """Small-core path: sorted-array label maps broadcast once, all lookups
+    vectorized searchsorted."""
+    import ray
+    from ray.data.aggregate import Min
+
+    cdf = core_ds.to_pandas()
+    core_ids = np.sort(cdf["id"].to_numpy(dtype=np.int64)) if len(cdf) \
+        else np.array([], dtype=np.int64)
     core_arr = pa.array(core_ids)
     core_ref = ray.put(core_arr)
 
@@ -834,47 +881,126 @@ def dbscan_labels(points, eps: float, min_nbrs: int = DBSCAN_MIN_NBRS):
         m = pc.is_in(t["event_id"], value_set=ca).to_numpy(zero_copy_only=False)
         return pa.table({"event_id": t["event_id"].filter(pa.array(m))})
 
-    core_ds = pts.map_batches(core_pts, batch_format="pyarrow")
-    labels = neardup_cluster_labels(core_ds, core_edges, id_col="event_id",
+    core_pts_ds = pts.map_batches(core_pts, batch_format="pyarrow")
+    labels = neardup_cluster_labels(core_pts_ds, core_edges, id_col="event_id",
                                     pair_cols=("id_a", "id_b")).to_pandas()
     if "event_id" not in labels.columns:  # 0 cores: to_pandas drops schema
         labels = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                                "keep_id": pd.Series(dtype="int64")})
-    lab = dict(zip(labels["event_id"].astype(np.int64),
-                   labels["keep_id"].astype(np.int64)))
-    lab_ref = ray.put(lab)
+    labels = labels.sort_values("event_id")
+    lab_k = labels["event_id"].to_numpy(dtype=np.int64)
+    lab_v = labels["keep_id"].to_numpy(dtype=np.int64)
+    lab_ref = ray.put((lab_k, lab_v))
 
-    # border points: min core-neighbor component label
+    # border points: min core-neighbor component label (vectorized: a
+    # sorted-array lookup per direction, boolean-masked — no row loop)
     def border_partial(t: pa.Table) -> pa.Table:
-        lb = ray.get(lab_ref)
-        a = t["id_a"].to_numpy(zero_copy_only=False)
-        b = t["id_b"].to_numpy(zero_copy_only=False)
+        lk, lv = ray.get(lab_ref)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_id, out_lb = [], []
         for x, y in ((a, b), (b, a)):
-            for i in range(len(x)):
-                if x[i] not in lb and y[i] in lb:
-                    out_id.append(int(x[i]))
-                    out_lb.append(lb[int(y[i])])
-        return pa.table({"id": pa.array(np.array(out_id, np.int64)),
-                         "lbl": pa.array(np.array(out_lb, np.int64))})
-
-    from ray.data.aggregate import Min
+            fx, _ = _sorted_lookup(lk, lv, x)
+            fy, vy = _sorted_lookup(lk, lv, y)
+            m = ~fx & fy
+            out_id.append(x[m])
+            out_lb.append(vy[m])
+        return pa.table({"id": pa.array(np.concatenate(out_id)),
+                         "lbl": pa.array(np.concatenate(out_lb))})
 
     border = (edges.map_batches(border_partial, batch_format="pyarrow")
               .groupby("id").aggregate(Min("lbl", alias_name="lbl")).to_pandas())
-    bord = dict(zip(border["id"].astype(np.int64),
-                    border["lbl"].astype(np.int64))) if len(border) else {}
-    bord_ref = ray.put(bord)
+    border = border.sort_values("id") if len(border) else border
+    bor_k = border["id"].to_numpy(dtype=np.int64) if len(border) \
+        else np.array([], dtype=np.int64)
+    bor_v = border["lbl"].to_numpy(dtype=np.int64) if len(border) \
+        else np.array([], dtype=np.int64)
+    bor_ref = ray.put((bor_k, bor_v))
 
     def assign(t: pa.Table) -> pa.Table:
-        lb = ray.get(lab_ref)
-        bo = ray.get(bord_ref)
+        lk, lv = ray.get(lab_ref)
+        bk, bv = ray.get(bor_ref)
         ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out = np.fromiter((lb.get(i, bo.get(i, -1)) for i in ids),
-                          dtype=np.int64, count=len(ids))
+        out = np.full(len(ids), -1, dtype=np.int64)
+        fb, vb = _sorted_lookup(bk, bv, ids)
+        out[fb] = vb[fb]
+        fl, vl = _sorted_lookup(lk, lv, ids)
+        out[fl] = vl[fl]  # core label wins over border
         return pa.table({"event_id": pa.array(ids), "label": pa.array(out)})
 
     return pts.map_batches(assign, batch_format="pyarrow")
+
+
+def _dbscan_labels_joined(pts, edges, core_ds, neardup_cluster_labels):
+    """Large-core path: core membership, border attachment and the final
+    labeling are partitioned hash joins — no O(#cores) driver state."""
+    from ray.data.aggregate import Min
+
+    from ..stages.dedup import _compact_nonempty
+    from .relational import cluster_partitions
+
+    nparts = cluster_partitions(per_cpu=0.5, floor=4)
+    core = _compact_nonempty(core_ds,
+                             fallback_schema=pa.schema([("id", pa.int64())]))
+
+    # core-core edges: two semi joins (inner on unique core ids)
+    e = _compact_nonempty(
+        edges.select_columns(["id_a", "id_b"]).materialize(),
+        fallback_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
+    ce = (e.join(core, join_type="inner", num_partitions=nparts,
+                 on=("id_a",), right_on=("id",))
+          .join(core, join_type="inner", num_partitions=nparts,
+                on=("id_b",), right_on=("id",)))
+    core_pts_ds = core.map_batches(
+        lambda t: pa.table({"event_id": t["id"]}), batch_format="pyarrow")
+    labels = _compact_nonempty(
+        neardup_cluster_labels(core_pts_ds, ce, id_col="event_id",
+                               pair_cols=("id_a", "id_b"),
+                               driver_edge_limit=0).materialize(),
+        fallback_schema=pa.schema([("event_id", pa.int64()),
+                                   ("keep_id", pa.int64())]))
+
+    # border: non-core endpoint u with a core neighbour v -> min(label(v))
+    bi = e.map_batches(
+        lambda t: pa.table({
+            "u": pa.concat_arrays([t["id_a"].combine_chunks(),
+                                   t["id_b"].combine_chunks()]),
+            "v": pa.concat_arrays([t["id_b"].combine_chunks(),
+                                   t["id_a"].combine_chunks()])}),
+        batch_format="pyarrow")
+    cand = (bi.join(labels, join_type="inner", num_partitions=nparts,
+                    on=("v",), right_on=("event_id",))
+            .map_batches(lambda t: pa.table({"u": t["u"],
+                                             "nlbl": t["keep_id"]}),
+                         batch_format="pyarrow"))
+    ucore = labels.map_batches(
+        lambda t: pa.table({"cid": t["event_id"],
+                            "is_core": pa.array(np.ones(len(t), np.int8))}),
+        batch_format="pyarrow")
+    cand = _compact_nonempty(cand.materialize(),
+                             fallback_schema=pa.schema([("u", pa.int64()),
+                                                        ("nlbl", pa.int64())]))
+    border = (cand.join(ucore, join_type="left_outer", num_partitions=nparts,
+                        on=("u",), right_on=("cid",))
+              .map_batches(lambda t: t.filter(pc.is_null(t["is_core"]))
+                           .select(["u", "nlbl"]), batch_format="pyarrow")
+              .groupby("u").aggregate(Min("nlbl", alias_name="blbl")))
+    border = _compact_nonempty(border.materialize(),
+                               fallback_schema=pa.schema([("u", pa.int64()),
+                                                          ("blbl", pa.int64())]))
+
+    # final: pts left join core labels, left join border labels, coalesce
+    out = (pts.select_columns(["event_id"])
+           .join(labels, join_type="left_outer", num_partitions=nparts,
+                 on=("event_id",), right_on=("event_id",))
+           .join(border, join_type="left_outer", num_partitions=nparts,
+                 on=("event_id",), right_on=("u",)))
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "label": pc.coalesce(t["keep_id"], t["blbl"],
+                                 pa.scalar(-1, pa.int64()))}),
+        batch_format="pyarrow")
 
 
 def dbscan_sql() -> str:

@@ -221,16 +221,18 @@ def knn_join(
     import zlib as _zlib
 
     def add_qbucket(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        b = np.fromiter(
-            (
-                (_zlib.crc32(s.encode()) if isinstance(s, str) else int(s) * 2654435761)
-                % 64
-                for s in ids
-            ),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        col = t[id_col]
+        if pa.types.is_integer(col.type):
+            # int-id fast path (round-3 review #3): wrapped int64 multiply
+            # has the same low bits as the exact product, so % 64 matches
+            # the Python-bignum formula exactly — fully vectorized
+            ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                b = (ids * np.int64(2654435761)) % 64
+        else:  # string ids: crc32 has no vectorized kernel — loop stays
+            ids = col.to_pylist()
+            b = np.fromiter((_zlib.crc32(s.encode()) % 64 for s in ids),
+                            dtype=np.int64, count=len(ids))
         return t.append_column("qbucket", pa.array(b % 64))
 
     def rerank_bucket(g: pd.DataFrame) -> pd.DataFrame:

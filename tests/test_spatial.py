@@ -637,10 +637,16 @@ class TestImageSim:
 
 
 class TestDbscan:
-    def test_planted_clusters_border_noise(self, ray_session):
+    import pytest as _pytest
+
+    # 5M = production default (broadcast path); 0 forces the partitioned-
+    # join path — both must label identically (round-3 directive #2)
+    @_pytest.mark.parametrize("limit", [5_000_000, 0])
+    def test_planted_clusters_border_noise(self, ray_session, limit):
         """Two dense blobs, one chain border point, isolated noise — the
         textbook DBSCAN taxonomy, with the deterministic min-label border
-        rule."""
+        rule — through BOTH the broadcast and the partitioned-join label
+        paths."""
         import numpy as np
         import pyarrow as pa
         import ray.data as rd
@@ -662,12 +668,29 @@ class TestDbscan:
             "lon": pa.array([pts[k][0] for k in sorted(pts)]),
             "lat": pa.array([pts[k][1] for k in sorted(pts)]),
         })
-        out = (dbscan_labels(rd.from_arrow(t), eps=0.5, min_nbrs=2)
+        out = (dbscan_labels(rd.from_arrow(t), eps=0.5, min_nbrs=2,
+                             driver_state_limit=limit)
                .to_pandas().set_index("event_id")["label"])
         assert out.loc[[1, 2, 3]].tolist() == [1, 1, 1]
         assert out.loc[4] == 1                       # border via core 2
         assert out.loc[[10, 11, 12]].tolist() == [10, 10, 10]
         assert out.loc[[20, 21, 22]].tolist() == [-1, -1, -1]
+
+    def test_paths_identical_on_testdata(self, ray_session):
+        """Broadcast vs partitioned-join label paths agree row-for-row on
+        the sf0.001 hashed point set (the q_dbscan input)."""
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            DBSCAN_MIN_NBRS, RADIUS, dbscan_labels, hashed_points)
+
+        sf = "/root/testdata/sf0.001"
+        small = (dbscan_labels(hashed_points(sf), RADIUS, DBSCAN_MIN_NBRS,
+                               driver_state_limit=5_000_000)
+                 .to_pandas().sort_values("event_id").reset_index(drop=True))
+        large = (dbscan_labels(hashed_points(sf), RADIUS, DBSCAN_MIN_NBRS,
+                               driver_state_limit=0)
+                 .to_pandas().sort_values("event_id").reset_index(drop=True))
+        assert len(small) and small.equals(large)
+        assert (small["label"] >= -1).all()
 
 
 class TestTriangles:
