@@ -228,6 +228,80 @@ def run_bench() -> dict:
 SCALING_PAIRS = [(2, 8), (4, 16), (8, 32)]
 SCALING_REPS = int(os.environ.get("SCBR_SCALING_REPS", "3"))
 
+# --- contention probe (no Ray) ---------------------------------------------
+# The round-3 judge re-measured 4->16 = 0.734 under visible host throttling
+# vs the recorded idle-box 0.836 and asked for published evidence a reader
+# can use to normalize a throttled reading (round-3 directive #1).  The probe
+# is the flagship's own per-row kernel (decode + phash, same 64x48 payload
+# mix) run OUTSIDE Ray with plain multiprocessing, immediately before each
+# scaling rep: N concurrent worker processes each time the identical fixed
+# workload.  Per-task seconds at N procs capture exactly the two things that
+# move a single-box scaling number — shared-DRAM contention at that
+# concurrency and whatever the host is doing right now — with zero framework
+# in the loop.
+#
+# PROBE_IDLE_REF: per-task seconds per concurrency level calibrated on an
+# idle box (per-level MIN across three `--probe` runs, 2026-08-18, this VM,
+# load avg < 0.5 — re-derive with `python bench.py --probe`).  The reference
+# EMBEDS the intrinsic shared-DRAM contention (flat through 8 procs, 1.13x
+# at 16, 1.31x at 32 — matching BASELINE.md's 8->32 ceiling analysis), so
+# host_factor = measured / idle_ref isolates HOST noise only; a level with
+# host_factor >> 1 was throttled while measured, and
+# `efficiency_host_normalized` multiplies each level's throughput back up
+# by its host_factor before forming the ratio.
+PROBE_N_IMAGES = 24
+PROBE_TASK_REPS = 100  # ~0.45 s per task on the idle box
+PROBE_IDLE_REF = {1: 0.420, 2: 0.445, 4: 0.437, 8: 0.442, 16: 0.498, 32: 0.578}
+
+
+def _probe_payloads():
+    from stac_catalog_builder_ray.codec.raster import FORMATS, encode_image
+    from stac_catalog_builder_ray.datagen import gradient_pixels, row_pixel_params
+
+    out = []
+    for i in range(PROBE_N_IMAGES):
+        px = gradient_pixels(BENCH_IMG_W, BENCH_IMG_H, *row_pixel_params(i))
+        fmt = FORMATS[i % 3]
+        out.append((encode_image(px, fmt), fmt))
+    return out
+
+
+def _probe_task(payloads) -> float:
+    from stac_catalog_builder_ray.codec.phash import phash64
+    from stac_catalog_builder_ray.codec.raster import decode_image
+
+    t0 = time.monotonic()
+    for _ in range(PROBE_TASK_REPS):
+        for data, fmt in payloads:
+            phash64(decode_image(data, fmt))
+    return time.monotonic() - t0
+
+
+def probe_task_sec(nprocs: int) -> float:
+    """Median per-task seconds of the decode+phash kernel with ``nprocs``
+    concurrent worker processes (no Ray; fork pool, payloads inherited)."""
+    import multiprocessing as mp
+    import statistics
+
+    payloads = _probe_payloads()
+    if nprocs == 1:
+        return _probe_task(payloads)
+    with mp.get_context("fork").Pool(nprocs) as pool:
+        walls = pool.map(_probe_task, [payloads] * nprocs)
+    return statistics.median(walls)
+
+
+def run_probe() -> dict:
+    """Calibration mode (`--probe`): min-of-3 per-task seconds per level."""
+    levels = sorted({n for p in SCALING_PAIRS for n in p} | {1})
+    out = {}
+    for n in levels:
+        out[str(n)] = round(min(probe_task_sec(n) for _ in range(3)), 4)
+    return {"metric": "contention probe per-task sec (decode+phash, no Ray)",
+            "task_reps": PROBE_TASK_REPS, "n_images": PROBE_N_IMAGES,
+            "per_level": out,
+            "idle_ref": {str(k): v for k, v in PROBE_IDLE_REF.items()}}
+
 
 def run_scaling() -> dict:
     """Same pipeline at N and 4N cpus in fresh processes, for three pairs.
@@ -251,6 +325,10 @@ def run_scaling() -> dict:
     estimator under additive interference)."""
 
     def run_once(ncpu: int) -> dict:
+        # contention probe IMMEDIATELY before the rep (round-3 directive #1):
+        # per-task kernel seconds at this rep's exact concurrency, so every
+        # published wall carries the host state it was measured under
+        probe = probe_task_sec(ncpu)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), SCBR_BENCH_FLAGSHIP_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -260,31 +338,54 @@ def run_scaling() -> dict:
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        res = json.loads(out.strip().splitlines()[-1])
+        res["probe_sec"] = round(probe, 4)
+        return res
 
     def run(ncpu: int) -> dict:
         runs = [run_once(ncpu) for _ in range(SCALING_REPS)]
-        return min(runs, key=lambda r: r["value"])
+        best = min(runs, key=lambda r: r["value"])
+        best["probe_sec_all_reps"] = [r["probe_sec"] for r in runs]
+        return best
 
     results = {n: run(n) for n in sorted({n for p in SCALING_PAIRS for n in p})}
     pairs = {}
     for lo_n, hi_n in SCALING_PAIRS:
         lo, hi = results[lo_n], results[hi_n]
         eff = (hi["items_per_sec"] / lo["items_per_sec"]) / (hi_n / lo_n)
+        # host_factor: probe per-task sec vs the idle-box calibration at the
+        # SAME concurrency — >1 means the host was throttled during the rep.
+        # The normalized efficiency scales each level's throughput back up
+        # by its host_factor (a level measured under a loaded host under-
+        # reads throughput proportionally to its kernel slowdown).
+        hf_lo = lo["probe_sec"] / PROBE_IDLE_REF[lo_n]
+        hf_hi = hi["probe_sec"] / PROBE_IDLE_REF[hi_n]
         pairs[f"{lo_n}->{hi_n}"] = {
             f"sec_{lo_n}": lo["value"],
             f"sec_{hi_n}": hi["value"],
             f"items_per_sec_{lo_n}": lo["items_per_sec"],
             f"items_per_sec_{hi_n}": hi["items_per_sec"],
             "efficiency": round(eff, 3),
+            f"probe_sec_{lo_n}": lo["probe_sec"],
+            f"probe_sec_{hi_n}": hi["probe_sec"],
+            f"host_factor_{lo_n}": round(hf_lo, 3),
+            f"host_factor_{hi_n}": round(hf_hi, 3),
+            "efficiency_host_normalized": round(eff * hf_hi / hf_lo, 3),
         }
     return {
         "metric": "throughput scaling efficiency N -> 4N cpus (target >= 0.8 of "
         "linear; sandbox substitute for N vs 4N nodes — see BASELINE.md for "
         "the analysis of the single-box artifacts behind the pair choice)",
         "scaling_efficiency": pairs["4->16"]["efficiency"],
+        "scaling_efficiency_host_normalized":
+            pairs["4->16"]["efficiency_host_normalized"],
         "headline_pair": "4->16",
         "pairs": pairs,
+        "probe": {"task_reps": PROBE_TASK_REPS, "n_images": PROBE_N_IMAGES,
+                  "idle_ref": {str(k): v for k, v in PROBE_IDLE_REF.items()},
+                  "probe_sec_all_reps": {
+                      str(n): results[n]["probe_sec_all_reps"]
+                      for n in results}},
         "kernel_contention_slowdown_at_32procs": 1.27,
         "reps_per_level": SCALING_REPS,
         "sf": SF_DIR,
@@ -294,5 +395,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--probe" in sys.argv:
+        print(json.dumps(run_probe()))
     else:
         print(json.dumps(run_bench()))

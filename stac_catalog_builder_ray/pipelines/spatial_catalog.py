@@ -40,6 +40,7 @@ def index_and_join(
     batch_size: int = 256,
     checkpoint: bool = True,
     verify_phash: bool = False,
+    salt_hot_threshold: Optional[int] = None,
 ) -> Dict:
     """Returns summary stats + the materialized item Dataset under ``items``.
 
@@ -50,7 +51,10 @@ def index_and_join(
     ~cpus/2.  ``knn_k > 0`` additionally runs the kNN self-join over item
     centroids (off by default in the headline: tile centroids are
     degenerate for kNN — the operator is benchmarked separately over
-    distinct points)."""
+    distinct points).  ``salt_hot_threshold``: rows per cell above which the
+    checkpointed cell-partitioned write splits hot cells into
+    ``cell#salt`` sub-partitions (SURVEY §4 hot-cell salting; content-hash
+    salts keep resume exactly-once — see ``checkpointed_write``)."""
     config = config or tiled_collection_config()
     aois = aois if aois is not None else generate_aois()
 
@@ -87,6 +91,8 @@ def index_and_join(
             items.drop_columns(["bbox_lat_lon", "bbox_projected", "transform", "shape"]),
             os.path.join(out_root, "items_by_cell"),
             "cell",
+            salt_hot_threshold=salt_hot_threshold,
+            salt_id_col="item_id" if salt_hot_threshold is not None else None,
         )
 
     return {

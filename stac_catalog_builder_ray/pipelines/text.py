@@ -1057,7 +1057,94 @@ def _word_windows(texts: pd.Series, n: int) -> pd.Series:
     return parts[0].str.cat(parts[1:], sep=" ").dropna()
 
 
-def q_decontaminate(sf_dir: str):
+BENCH_GRAM_LIMIT = 100_000
+
+
+def _bench_gram_side(docs, n: int = 3, limit: int = BENCH_GRAM_LIMIT):
+    """Benchmark-slice distinct word n-grams, ADAPTIVELY routed (round-3
+    review #4: the broadcast previously had no size cutover, so a large
+    "benchmark" would have gathered unboundedly to the driver — the same
+    cutover shape as q_tfidf_top_terms' vocabulary join).
+
+    Returns ``(bench_ref, bench_ds)``: below ``limit`` per-batch-distinct
+    gram rows (an upper bound on global distinct), the grams gather once
+    and broadcast via ``ray.put`` (``bench_ds`` is None); above it they
+    stay a distributed globally-distinct Dataset (``bench_ref`` is None)
+    for the partitioned gram join in :func:`_contam_counts_joined`."""
+    import numpy as np
+    import ray
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        g = _word_windows(t["text"].to_pandas()[ids % 37 == 0], n).drop_duplicates()
+        return pa.table({"gram": pa.array(g.to_numpy(dtype=object), pa.string())})
+
+    bg = docs.map_batches(bench_grams, batch_format="pyarrow").materialize()
+    if bg.count() <= limit:
+        pdf = bg.to_pandas()
+        grams = (np.unique(pdf["gram"].to_numpy(dtype=object))
+                 if len(pdf) else np.array([], dtype=object))
+        return ray.put(pa.array(grams, pa.string())), None
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import _compact_nonempty
+
+    distinct = (bg.groupby("gram").aggregate(Count(alias_name="_c"))
+                .select_columns(["gram"]))
+    return None, _compact_nonempty(
+        distinct.materialize(), fallback_schema=pa.schema([("gram", pa.string())]))
+
+
+def _contam_counts_joined(docs, bench_ds, n: int = 3):
+    """Partitioned contamination counts: per-doc window totals map-side (no
+    shuffle), gram hits via an inner hash join of the exploded corpus grams
+    against the distributed distinct benchmark grams — nothing driver-held.
+    Returns a Dataset of (doc_id, n_windows, n_contam) covering EVERY doc."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import _compact_nonempty
+    from .relational import cluster_partitions
+
+    def window_totals(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _word_windows(t["text"].to_pandas(), n)
+        nw = (g.groupby(level=0).size()
+              .reindex(range(len(ids)), fill_value=0)
+              .to_numpy(dtype=np.int64))
+        return pa.table({"doc_id": pa.array(ids), "n_windows": pa.array(nw)})
+
+    def explode_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _word_windows(t["text"].to_pandas(), n)
+        return pa.table({
+            "doc_id": pa.array(ids[g.index.to_numpy()]),
+            "gram": pa.array(g.to_numpy(dtype=object), pa.string())})
+
+    nparts = cluster_partitions()
+    hits = (docs.map_batches(explode_grams, batch_format="pyarrow")
+            .join(bench_ds, join_type="inner", num_partitions=nparts,
+                  on=("gram",))
+            .groupby("doc_id").aggregate(Count(alias_name="n_contam")))
+    hits = _compact_nonempty(
+        hits.materialize(),
+        fallback_schema=pa.schema([("doc_id", pa.int64()),
+                                   ("n_contam", pa.int64())]))
+    totals = docs.map_batches(window_totals, batch_format="pyarrow")
+    out = totals.join(hits, join_type="left_outer", num_partitions=nparts,
+                      on=("doc_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t["doc_id"], "n_windows": t["n_windows"],
+            "n_contam": pc.coalesce(t["n_contam"], pa.scalar(0, pa.int64()))})
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str, bench_gram_limit: int = BENCH_GRAM_LIMIT):
     """Benchmark n-gram DECONTAMINATION check — the eval-leakage guard every
     LLM training pipeline runs before finalizing a corpus (the 13-gram
     overlap filter of GPT-3 appendix C / The Pile, here with 3-gram windows
@@ -1067,35 +1154,45 @@ def q_decontaminate(sf_dir: str):
     that set and flagged when >= 10% collide.
 
     Scale shape: the benchmark side is SMALL by construction (eval suites
-    are MBs while the corpus is TBs), so its distinct grams are computed
-    distributed, gathered once, and broadcast via ``ray.put``; the corpus
-    side is one embarrassingly-parallel vectorized pass (pandas shift-chain
-    window explode + ``pc.is_in`` against the broadcast set) emitting one
-    row per doc — the corpus itself never shuffles.  Operator beyond the
-    reference's scope (training-data axis of the task brief)."""
+    are MBs while the corpus is TBs), so below ``bench_gram_limit``
+    per-batch-distinct grams it gathers once and broadcasts via ``ray.put``,
+    and the corpus side is one embarrassingly-parallel vectorized pass
+    (pandas shift-chain window explode + ``pc.is_in`` against the broadcast
+    set) emitting one row per doc — the corpus never shuffles.  Above the
+    limit (someone points this at a corpus-sized "benchmark") the grams stay
+    a distributed distinct Dataset and contamination counts come from a
+    partitioned gram join (``_contam_counts_joined``) — nothing driver-held
+    either way.  Both routes hash-identical (forced-route test).  Operator
+    beyond the reference's scope (training-data axis of the task brief)."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
 
     N = 3
     docs = _docs(sf_dir, ["doc_id", "text"])
-    windows = lambda texts: _word_windows(texts, N)  # noqa: E731
+    bench_ref, bench_ds = _bench_gram_side(docs, N, bench_gram_limit)
 
-    def bench_grams(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        mask = ids % 37 == 0
-        g = windows(t["text"].to_pandas()[mask]).drop_duplicates()
-        return pa.table({"gram": pa.array(g.to_numpy(dtype=object), pa.string())})
+    if bench_ref is None:  # large-benchmark route: partitioned gram join
+        counts = _contam_counts_joined(docs, bench_ds, N)
 
-    bench = docs.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
-    bench_arr = pa.array(np.unique(bench["gram"].to_numpy(dtype=object)), pa.string())
-    bench_ref = ray.put(bench_arr)
+        def finish(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ids % 37 != 0
+            nw = t["n_windows"].to_numpy(zero_copy_only=False)[keep]
+            nc = t["n_contam"].to_numpy(zero_copy_only=False)[keep]
+            flag = ((nc * 10 >= nw) & (nw > 0)).astype(np.int64)
+            return pa.table({"doc_id": pa.array(ids[keep]),
+                             "n_windows": pa.array(nw),
+                             "n_contam": pa.array(nc),
+                             "contaminated": pa.array(flag)})
+
+        return counts.map_batches(finish, batch_format="pyarrow")
 
     def score(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         keep = ids % 37 != 0
         texts = t["text"].to_pandas()[keep]
-        g = windows(texts)
+        g = _word_windows(texts, N)
         bset = ray.get(bench_ref)
         if len(g):
             hit = pc.is_in(pa.array(g.to_numpy(dtype=object), pa.string()),
@@ -1353,7 +1450,7 @@ SQL_INVERTED_INDEX = (
 )
 
 
-def q_training_manifest(sf_dir: str):
+def q_training_manifest(sf_dir: str, bench_gram_limit: int = BENCH_GRAM_LIMIT):
     """End-to-end CORPUS ASSEMBLY MANIFEST — the composite pass a training
     run actually ships: every document is routed to exactly one fate with
     fixed precedence
@@ -1368,7 +1465,10 @@ def q_training_manifest(sf_dir: str):
     Scale shape: one vectorized flag pass (broadcast bench-gram set +
     lang-count dict ride ``ray.put``), ONE content-bucketed shuffle for the
     exact-dup flag, one partitioned int-key join to merge — nothing
-    driver-held scales with the corpus."""
+    driver-held scales with the corpus.  The bench-gram set AUTO-ROUTES at
+    ``bench_gram_limit`` (round-3 review #4): above it the contamination
+    flag comes from ``_contam_counts_joined``'s partitioned gram join and
+    rides the merge join instead of a broadcast."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
@@ -1379,19 +1479,11 @@ def q_training_manifest(sf_dir: str):
 
     docs = _docs(sf_dir, ["doc_id", "text", "lang"])
 
-    # tiny phase 0: language counts + benchmark gram set
+    # tiny phase 0: language counts + benchmark gram set (auto-routed)
     cnt = docs.groupby("lang").aggregate(Count(alias_name="ns")).to_pandas()
     ns = dict(zip(cnt["lang"], cnt["ns"].astype(np.int64)))
     n_min = int(min(ns.values()))
-
-    def bench_grams(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        g = _word_windows(t["text"].to_pandas()[ids % 37 == 0], 3).drop_duplicates()
-        return pa.table({"gram": pa.array(g.to_numpy(dtype=object), pa.string())})
-
-    bench = docs.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
-    bench_ref = ray.put(pa.array(np.unique(bench["gram"].to_numpy(dtype=object)),
-                                 pa.string()))
+    bench_ref, bench_ds = _bench_gram_side(docs, 3, bench_gram_limit)
 
     # exact-dup flag: one content-bucketed shuffle, per-row verdict
     import zlib as _z
@@ -1420,33 +1512,49 @@ def q_training_manifest(sf_dir: str):
                             pa.schema([("doc_id", pa.int64()),
                                        ("dup", pa.int64())]))
 
-    # one vectorized pass for every per-row signal
+    # one vectorized pass for every per-row signal (contam rides inline on
+    # the broadcast route; on the join route it arrives via the merge join)
     def flags(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = t["text"].to_pandas()
         is_bench = (ids % 37 == 0).astype(np.int64)
-        g = _word_windows(texts, 3)
-        bset = ray.get(bench_ref)
-        if len(g):
-            hit = pc.is_in(pa.array(g.to_numpy(dtype=object), pa.string()),
-                           value_set=bset).to_numpy(zero_copy_only=False)
-            nw = g.groupby(level=0).size()
-            nc = pd.Series(hit.astype(np.int64), index=g.index).groupby(level=0).sum()
-        else:
-            nw = nc = pd.Series(dtype=np.int64)
-        nw = nw.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
-        nc = nc.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
-        contam = ((nc * 10 >= nw) & (nw > 0)).astype(np.int64)
+        cols = {"doc_id": pa.array(ids), "is_bench": pa.array(is_bench)}
+        if bench_ref is not None:
+            g = _word_windows(texts, 3)
+            bset = ray.get(bench_ref)
+            if len(g):
+                hit = pc.is_in(pa.array(g.to_numpy(dtype=object), pa.string()),
+                               value_set=bset).to_numpy(zero_copy_only=False)
+                nw = g.groupby(level=0).size()
+                nc = pd.Series(hit.astype(np.int64), index=g.index).groupby(level=0).sum()
+            else:
+                nw = nc = pd.Series(dtype=np.int64)
+            nw = nw.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+            nc = nc.reindex(texts.index, fill_value=0).to_numpy(dtype=np.int64)
+            cols["contam"] = pa.array(((nc * 10 >= nw) & (nw > 0)).astype(np.int64))
         quality = gopher_quality_batch(t)["keep"].to_numpy(zero_copy_only=False)
         mod = np.array([ns[l] for l in t["lang"].to_pylist()], dtype=np.int64)
         sampled = (_kmv_hash(ids) % mod < n_min).astype(np.int64)
-        return pa.table({"doc_id": pa.array(ids), "is_bench": pa.array(is_bench),
-                         "contam": pa.array(contam), "quality": pa.array(quality),
-                         "sampled": pa.array(sampled)})
+        cols["quality"] = pa.array(quality)
+        cols["sampled"] = pa.array(sampled)
+        return pa.table(cols)
 
     sig = docs.map_batches(flags, batch_format="pyarrow")
     joined = sig.join(dup, join_type="inner", num_partitions=cluster_partitions(),
                       on=("doc_id",))
+    if bench_ref is None:  # large-benchmark route: contam via partitioned join
+        contam_ds = _contam_counts_joined(docs, bench_ds, 3).map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "contam": pc.cast(
+                    pc.and_(pc.greater_equal(pc.multiply(t["n_contam"],
+                                                         pa.scalar(10, pa.int64())),
+                                             t["n_windows"]),
+                            pc.greater(t["n_windows"], pa.scalar(0, pa.int64()))),
+                    pa.int64())}),
+            batch_format="pyarrow")
+        joined = joined.join(contam_ds, join_type="inner",
+                             num_partitions=cluster_partitions(), on=("doc_id",))
 
     REASONS = np.array(["benchmark", "duplicate", "contaminated", "low_quality",
                         "not_sampled", "kept"])

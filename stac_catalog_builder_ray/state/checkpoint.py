@@ -64,7 +64,8 @@ class CheckpointStore:
         return pd.DataFrame(rows)
 
 
-def partition_writer(store_root: str, partition_col: str):
+def partition_writer(store_root: str, partition_col: str,
+                     drop_cols: Optional[list] = None):
     """map_groups callable: writes one partition's rows to
     ``{root}/part={pid}/data.parquet`` atomically, records lineage, and skips
     partitions already finished (idempotent under task retry)."""
@@ -72,6 +73,8 @@ def partition_writer(store_root: str, partition_col: str):
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         pid = str(g[partition_col].iloc[0])
+        if drop_cols:
+            g = g.drop(columns=drop_cols)
         if store.is_finished(pid):
             return pd.DataFrame({"partition": [pid], "rows": [len(g)], "skipped": [True]})
         t0 = time.monotonic()
@@ -108,13 +111,42 @@ def checkpointed_write(
     store_root: str,
     partition_col: str,
     filter_finished: bool = True,
+    salt_hot_threshold: Optional[int] = None,
+    salt_id_col: Optional[str] = None,
+    salt_fanout_cap: int = 32,
 ):
     """Write ``ds`` partitioned by ``partition_col`` with checkpoint/resume.
 
     When resuming, finished partitions are filtered out BEFORE the shuffle
     (broadcast set membership inside map_batches), so their upstream compute
-    is skipped too.  Returns the per-partition summary DataFrame."""
+    is skipped too.  Returns the per-partition summary DataFrame.
+
+    HOT-KEY SALTING (SURVEY.md §4: spatially clustered data makes one cell
+    the straggler/giant-file): pass ``salt_hot_threshold`` (rows) and
+    ``salt_id_col`` (a stable unique column) and keys exceeding the
+    threshold split into ``{key}#{salt}`` sub-partitions, ``salt =
+    siphash(row[id_col]) % ceil(count/threshold)`` (capped at
+    ``salt_fanout_cap``) — per-partition rows stay bounded, the shuffle's
+    biggest reducer shrinks by the fanout, and because the salt is a pure
+    content hash a row lands in the same sub-partition on every run, so
+    skip-if-finished resume stays exactly-once.  The detection pass is one
+    cheap count aggregate over ``ds`` (consumed twice — pass a materialized
+    Dataset, as the flagship's item table already is).  EVERY partition id
+    gains a ``#{salt}`` suffix when salting is on (cold keys ``#0``) so a
+    store is never a mix of salted and raw ids."""
     store = CheckpointStore(store_root)
+    drop_cols = None
+    if salt_hot_threshold is not None:
+        if salt_id_col is None:
+            raise ValueError("salting a resumable write needs salt_id_col "
+                             "(content-hash salts; see add_salted_key_by_id)")
+        from .skew import add_salted_key_by_id, detect_hot_keys
+
+        hot = detect_hot_keys(ds, partition_col, salt_hot_threshold,
+                              fanout_cap=salt_fanout_cap)
+        ds = add_salted_key_by_id(ds, partition_col, salt_id_col, hot,
+                                  salted_col="_salted_pid")
+        partition_col, drop_cols = "_salted_pid", ["_salted_pid"]
     done = store.finished()
     if filter_finished and done:
         import pyarrow as pa
@@ -129,7 +161,8 @@ def checkpointed_write(
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
     summary = (
         ds.groupby(partition_col)
-        .map_groups(partition_writer(store_root, partition_col), batch_format="pandas")
+        .map_groups(partition_writer(store_root, partition_col, drop_cols),
+                    batch_format="pandas")
         .to_pandas()
     )
     return summary

@@ -70,3 +70,30 @@ def add_salted_key(ds, key_col: str, hot_fanout: Dict[str, int], salted_col: str
             return batch.append_column(salted_col, salted)
 
     return ds.map_batches(Salt, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def add_salted_key_by_id(ds, key_col: str, id_col: str,
+                         hot_fanout: Dict[str, int],
+                         salted_col: str = "salted_key"):
+    """Content-deterministic salting for RESUMABLE sinks: ``salt =
+    hash(row[id_col]) % fanout`` with pandas' fixed-key siphash, so a row
+    lands in the SAME ``{key}#{salt}`` partition on every run regardless of
+    batch boundaries — required for skip-if-finished resume (positional
+    salts like :func:`add_salted_key`'s are fine for aggregates, where any
+    split merges correctly, but would duplicate/lose rows across a killed
+    partitioned write).  Cold keys get ``{key}#0``."""
+    ref = ray.put(hot_fanout)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        fanout = ray.get(ref)
+        keys = pc.cast(batch[key_col], pa.string()).to_pylist()
+        ids = np.asarray(pc.cast(batch[id_col], pa.string()).to_pylist(),
+                         dtype=object)
+        h = pd.util.hash_array(ids)  # fixed-key siphash: stable across runs
+        f = np.fromiter((fanout.get(k, 1) for k in keys), dtype=np.int64,
+                        count=len(keys))
+        salts = np.where(f > 1, (h % f.astype(np.uint64)).astype(np.int64), 0)
+        salted = pa.array([f"{k}#{s}" for k, s in zip(keys, salts)], pa.string())
+        return batch.append_column(salted_col, salted)
+
+    return ds.map_batches(salt, batch_format="pyarrow")

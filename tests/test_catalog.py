@@ -179,6 +179,35 @@ class TestFusedFlagship:
         mf = store.metrics_frame()
         assert mf["rows"].sum() == r1["n_items"]  # lineage row counts add up
 
+    def test_salted_flagship_counts_unchanged(self, ray_session,
+                                              scale_images_dir, tmp_path):
+        """SURVEY §4 hot-cell salting wired into the flagship sink: the
+        scale set's 30% hot tile splits into cell#salt sub-partitions with
+        bounded rows, and every headline count is identical to the unsalted
+        run."""
+        import os
+
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import index_and_join
+        from stac_catalog_builder_ray.state.checkpoint import CheckpointStore
+
+        plain = index_and_join(scale_images_dir, out_root=None, checkpoint=False,
+                               extract_concurrency=2)
+        threshold = max(2, plain["n_items"] // 20)
+        root = str(tmp_path / "salted-flagship")
+        salted = index_and_join(scale_images_dir, out_root=root, checkpoint=True,
+                                extract_concurrency=2,
+                                salt_hot_threshold=threshold)
+        for k in ("n_items", "n_pip_matches", "n_tile_pairs"):
+            assert salted[k] == plain[k], k
+
+        mf = CheckpointStore(os.path.join(root, "items_by_cell")).metrics_frame()
+        assert mf["rows"].sum() == plain["n_items"]
+        assert mf["partition"].str.contains("#").all()  # salted id scheme
+        # the hot tile's cell must actually have split
+        base = mf["partition"].str.rsplit("#", n=1).str[0]
+        assert (base.value_counts() > 1).any()
+        assert mf["rows"].max() <= 3 * threshold  # bounded sub-partitions
+
 
 class TestAssemblyEquivalence:
     def test_bucketed_equals_per_item_reference_impl(self, ray_session, scale_images_dir):

@@ -1532,6 +1532,21 @@ class TestDecontaminate:
         assert oracle.astype("int64").equals(mine.astype("int64"))
         assert oracle["n_contam"].sum() > 0  # nonvacuous on the driver data
 
+    def test_forced_join_route_identical(self, ray_session):
+        """bench_gram_limit=0 forces the partitioned gram-join path (the
+        round-3 review-#4 cutover for corpus-sized 'benchmarks'); it must
+        match the broadcast path row-for-row on sf0.001."""
+        from stac_catalog_builder_ray.pipelines.text import q_decontaminate
+
+        sf = "/root/testdata/sf0.001"
+        cols = ["doc_id", "n_windows", "n_contam", "contaminated"]
+        bcast = (q_decontaminate(sf).to_pandas()[cols]
+                 .sort_values("doc_id").reset_index(drop=True).astype("int64"))
+        joined = (q_decontaminate(sf, bench_gram_limit=0).to_pandas()[cols]
+                  .sort_values("doc_id").reset_index(drop=True).astype("int64"))
+        assert len(bcast) > 0 and bcast.equals(joined)
+        assert bcast["n_contam"].sum() > 0
+
 
 class TestStopwordFilter:
     def test_learned_stop_set_and_order_preserved(self, ray_session, tmp_path):
@@ -1998,6 +2013,21 @@ class TestTrainingManifest:
         oracle = (con.sql(_sql_training_manifest()).df()
                   .set_index("doc_id").sort_index())
         assert (oracle["reason"] == out["reason"]).all()
+
+    def test_forced_join_route_identical(self, ray_session):
+        """bench_gram_limit=0 forces the contamination flag through the
+        partitioned gram join; manifest fates must be identical to the
+        broadcast route on sf0.001."""
+        from stac_catalog_builder_ray.pipelines.text import q_training_manifest
+
+        sf = "/root/testdata/sf0.001"
+        cols = ["doc_id", "reason", "keep"]
+        bcast = (q_training_manifest(sf).to_pandas()[cols]
+                 .sort_values("doc_id").reset_index(drop=True))
+        joined = (q_training_manifest(sf, bench_gram_limit=0).to_pandas()[cols]
+                  .sort_values("doc_id").reset_index(drop=True))
+        assert len(bcast) > 0 and bcast.equals(joined)
+        assert (bcast["reason"] == "contaminated").any()
 
 
 class TestGroupRegression:

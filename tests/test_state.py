@@ -72,6 +72,59 @@ class TestCheckpoint:
         assert CheckpointStore(root).finished() == {f"c{i}" for i in range(8)}
 
 
+class TestSaltedCheckpointWrite:
+    def test_hot_cell_bounded_and_resumable(self, ray_session, tmp_path):
+        """100x hot cell through the salted checkpointed sink: per-partition
+        rows stay bounded, nothing is lost, and a rerun writes zero new
+        partitions (content-hash salts are run-stable)."""
+        import ray.data
+
+        from stac_catalog_builder_ray.state.checkpoint import (
+            CheckpointStore, checkpointed_write, read_checkpointed)
+
+        cells = ["hot"] * 1000 + [f"cold{i // 10}" for i in range(200)]
+        pdf = pd.DataFrame({
+            "cell": cells,
+            "id": [f"row-{i}" for i in range(len(cells))],
+        })
+        ds = ray.data.from_pandas(pdf).repartition(8)
+        root = str(tmp_path / "salted")
+        s1 = checkpointed_write(ds, root, "cell", salt_hot_threshold=50,
+                                salt_id_col="id")
+        assert not s1["skipped"].any()
+        store = CheckpointStore(root)
+        mf = store.metrics_frame()
+        assert mf["rows"].sum() == len(pdf)
+        # hot fanout = min(32, ceil(1000/50)) = 20 -> ~50 rows/sub-partition;
+        # 3x slack covers siphash variance
+        hot_parts = mf[mf["partition"].str.startswith("hot#")]
+        assert len(hot_parts) == 20
+        assert hot_parts["rows"].max() <= 150
+        assert hot_parts["rows"].sum() == 1000
+        # cold cells: single #0 sub-partition each
+        cold = mf[~mf["partition"].str.startswith("hot#")]
+        assert set(cold["partition"]) == {f"cold{i}#0" for i in range(20)}
+
+        # rerun = killed-job restart: zero new writes (salts are stable)
+        s2 = checkpointed_write(ds, root, "cell", salt_hot_threshold=50,
+                                salt_id_col="id")
+        assert len(s2) == 0
+
+        back = read_checkpointed(root).to_pandas()
+        assert sorted(back["id"]) == sorted(pdf["id"])  # exactly-once
+        assert "_salted_pid" not in back.columns  # helper col not persisted
+
+    def test_threshold_requires_id_col(self, ray_session, tmp_path):
+        import ray.data
+
+        from stac_catalog_builder_ray.state.checkpoint import checkpointed_write
+
+        ds = ray.data.from_pandas(pd.DataFrame({"cell": ["a"], "id": ["x"]}))
+        with pytest.raises(ValueError, match="salt_id_col"):
+            checkpointed_write(ds, str(tmp_path / "x"), "cell",
+                               salt_hot_threshold=10)
+
+
 class TestSkew:
     def test_detect_and_salt(self, ray_session):
         import ray.data
