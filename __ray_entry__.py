@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_except": R.q_intersect_except,
         "stratified_sample": R.q_stratified_sample,
         "split_assign": R.q_split_assign,
+        "cube_counts": R.q_cube_counts,
+        "gap_fill": R.q_gap_fill,
+        "edit1_join": R.q_edit1_join,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -130,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_sim": G.q_image_sim,
         "dbscan": G.q_dbscan,
         "triangles": G.q_triangles,
+        "hotspot_cells": G.q_hotspot_cells,
+        "iou_join": G.q_iou_join,
+        "dwell_points": G.q_dwell_points,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,
@@ -296,6 +302,9 @@ def oracle_sql() -> dict[str, str]:
         "intersect_except": R.SQL_INTERSECT_EXCEPT,
         "stratified_sample": R.SQL_STRATIFIED_SAMPLE,
         "split_assign": R.SQL_SPLIT_ASSIGN,
+        "cube_counts": R.SQL_CUBE_COUNTS,
+        "gap_fill": R.SQL_GAP_FILL,
+        "edit1_join": R.SQL_EDIT1_JOIN,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
         "pip_join": (
             f"WITH pts AS ({_PTS}) SELECT event_id, a.aoi_id FROM pts, (VALUES "
@@ -356,6 +365,9 @@ def oracle_sql() -> dict[str, str]:
         "kring_smooth": G.kring_smooth_sql(),
         "dbscan": G.dbscan_sql(),
         "triangles": G.triangles_sql(),
+        "hotspot_cells": G.hotspot_cells_sql(),
+        "iou_join": G.iou_join_sql(),
+        "dwell_points": G.dwell_points_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min
 
-from ..geo.cell import cell_encode
+from ..geo.cell import cell_encode, cell_encode_sql
 from ..stages.spatial import assign_tiles, knn_join, pip_join
 
 CELL_RES = 6
@@ -1090,4 +1090,239 @@ def triangles_sql() -> str:
         "n3 AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
         "UNION ALL SELECT z FROM tri) "
         "SELECT node, COUNT(*) AS n_tri FROM n3 GROUP BY 1"
+    )
+
+
+# --- skewed points: hotspot / IoU / dwell operators --------------------------
+
+# integer micro-degree coordinates of the events_points grid (exact in SQL:
+# pure int64 arithmetic on event_id, no float rounding on either side)
+_X_SQL = "((event_id % 3600) * 100000 - 179950000)"
+_Y_SQL = "(((event_id * 7) % 1800) * 100000 - 89950000)"
+
+
+def _points_e6(sf_dir: str):
+    """events -> (event_id, x, y) int64 micro-degree points (the
+    events_points grid with zero float involvement)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid % 3600) * 100000 - 179950000
+        y = ((eid * 7) % 1800) * 100000 - 89950000
+        return pa.table({"event_id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def skewed_points(sf_dir: str):
+    """Deterministically SKEWED points: 30% of events (event_id % 10 < 3)
+    land in a 5x5-degree 'city' at the origin (position from the hash low
+    digits), the rest spread pseudo-uniformly like ``hashed_points`` — the
+    SQL-expressible analogue of the datagen HOT_TILE skew, so density
+    operators have a real hotspot to find."""
+    from .relational import _kmv_hash
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _sqmod61(_kmv_hash(eid))
+        city = (eid % 10) < 3
+        lon = np.where(city, (g % 500) / 100.0, (g % 36000) / 100.0 - 180.0)
+        lat = np.where(city, ((g // 500) % 500) / 100.0,
+                       ((g // 36000) % 18000) / 100.0 - 90.0)
+        return pa.table({"event_id": t["event_id"], "lon": pa.array(lon),
+                         "lat": pa.array(lat)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _skewed_pts_sql() -> str:
+    """WITH-chain ending in ``spts(event_id, lon, lat)`` for skewed_points."""
+    return (
+        _kmv_sql_cte("event_id") + ", "
+        "spts AS (SELECT event_id, "
+        "CASE WHEN event_id % 10 < 3 THEN (g % 500) / 100.0 "
+        "ELSE (g % 36000) / 100.0 - 180.0 END AS lon, "
+        "CASE WHEN event_id % 10 < 3 THEN ((g // 500) % 500) / 100.0 "
+        "ELSE ((g // 36000) % 18000) / 100.0 - 90.0 END AS lat FROM sq)"
+    )
+
+
+def q_hotspot_cells(sf_dir: str):
+    """Grid-density HOTSPOT detection (Getis-Ord-style, integer-exact):
+    count per res-4 cell over the skewed point set; a cell is hot iff its
+    count exceeds mean + 2 population-std across occupied cells, evaluated
+    in pure int64 arithmetic — with k cells, total S and sum-of-squares SS,
+    hot ⟺ d = k*n - S > 0 AND d*d > 4*(k*SS - S*S) — so the oracle matches
+    bit-exactly (no float sqrt on either side).
+
+    Scale shape: per-cell counts are partial-combined inside map_batches
+    (the shuffle moves #cells-per-batch rows, not points); the hot rule
+    runs on the cell table, bounded by the GRID (4^res cells), not the
+    corpus.  int64 overflows the d*d term at ~1e9 rows/cell — lift to
+    float z-scores past that."""
+    pts = skewed_points(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cells = cell_encode(t["lon"].to_numpy(zero_copy_only=False),
+                            t["lat"].to_numpy(zero_copy_only=False), 4)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    counts = (pts.map_batches(partial, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("n", alias_name="n")).to_pandas())
+    n = counts["n"].to_numpy(dtype=np.int64)
+    k, s, ss = np.int64(len(n)), n.sum(), (n * n).sum()
+    d = k * n - s
+    hot = ((d > 0) & (d * d > 4 * (k * ss - s * s))).astype(np.int64)
+    return pd.DataFrame({"cell": counts["cell"].astype("int64"),
+                         "n": n, "hot": hot})
+
+
+def hotspot_cells_sql() -> str:
+    cell = cell_encode_sql("lon", "lat", 4)
+    return (
+        "WITH " + _skewed_pts_sql() + ", "
+        f"c AS (SELECT {cell} AS cell, COUNT(*) AS n FROM spts GROUP BY 1), "
+        "w AS (SELECT cell, n, COUNT(*) OVER () AS k, SUM(n) OVER () AS s, "
+        "SUM(n * n) OVER () AS ss FROM c) "
+        "SELECT cell, n, CAST(CASE WHEN k * n - s > 0 AND "
+        "(k * n - s) * (k * n - s) > 4 * (k * ss - s * s) "
+        "THEN 1 ELSE 0 END AS BIGINT) AS hot FROM w"
+    )
+
+
+IOU_MIN_E6 = 200_000
+IOU_HALF_W = 800_000  # half-extents of the fixed footprint, micro-degrees
+IOU_HALF_H = 600_000
+
+
+def q_iou_join(sf_dir: str):
+    """Bounding-box IoU self-join — the dedup/NMS primitive of detection
+    pipelines: every event gets a fixed ±0.8°x0.6° footprint in integer
+    micro-degrees; pairs whose CENTERS share a res-4 cell and whose IoU ≥
+    0.2 emit (id_a, id_b, iou_e6), IoU exact integer (inter*1e6 // union).
+
+    Scale shape: ONE cell-keyed shuffle, per-cell all-pairs with
+    vectorized triu indices.  The cell res is the density knob — raise it
+    with point density so per-cell candidates stay bounded; boxes spanning
+    cell borders pair only via their center cell (the documented
+    predicate, mirrored exactly in SQL)."""
+    pts = _points_e6(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        cells = cell_encode(x / 1e6, y / 1e6, 4)
+        return t.append_column("cell", pa.array(cells))
+
+    area2 = np.int64(2) * (2 * IOU_HALF_W) * (2 * IOU_HALF_H)
+
+    def pairs_in_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")
+        ids = g["event_id"].to_numpy(dtype=np.int64)
+        x = g["x"].to_numpy(dtype=np.int64)
+        y = g["y"].to_numpy(dtype=np.int64)
+        m = len(g)
+        if m < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "iou_e6": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(m, 1)
+        iw = np.maximum(0, 2 * IOU_HALF_W - np.abs(x[i] - x[j]))
+        ih = np.maximum(0, 2 * IOU_HALF_H - np.abs(y[i] - y[j]))
+        inter = iw * ih
+        union = area2 - inter
+        keep = inter * 1_000_000 >= IOU_MIN_E6 * union
+        return pd.DataFrame({"id_a": ids[i[keep]], "id_b": ids[j[keep]],
+                             "iou_e6": inter[keep] * 1_000_000 // union[keep]})
+
+    out = (pts.map_batches(prep, batch_format="pyarrow")
+           .groupby("cell").map_groups(pairs_in_cell, batch_format="pandas"))
+    pdf = out.to_pandas()
+    if "id_a" not in pdf.columns:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "iou_e6": pd.Series(dtype="int64")})
+    return pdf.astype({"id_a": "int64", "id_b": "int64", "iou_e6": "int64"})
+
+
+def iou_join_sql() -> str:
+    cell = cell_encode_sql("x / 1000000.0", "y / 1000000.0", 4)
+    w2, h2 = 2 * IOU_HALF_W, 2 * IOU_HALF_H
+    return (
+        f"WITH p AS (SELECT event_id, {_X_SQL} AS x, {_Y_SQL} AS y FROM events), "
+        f"pc AS (SELECT event_id, x, y, {cell} AS cell FROM p), "
+        "j AS (SELECT a.event_id AS id_a, b.event_id AS id_b, "
+        f"GREATEST(CAST(0 AS BIGINT), {w2} - ABS(a.x - b.x)) "
+        f"* GREATEST(CAST(0 AS BIGINT), {h2} - ABS(a.y - b.y)) AS inter "
+        "FROM pc a JOIN pc b ON a.cell = b.cell AND a.event_id < b.event_id) "
+        "SELECT id_a, id_b, "
+        f"inter * 1000000 // (CAST(2 AS BIGINT) * {w2} * {h2} - inter) AS iou_e6 "
+        f"FROM j WHERE inter * 1000000 >= {IOU_MIN_E6} "
+        f"* (CAST(2 AS BIGINT) * {w2} * {h2} - inter)"
+    )
+
+
+DWELL_EPS_E6 = 60_000_000  # 60 degrees in micro-degrees
+
+
+def q_dwell_points(sf_dir: str):
+    """Trajectory DWELL / stay-point detection: a point is a dwell iff both
+    its predecessor and successor (per user, ordered by ts with event_id
+    tie-break) lie within 60° Euclidean distance — the stop-detection
+    primitive of movement analytics.  ONE user-bucketed shuffle; inside
+    each bucket the prev/next coordinates come from a vectorized
+    pandas groupby-shift (no per-row loop).  -> (event_id, user_id) of
+    dwell points."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    eps2 = np.int64(DWELL_EPS_E6) ** 2
+
+    def add_xy(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid % 3600) * 100000 - 179950000
+        y = ((eid * 7) % 1800) * 100000 - 89950000
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"], "x": pa.array(x), "y": pa.array(y),
+                         "ub": pa.array(uid % 64)})
+
+    def dwell_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        by = g.groupby("user_id", sort=False)
+        px, py = by["x"].shift(1), by["y"].shift(1)
+        nx, ny = by["x"].shift(-1), by["y"].shift(-1)
+        dp = (g["x"] - px) ** 2 + (g["y"] - py) ** 2
+        dn = (g["x"] - nx) ** 2 + (g["y"] - ny) ** 2
+        keep = (dp <= eps2) & (dn <= eps2)  # NaN (no prev/next) -> False
+        out = g.loc[keep.fillna(False), ["event_id", "user_id"]]
+        return out.astype({"event_id": "int64", "user_id": "int64"})
+
+    out = (ds.map_batches(add_xy, batch_format="pyarrow")
+           .groupby("ub").map_groups(dwell_bucket, batch_format="pandas"))
+    pdf = out.to_pandas()
+    if "event_id" not in pdf.columns:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "user_id": pd.Series(dtype="int64")})
+    return pdf.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def dwell_points_sql() -> str:
+    e2 = DWELL_EPS_E6 * DWELL_EPS_E6
+    return (
+        f"WITH p AS (SELECT event_id, user_id, ts, {_X_SQL} AS x, {_Y_SQL} AS y "
+        "FROM events), "
+        "w AS (SELECT event_id, user_id, x, y, "
+        "LAG(x) OVER u AS px, LAG(y) OVER u AS py, "
+        "LEAD(x) OVER u AS nx, LEAD(y) OVER u AS ny "
+        "FROM p WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT event_id, user_id FROM w "
+        "WHERE px IS NOT NULL AND nx IS NOT NULL "
+        f"AND (x - px) * (x - px) + (y - py) * (y - py) <= {e2} "
+        f"AND (x - nx) * (x - nx) + (y - ny) * (y - ny) <= {e2}"
     )

@@ -3321,3 +3321,197 @@ def weighted_sample_sql() -> str:
         f"((term1 + ((tt % 2147483648) * 1073741824 + tt // 2147483648) % {P}) % {P}) "
         f"% mx.m < value_e4"
     )
+
+
+# --- cube / gap-fill / edit-distance blocking --------------------------------
+
+
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(event_type, year) — all four grouping sets in ONE
+    pass: the per-batch combiner emits only base (type, year) partials (a
+    handful of rows per batch), one tiny packed-string-key groupby reduces
+    them, and the three coarser levels derive from the reduced base on the
+    driver (bounded by #types x #years, not the corpus).  'ALL' labels
+    mark the rolled-up dimensions."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pandas()
+        y = t["ts"].to_pandas().dt.year.astype(str)
+        key = et.str.cat(y, sep="|")
+        vc = key.value_counts()
+        return pa.table({"key": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    base = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("key").aggregate(Sum("n", alias_name="n")).to_pandas())
+    parts = base["key"].str.rsplit("|", n=1, expand=True)
+    b = pd.DataFrame({"event_type_s": parts[0], "year_s": parts[1],
+                      "n": base["n"].astype("int64")})
+    by_type = (b.groupby("event_type_s", as_index=False)["n"].sum()
+               .assign(year_s="ALL"))
+    by_year = (b.groupby("year_s", as_index=False)["n"].sum()
+               .assign(event_type_s="ALL"))
+    grand = pd.DataFrame({"event_type_s": ["ALL"], "year_s": ["ALL"],
+                          "n": [int(b["n"].sum())]})
+    out = pd.concat([b, by_type, by_year, grand], ignore_index=True)
+    return out[["event_type_s", "year_s", "n"]].astype({"n": "int64"})
+
+
+SQL_CUBE_COUNTS = (
+    "WITH b AS (SELECT event_type, year(ts) AS y, COUNT(*) AS n "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT COALESCE(event_type, 'ALL') AS event_type_s, "
+    "COALESCE(CAST(y AS VARCHAR), 'ALL') AS year_s, "
+    "CAST(SUM(n) AS BIGINT) AS n FROM b GROUP BY CUBE(event_type, y)"
+)
+
+
+def q_gap_fill(sf_dir: str):
+    """Time-series GAP FILL / hourly resample: per event_type, the event
+    count in EVERY hour between the global min and max hour — missing
+    buckets become explicit zeros (the densification step before any
+    windowed/forecast model).  Counts partial-combine per batch on a packed
+    (type, hour-index) key; the dense (type x hour) frame is built
+    driver-side from the tiny global [min, max] range (bounded by the time
+    SPAN and type cardinality, not the corpus) and left-merged."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_pandas()
+        hr = (ts.astype("int64") // 3_600_000_000).astype("int64")  # us -> h
+        key = t["event_type"].to_pandas().str.cat(hr.astype(str), sep="|")
+        vc = key.value_counts()
+        return pa.table({"key": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    base = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("key").aggregate(Sum("n", alias_name="n")).to_pandas())
+    parts = base["key"].str.rsplit("|", n=1, expand=True)
+    b = pd.DataFrame({"event_type": parts[0],
+                      "h": parts[1].astype("int64"),
+                      "n": base["n"].astype("int64")})
+    hours = np.arange(b["h"].min(), b["h"].max() + 1, dtype=np.int64)
+    types = np.sort(b["event_type"].unique())
+    grid = pd.MultiIndex.from_product([types, hours],
+                                      names=["event_type", "h"]).to_frame(index=False)
+    out = grid.merge(b, on=["event_type", "h"], how="left").fillna({"n": 0})
+    out["hour_ts"] = pd.to_datetime(out["h"] * 3600, unit="s")
+    return out[["event_type", "hour_ts", "n"]].astype({"n": "int64"})
+
+
+SQL_GAP_FILL = (
+    "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr FROM events), "
+    "c AS (SELECT event_type, hr, COUNT(*) AS n FROM h GROUP BY 1, 2), "
+    "series AS (SELECT unnest(generate_series((SELECT MIN(hr) FROM h), "
+    "(SELECT MAX(hr) FROM h), INTERVAL 1 HOUR)) AS hr), "
+    "types AS (SELECT DISTINCT event_type FROM events) "
+    "SELECT t.event_type, s.hr AS hour_ts, CAST(COALESCE(c.n, 0) AS BIGINT) AS n "
+    "FROM series s CROSS JOIN types t "
+    "LEFT JOIN c ON c.event_type = t.event_type AND c.hr = s.hr"
+)
+
+
+def q_edit1_join(sf_dir: str):
+    """Fuzzy-duplicate self-join at edit distance ≤ 1 via FastSS DELETION
+    NEIGHBORHOODS — the ER blocking that replaces the oracle's O(n²)
+    Levenshtein cross join: every name emits itself plus its len(name)
+    single-deletion variants as block keys; names sharing a key are
+    CANDIDATES only (a shared deletion does NOT imply distance ≤ 1 —
+    'abcd' and 'acdd' both delete to 'acd' at distance 2), so pairs are
+    VERIFIED: equal lengths ⟺ hamming ≤ 1 (vectorized byte compare),
+    off-by-one lengths ⟺ one-gap subsequence (rare; small loop).
+    Insertion pairs can share several keys, so verified pairs dedup
+    through one packed-int64-key groupby.  Candidate volume is
+    O(n · len · alphabet) vs the oracle's n² Levenshteins.
+    -> (a_key, b_key) customer-key pairs."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = t["c_name"].to_pylist()
+        vkeys, cks, nms = [], [], []
+        for ck, nm in zip(keys, names):  # short strings; key GENERATION has
+            vkeys.append(nm)             # no vectorized kernel (like crc32)
+            cks.append(ck)
+            nms.append(nm)
+            for i in range(len(nm)):
+                vkeys.append(nm[:i] + nm[i + 1:])
+                cks.append(ck)
+                nms.append(nm)
+        return pa.table({"vkey": pa.array(vkeys, pa.string()),
+                         "ck": pa.array(np.array(cks, np.int64)),
+                         "nm": pa.array(nms, pa.string())})
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        # pandas C-speed self-merge on the block key -> candidate pairs
+        m = g.merge(g, on="vkey", suffixes=("_a", "_b"))
+        m = m[m["ck_a"] < m["ck_b"]]
+        if m.empty:
+            return pd.DataFrame({"a_key": pd.Series(dtype="int64"),
+                                 "b_key": pd.Series(dtype="int64")})
+        la = m["nm_a"].str.len().to_numpy()
+        lb = m["nm_b"].str.len().to_numpy()
+        ok = np.zeros(len(m), dtype=bool)
+        same = la == lb
+        if same.any():
+            # hamming <= 1, vectorized: equal-length pair blocks compared as
+            # fixed-width unicode matrices
+            sa = m["nm_a"].to_numpy()[same]
+            sb = m["nm_b"].to_numpy()[same]
+            okk = np.zeros(len(sa), dtype=bool)
+            for ln in np.unique(la[same]):
+                sel = la[same] == ln
+                aa = np.frombuffer("".join(sa[sel]).encode("utf-32-le"),
+                                   dtype=np.uint32).reshape(-1, ln)
+                bb = np.frombuffer("".join(sb[sel]).encode("utf-32-le"),
+                                   dtype=np.uint32).reshape(-1, ln)
+                okk[sel] = (aa != bb).sum(axis=1) <= 1
+            ok[same] = okk
+        diff = ~same & (np.abs(la - lb) == 1)
+        if diff.any():
+            for idx in np.nonzero(diff)[0]:  # rare: off-by-one lengths
+                s, l = m["nm_a"].iat[idx], m["nm_b"].iat[idx]
+                if len(s) > len(l):
+                    s, l = l, s
+                i = 0
+                while i < len(s) and s[i] == l[i]:
+                    i += 1
+                ok[idx] = s[i:] == l[i + 1:]
+        out = m.loc[ok, ["ck_a", "ck_b"]].drop_duplicates()
+        return out.rename(columns={"ck_a": "a_key", "ck_b": "b_key"}) \
+            .astype({"a_key": "int64", "b_key": "int64"})
+
+    import zlib as _z
+
+    def add_vbucket(t: pa.Table) -> pa.Table:
+        b = np.fromiter((_z.crc32(v.encode()) % 256 for v in t["vkey"].to_pylist()),
+                        dtype=np.int64, count=len(t))
+        return t.append_column("vb", pa.array(b))
+
+    cand = (cust.map_batches(expand, batch_format="pyarrow")
+            .map_batches(add_vbucket, batch_format="pyarrow")
+            .groupby("vb").map_groups(candidates, batch_format="pandas"))
+
+    # global dedup (insertion pairs can surface in several vkey buckets):
+    # packed-key groupby, then unpack — custkeys fit 32 bits at any sf here
+    def pack(t: pa.Table) -> pa.Table:
+        a = t["a_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array((a << np.int64(32)) | b)})
+
+    uniq = (cand.map_batches(pack, batch_format="pyarrow")
+            .groupby("pk").aggregate(Count(alias_name="_c")).to_pandas())
+    if uniq.empty:
+        return pd.DataFrame({"a_key": pd.Series(dtype="int64"),
+                             "b_key": pd.Series(dtype="int64")})
+    pk = uniq["pk"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"a_key": pk >> np.int64(32),
+                         "b_key": pk & np.int64((1 << 32) - 1)})
+
+
+SQL_EDIT1_JOIN = (
+    "SELECT a.c_custkey AS a_key, b.c_custkey AS b_key FROM customer a "
+    "JOIN customer b ON a.c_custkey < b.c_custkey "
+    "AND levenshtein(a.c_name, b.c_name) <= 1"
+)

@@ -2462,3 +2462,102 @@ class TestWeightedSample:
         assert by["hi"] == n // 3                          # hash % m < m always
         out2 = q_weighted_sample(str(tmp_path)).to_pandas()
         assert sorted(out["event_id"]) == sorted(out2["event_id"])
+
+
+class TestCubeCounts:
+    def test_all_four_grouping_sets(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_cube_counts
+
+        ts = pd.to_datetime(["2020-01-01"] * 3 + ["2021-01-01"] * 2)
+        t = pa.table({
+            "event_id": pa.array(np.arange(5), pa.int64()),
+            "event_type": pa.array(["a", "a", "b", "a", "b"]),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(5, np.int64)),
+            "value": pa.array(np.zeros(5)),
+            "props": pa.array(["{}"] * 5),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_cube_counts(str(tmp_path)).set_index(["event_type_s", "year_s"])["n"]
+        assert out.loc[("a", "2020")] == 2 and out.loc[("b", "2020")] == 1
+        assert out.loc[("a", "2021")] == 1 and out.loc[("b", "2021")] == 1
+        assert out.loc[("a", "ALL")] == 3 and out.loc[("b", "ALL")] == 2
+        assert out.loc[("ALL", "2020")] == 3 and out.loc[("ALL", "2021")] == 2
+        assert out.loc[("ALL", "ALL")] == 5 and len(out) == 9
+
+
+class TestGapFill:
+    def test_zero_filled_hours(self, ray_session, tmp_path):
+        """Events at hours 0 and 2 (hole at 1): every (type, hour) bucket in
+        the global span exists, holes are explicit zeros."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_gap_fill
+
+        ts = pd.to_datetime(["2020-01-01 00:10", "2020-01-01 00:20",
+                             "2020-01-01 02:05", "2020-01-01 02:55"])
+        t = pa.table({
+            "event_id": pa.array(np.arange(4), pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "b"]),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(4, np.int64)),
+            "value": pa.array(np.zeros(4)),
+            "props": pa.array(["{}"] * 4),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_gap_fill(str(tmp_path))
+        assert len(out) == 6  # 2 types x 3 hours
+        idx = out.set_index(["event_type", "hour_ts"])["n"]
+        h = pd.to_datetime(["2020-01-01 00:00", "2020-01-01 01:00",
+                            "2020-01-01 02:00"])
+        assert idx.loc[("a", h[0])] == 2 and idx.loc[("a", h[1])] == 0
+        assert idx.loc[("a", h[2])] == 1
+        assert idx.loc[("b", h[0])] == 0 and idx.loc[("b", h[2])] == 1
+
+
+class TestEdit1Join:
+    def test_planted_pairs_and_fastss_false_candidate(self, ray_session, tmp_path):
+        """Substitution, insertion and identical-prefix pairs are found; the
+        classic FastSS false candidate (abcd/acdd share deletion 'acd' at
+        TRUE distance 2) must be verified away."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_edit1_join
+
+        names = {1: "abc", 2: "abd", 3: "abcd", 4: "xyz", 5: "acdd"}
+        t = pa.table({
+            "c_custkey": pa.array(sorted(names), pa.int64()),
+            "c_name": pa.array([names[k] for k in sorted(names)]),
+        })
+        pq.write_table(t, str(tmp_path / "customer.parquet"))
+        out = q_edit1_join(str(tmp_path))
+        pairs = set(zip(out["a_key"], out["b_key"]))
+        # abc~abd (sub), abc~abcd (insert d), abd~abcd (insert c),
+        # abcd~acdd excluded (distance 2), xyz pairs with nothing
+        assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+    def test_matches_bruteforce_sf0001(self, ray_session):
+        """Blocking+verify equals the brute-force Levenshtein oracle."""
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SQL_EDIT1_JOIN, q_edit1_join)
+
+        con = duckdb.connect()
+        con.sql("CREATE VIEW customer AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/customer.parquet')")
+        oracle = con.sql(SQL_EDIT1_JOIN).df().sort_values(
+            ["a_key", "b_key"]).reset_index(drop=True)
+        mine = q_edit1_join("/root/testdata/sf0.001").sort_values(
+            ["a_key", "b_key"]).reset_index(drop=True)
+        assert len(oracle) > 0 and oracle.astype("int64").equals(mine.astype("int64"))

@@ -739,3 +739,86 @@ class TestTriangles:
         out = q_triangles("/root/testdata/sf0.01")
         got = dict(zip(out["node"], out["n_tri"]))
         assert got == want and sum(want.values()) % 3 == 0 and want
+
+
+class TestHotspotCells:
+    def test_matches_float_zscore_and_city_is_hot(self, ray_session):
+        """Integer 2-sigma rule equals the float z-score computation, and the
+        planted 30% 'city' square actually produces hot cells."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.pipelines.geospatial import q_hotspot_cells
+
+        out = q_hotspot_cells("/root/testdata/sf0.001")
+        n = out["n"].to_numpy(dtype=np.int64)
+        z_hot = (n > n.mean() + 2 * n.std())  # independent float oracle
+        assert (out["hot"].to_numpy().astype(bool) == z_hot).all()
+        assert out["hot"].sum() >= 1  # the city square is detected
+        assert out["n"].sum() == 1000  # every point counted once
+
+
+class TestIouJoin:
+    def test_matches_bruteforce(self, ray_session):
+        """Cell-sharded IoU pairs equal the brute-force same-cell O(n^2)
+        numpy computation."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.geo.cell import cell_encode
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            IOU_HALF_H, IOU_HALF_W, IOU_MIN_E6, q_iou_join)
+
+        eid = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                            columns=["event_id"])["event_id"] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = np.sort(eid)
+        x = (eid % 3600) * 100000 - 179950000
+        y = ((eid * 7) % 1800) * 100000 - 89950000
+        cell = cell_encode(x / 1e6, y / 1e6, 4)
+        i, j = np.triu_indices(len(eid), 1)
+        same = cell[i] == cell[j]
+        i, j = i[same], j[same]
+        inter = (np.maximum(0, 2 * IOU_HALF_W - np.abs(x[i] - x[j]))
+                 * np.maximum(0, 2 * IOU_HALF_H - np.abs(y[i] - y[j])))
+        union = np.int64(2) * (2 * IOU_HALF_W) * (2 * IOU_HALF_H) - inter
+        keep = inter * 1_000_000 >= IOU_MIN_E6 * union
+        want = set(zip(eid[i[keep]], eid[j[keep]]))
+
+        out = q_iou_join("/root/testdata/sf0.001")
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert len(want) > 0 and got == want
+        # spot-check the integer IoU values
+        iou = dict(zip(zip(out["id_a"], out["id_b"]), out["iou_e6"]))
+        ref = dict(zip(zip(eid[i[keep]], eid[j[keep]]),
+                       inter[keep] * 1_000_000 // union[keep]))
+        assert iou == ref
+
+
+class TestDwellPoints:
+    def test_crafted_trajectory(self, ray_session, tmp_path):
+        """ids 100,101,102 are ~0.7 deg apart pairwise -> 101 is a dwell
+        (has both neighbors close); endpoints are not; a 180-deg jump
+        breaks the dwell."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.geospatial import q_dwell_points
+
+        ids = [100, 101, 102, 200, 2000, 202]
+        users = [1, 1, 1, 2, 2, 2]
+        ts = pd.to_datetime([f"2020-01-01 00:0{k}" for k in range(6)])
+        t = pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["x"] * 6),
+            "value": pa.array(np.zeros(6)),
+            "props": pa.array(["{}"] * 6),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_dwell_points(str(tmp_path))
+        got = set(zip(out["event_id"], out["user_id"]))
+        # user 1: 101 dwells. user 2: 2000 is 180 deg east of 200 -> no dwell
+        assert got == {(101, 1)}
