@@ -303,12 +303,25 @@ def q_neardup_cluster(sf_dir: str):
                        on=("pair_key",))
 
     def edges(t: pa.Table) -> pa.Table:
-        keep = []
-        for a, b in zip(t["words_a"].to_pylist(), t["words_b"].to_pylist()):
-            sa, sb = set(a.split()), set(b.split())
-            denom = len(sa | sb)
-            j = len(sa & sb) / denom if denom else 0.0
-            keep.append(j >= NEARDUP_EDGE_THRESHOLD)  # UNROUNDED, like the SQL
+        # vectorized set-jaccard (round-3 review #5: was a per-pair Python
+        # set loop): both sides are per-side DISTINCT sorted tokens, so in
+        # the exploded (pair, token) counts a 2 means "in both" —
+        # intersection and union sizes fall out of two C-level groupbys
+        wa = t["words_a"].to_pandas().str.split()
+        wb = t["words_b"].to_pandas().str.split()
+        both = pd.concat([wa.explode().dropna(), wb.explode().dropna()])
+        n = len(t)
+        if len(both):
+            cnt = both.groupby([both.index, both.to_numpy()]).size()
+            union = cnt.groupby(level=0).size().reindex(range(n), fill_value=0) \
+                .to_numpy(dtype=np.int64)
+            inter = (cnt == 2).groupby(level=0).sum().reindex(range(n), fill_value=0) \
+                .to_numpy(dtype=np.int64)
+        else:
+            union = inter = np.zeros(n, dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = j >= NEARDUP_EDGE_THRESHOLD  # UNROUNDED, like the SQL
         return pa.table({"id_a": t["id_a"], "id_b": t["id_b"]}).filter(pa.array(keep))
 
     pairs = joined.map_batches(edges, batch_format="pyarrow")
