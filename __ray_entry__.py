@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_counts": R.q_cube_counts,
         "gap_fill": R.q_gap_fill,
         "edit1_join": R.q_edit1_join,
+        "day_gaps": R.q_day_gaps,
+        "returned_revenue": R.q_returned_revenue,
+        "distinct_users": R.q_distinct_users,
+        "percent_rank": R.q_percent_rank,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -305,6 +309,10 @@ def oracle_sql() -> dict[str, str]:
         "cube_counts": R.SQL_CUBE_COUNTS,
         "gap_fill": R.SQL_GAP_FILL,
         "edit1_join": R.SQL_EDIT1_JOIN,
+        "day_gaps": R.SQL_DAY_GAPS,
+        "returned_revenue": R.SQL_RETURNED_REVENUE,
+        "distinct_users": R.SQL_DISTINCT_USERS,
+        "percent_rank": R.SQL_PERCENT_RANK,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
         "pip_join": (
             f"WITH pts AS ({_PTS}) SELECT event_id, a.aoi_id FROM pts, (VALUES "

@@ -3515,3 +3515,197 @@ SQL_EDIT1_JOIN = (
     "JOIN customer b ON a.c_custkey < b.c_custkey "
     "AND levenshtein(a.c_name, b.c_name) <= 1"
 )
+
+
+def q_day_gaps(sf_dir: str):
+    """Activity ISLANDS & GAPS: for each user, the runs of calendar days
+    with NO events between two active days — the classic sequence-gap
+    window pattern (lag + diff > 1), distributed.  Day index is the exact
+    integer ``epoch_us // 86_400_000_000`` on both sides.
+
+    Scale shape: per-batch distinct (user, day) partials collapse through
+    one packed-int64-key groupby (distinct active days ≪ events); the gap
+    scan is a user-bucketed shuffle with a vectorized groupby-shift inside
+    each bucket.  -> (user_id, gap_start_day, gap_end_day)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = t["ts"].to_pandas().astype("int64").to_numpy() // US_DAY
+        pk = np.unique((uid << np.int64(22)) | day)  # day index < 2^22 (~11k yrs)
+        return pa.table({"pk": pa.array(pk)})
+
+    distinct = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("pk").aggregate(Count(alias_name="_c")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = pk >> np.int64(22)
+        return pa.table({"user_id": pa.array(uid),
+                         "day": pa.array(pk & np.int64((1 << 22) - 1)),
+                         "ub": pa.array(uid % 64)})
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="stable")
+        pd_day = g.groupby("user_id", sort=False)["day"].shift(1)
+        keep = (g["day"] - pd_day) > 1
+        out = pd.DataFrame({
+            "user_id": g.loc[keep, "user_id"].to_numpy(dtype=np.int64),
+            "gap_start_day": (pd_day[keep] + 1).to_numpy(dtype=np.int64),
+            "gap_end_day": g.loc[keep, "day"].to_numpy(dtype=np.int64) - 1,
+        })
+        return out
+
+    out = (distinct.map_batches(unpack, batch_format="pyarrow")
+           .groupby("ub").map_groups(gaps, batch_format="pandas")).to_pandas()
+    if "user_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("user_id", "gap_start_day", "gap_end_day")})
+    return out.astype({c: "int64" for c in out.columns})
+
+
+SQL_DAY_GAPS = (
+    "WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day "
+    "FROM events), "
+    "l AS (SELECT user_id, day, LAG(day) OVER "
+    "(PARTITION BY user_id ORDER BY day) AS pd FROM d) "
+    "SELECT user_id, pd + 1 AS gap_start_day, day - 1 AS gap_end_day "
+    "FROM l WHERE pd IS NOT NULL AND day - pd > 1"
+)
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape — top-20 customers by returned-item revenue: filter
+    lineitem to l_returnflag = 'R', exact-cents revenue partials per order
+    key inside map_batches, ONE partitioned int-key join to orders for the
+    customer key, a custkey groupby, driver-side top-20 (ties broken on
+    custkey), and a 20-key broadcast filter against customer for the name —
+    the big tables shuffle once each, the customer table never does."""
+    from ..functions.rounding import round_half_away
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["l_returnflag"], "R")
+        t = t.filter(m)
+        rev = round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"k": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                           "rev": rev})
+        g = df.groupby("k", sort=False)["rev"].sum().reset_index()
+        return pa.table({"l_orderkey": pa.array(g["k"].to_numpy(np.int64)),
+                         "rev": pa.array(g["rev"].to_numpy(np.int64))})
+
+    rev = li.map_batches(partial, batch_format="pyarrow")
+    j = rev.join(orders, join_type="inner", num_partitions=cluster_partitions(),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    by_cust = (j.map_batches(lambda t: pa.table({"o_custkey": t["o_custkey"],
+                                                 "rev": t["rev"]}),
+                             batch_format="pyarrow")
+               .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+               .to_pandas())
+    top = (by_cust.sort_values(["rev", "o_custkey"],
+                               ascending=[False, True], kind="stable")
+           .head(20))
+    keys = set(top["o_custkey"].astype(np.int64))
+    cust = (_t(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(lambda t: t.filter(
+                pc.is_in(t["c_custkey"],
+                         value_set=pa.array(sorted(keys), pa.int64()))),
+                batch_format="pyarrow").to_pandas())
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["revenue_cents"] = out["rev"].astype("int64")
+    return out[["c_custkey", "c_name", "revenue_cents"]] \
+        .astype({"c_custkey": "int64"}).reset_index(drop=True)
+
+
+SQL_RETURNED_REVENUE = (
+    "SELECT c_custkey, c_name, revenue_cents FROM ("
+    "SELECT c_custkey, c_name, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) "
+    "AS BIGINT) AS revenue_cents "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE l_returnflag = 'R' GROUP BY 1, 2) "
+    "ORDER BY revenue_cents DESC, c_custkey LIMIT 20"
+)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type: a tiny first pass
+    broadcasts the type -> index dict (type cardinality is bounded), the
+    distinct (type, user) pairs collapse through one packed-int64-key
+    groupby, and per-type counts partial-combine — the exact twin of the
+    HLL sketch entry, for when approximate is not acceptable."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    types = sorted(ds.groupby("event_type").aggregate(Count(alias_name="_c"))
+                   .to_pandas()["event_type"])
+    tidx = {s: i for i, s in enumerate(types)}
+    import ray as _ray
+
+    tref = _ray.put(tidx)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lut = _ray.get(tref)
+        ti = t["event_type"].to_pandas().map(lut).to_numpy(dtype=np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(np.unique((ti << np.int64(48)) | uid))})
+
+    distinct = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("pk").aggregate(Count(alias_name="_c")))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ti = t["pk"].to_numpy(zero_copy_only=False).astype(np.int64) >> np.int64(48)
+        u, c = np.unique(ti, return_counts=True)
+        return pa.table({"ti": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    counts = (distinct.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("ti").aggregate(Sum("n", alias_name="n_users"))
+              .to_pandas())
+    counts["event_type"] = counts["ti"].map({v: k for k, v in tidx.items()})
+    counts["n_users"] = counts["n_users"].astype("int64")
+    return counts[["event_type", "n_users"]]
+
+
+SQL_DISTINCT_USERS = (
+    "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY 1"
+)
+
+
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK within groups, integer-exact: per event_type, rank each
+    row by value (RANK ties) and emit ``pr_e6 = (rank-1)*1e6 // (n-1)``
+    (0 for singleton groups) — the normalized-score transform feature
+    pipelines apply before mixing heterogeneous signals.  Groups are
+    type-bounded, so a per-type vectorized pandas rank is the right shape
+    (for unbounded groups use global_rank's two-phase counting rank)."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["value"].rank(method="min").astype(np.int64)
+        n = len(g)
+        pr = ((r - 1) * 1_000_000 // (n - 1)) if n > 1 else pd.Series(0, index=g.index)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(dtype=np.int64),
+                             "event_type": g["event_type"],
+                             "pr_e6": pr.to_numpy(dtype=np.int64)})
+
+    out = ds.groupby("event_type").map_groups(ranks, batch_format="pandas").to_pandas()
+    if "event_id" not in out.columns:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "event_type": pd.Series(dtype=object),
+                             "pr_e6": pd.Series(dtype="int64")})
+    return out.astype({"event_id": "int64", "pr_e6": "int64"})
+
+
+SQL_PERCENT_RANK = (
+    "SELECT event_id, event_type, "
+    "CAST(COALESCE((RANK() OVER (PARTITION BY event_type ORDER BY value) - 1) "
+    "* 1000000 // NULLIF(COUNT(*) OVER (PARTITION BY event_type) - 1, 0), 0) "
+    "AS BIGINT) AS pr_e6 FROM events"
+)

@@ -2561,3 +2561,59 @@ class TestEdit1Join:
         mine = q_edit1_join("/root/testdata/sf0.001").sort_values(
             ["a_key", "b_key"]).reset_index(drop=True)
         assert len(oracle) > 0 and oracle.astype("int64").equals(mine.astype("int64"))
+
+
+class TestDayGaps:
+    def test_crafted_islands(self, ray_session, tmp_path):
+        """User active on days 0,1,4,5,9 -> gaps [2,3] and [6,8]; a second
+        user with contiguous days has none."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_day_gaps
+
+        base = pd.Timestamp("2024-01-01")
+        days1, days2 = [0, 1, 4, 5, 9], [0, 1, 2]
+        ts = [base + pd.Timedelta(days=d, hours=3) for d in days1] \
+            + [base + pd.Timedelta(days=d) for d in days2]
+        t = pa.table({
+            "event_id": pa.array(np.arange(len(ts)), pa.int64()),
+            "user_id": pa.array([1] * 5 + [2] * 3, pa.int64()),
+            "ts": pa.array(pd.to_datetime(ts), pa.timestamp("us")),
+            "event_type": pa.array(["x"] * 8),
+            "value": pa.array(np.zeros(8)),
+            "props": pa.array(["{}"] * 8),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_day_gaps(str(tmp_path))
+        d0 = int(base.value // (86_400 * 10**9))
+        got = set(zip(out["user_id"], out["gap_start_day"], out["gap_end_day"]))
+        assert got == {(1, d0 + 2, d0 + 3), (1, d0 + 6, d0 + 8)}
+
+
+class TestPercentRank:
+    def test_ties_and_singleton(self, ray_session, tmp_path):
+        """values [10,10,20] -> ranks (1,1,3) -> pr (0, 0, 1e6); singleton
+        group pr = 0."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_percent_rank
+
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "b"]),
+            "ts": pa.array(pd.to_datetime(np.zeros(4)), pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(4, np.int64)),
+            "value": pa.array([10.0, 10.0, 20.0, 7.0]),
+            "props": pa.array(["{}"] * 4),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_percent_rank(str(tmp_path)).set_index("event_id")["pr_e6"]
+        assert out.loc[1] == 0 and out.loc[2] == 0
+        assert out.loc[3] == 1_000_000
+        assert out.loc[4] == 0  # singleton group
