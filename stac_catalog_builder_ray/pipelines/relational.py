@@ -3482,11 +3482,11 @@ def q_edit1_join(sf_dir: str):
         return out.rename(columns={"ck_a": "a_key", "ck_b": "b_key"}) \
             .astype({"a_key": "int64", "b_key": "int64"})
 
-    import zlib as _z
-
     def add_vbucket(t: pa.Table) -> pa.Table:
-        b = np.fromiter((_z.crc32(v.encode()) % 256 for v in t["vkey"].to_pylist()),
-                        dtype=np.int64, count=len(t))
+        # C-level fixed-key siphash (same kernel the salted sink uses) — a
+        # per-variant Python crc32 loop here was ~40% of the sf0.1 wall
+        v = np.asarray(t["vkey"].to_pylist(), dtype=object)
+        b = (pd.util.hash_array(v) % 256).astype(np.int64)
         return t.append_column("vb", pa.array(b))
 
     cand = (cust.map_batches(expand, batch_format="pyarrow")
