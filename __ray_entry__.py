@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_ratio": T.q_compress_ratio,
         "ann_cosine": T.q_ann_cosine,
         "ann_ivf": T.q_ann_ivf,
+        "pq_ann": T.q_pq_ann,
         "embedding_dedup": T.q_embedding_dedup,
         "embed_quantize": T.q_embed_quantize,
         "kmeans": T.q_kmeans,

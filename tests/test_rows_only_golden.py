@@ -71,6 +71,10 @@ GOLDEN = {
     # pixels -> features -> cosine top-5 retrieval (independent local
     # decode+numpy oracle: test_spatial::TestImageSim)
     "image_sim": ("0b0f7990a2d2ced5", 40),
+    # product-quantization ANN with exact rerank (recall vs exact L2 +
+    # lattice-exactness: test_operators::TestPqAnn; deterministic
+    # farthest-point codebook init, block-count independent)
+    "pq_ann": ("431421c773a5b019", 50),
 }
 
 
