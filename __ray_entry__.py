@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_cells": G.q_hotspot_cells,
         "iou_join": G.q_iou_join,
         "dwell_points": G.q_dwell_points,
+        "augment_digest": G.q_augment_digest,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,

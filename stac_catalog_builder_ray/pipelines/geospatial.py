@@ -1326,3 +1326,39 @@ def dwell_points_sql() -> str:
         f"AND (x - px) * (x - px) + (y - py) * (y - py) <= {e2} "
         f"AND (x - nx) * (x - nx) + (y - ny) * (y - ny) <= {e2}"
     )
+
+
+def q_augment_digest(sf_dir: str):
+    """Deterministic per-epoch AUGMENTATION audit over the documents-derived
+    images table (rows-only: pixel decode is not SQL-expressible): run the
+    training-loader transform (seeded hflip + random crop, all randomness
+    from splitmix64(image_id, epoch) so any worker/retry/cluster-size
+    reproduces byte-identical pixels) and reduce each augmented image to an
+    integer digest (crop params, flip, augmented pixel sum) — the audit
+    record a reproducible-training pipeline ships with every epoch.
+    Independent oracle: tests/test_operators.py::TestAugment (determinism +
+    epoch sensitivity) and TestAugmentDigest (local-decode recompute)."""
+    from ..codec.raster import decode_image
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.multimodal import augment_images
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    aug = augment_images(rd.read_parquet(images), epoch=3)
+
+    def digest(t: pa.Table) -> pa.Table:
+        sums = np.empty(t.num_rows, dtype=np.int64)
+        for i in range(t.num_rows):  # per-row opaque binary decode
+            px = decode_image(t["bytes"][i].as_py(), "raw")
+            sums[i] = int(px.astype(np.int64).sum())
+        return pa.table({
+            "image_id": t["image_id"],
+            "h": pc.cast(t["h"], pa.int64()),
+            "w": pc.cast(t["w"], pa.int64()),
+            "flip": pc.cast(t["flip"], pa.int64()),
+            "crop_y": pc.cast(t["crop_y"], pa.int64()),
+            "crop_x": pc.cast(t["crop_x"], pa.int64()),
+            "px_sum": pa.array(sums),
+        })
+
+    out = aug.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)

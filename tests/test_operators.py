@@ -2695,3 +2695,53 @@ class TestPqAnn:
             exact = list(ids[order[:3]])
             mine = got[got["query_id"] == qi]["neighbor_id"].tolist()
             assert sorted(mine) == sorted(exact), qi
+
+
+class TestAugmentDigest:
+    def test_local_decode_recompute(self, ray_session):
+        """The audit digest matches a fully local recompute: decode the
+        source image, apply the same seeded crop/flip, sum pixels."""
+        import zlib
+
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.pipelines.geospatial import q_augment_digest
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+            images_from_documents)
+        from stac_catalog_builder_ray.stages.dedup import splitmix64
+
+        sf = "/root/testdata/sf0.001"
+        out = q_augment_digest(sf).set_index("image_id")
+        assert len(out) > 0
+
+        images = images_from_documents(sf, "/tmp/scbr-query-cache")
+        import glob
+
+        t = pq.read_table(sorted(glob.glob(images + "/*.parquet"))[0])
+        checked = 0
+        for i in range(t.num_rows):
+            if checked >= 5:
+                break
+            img_id = t["image_id"][i].as_py()
+            if isinstance(out.loc[img_id], pd.DataFrame):
+                continue  # recurring image_id (planted duplicates) — skip
+            checked += 1
+            px = decode_image(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            h, w = px.shape
+            seed = np.uint64(zlib.crc32(img_id.encode()) ^ (3 << 32))
+            r = splitmix64(np.array([seed], dtype=np.uint64))[0]
+            flip = bool(r & np.uint64(1))
+            ch, cw = max(1, int(h * 0.875)), max(1, int(w * 0.875))
+            oy = int((r >> np.uint64(1)) % np.uint64(h - ch + 1))
+            ox = int((r >> np.uint64(17)) % np.uint64(w - cw + 1))
+            a = px[oy:oy + ch, ox:ox + cw]
+            if flip:
+                a = a[:, ::-1]
+            row = out.loc[img_id]
+            assert (row["h"], row["w"]) == (ch, cw)
+            assert row["flip"] == int(flip)
+            assert (row["crop_y"], row["crop_x"]) == (oy, ox)
+            assert row["px_sum"] == int(a.astype(np.int64).sum())

@@ -75,6 +75,10 @@ GOLDEN = {
     # lattice-exactness: test_operators::TestPqAnn; deterministic
     # farthest-point codebook init, block-count independent)
     "pq_ann": ("431421c773a5b019", 50),
+    # deterministic per-epoch augmentation audit (independent local-decode
+    # recompute: test_operators::TestAugmentDigest; epoch determinism in
+    # TestAugment)
+    "augment_digest": ("6b89ac4d86a2ef3d", 500),
 }
 
 
