@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue": R.q_returned_revenue,
         "distinct_users": R.q_distinct_users,
         "percent_rank": R.q_percent_rank,
+        "run_lengths": R.q_run_lengths,
+        "source_overlap": R.q_source_overlap,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -141,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iou_join": G.q_iou_join,
         "dwell_points": G.q_dwell_points,
         "augment_digest": G.q_augment_digest,
+        "nearest_aoi": G.q_nearest_aoi,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,
@@ -315,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
         "returned_revenue": R.SQL_RETURNED_REVENUE,
         "distinct_users": R.SQL_DISTINCT_USERS,
         "percent_rank": R.SQL_PERCENT_RANK,
+        "run_lengths": R.SQL_RUN_LENGTHS,
+        "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",
         "pip_join": (
             f"WITH pts AS ({_PTS}) SELECT event_id, a.aoi_id FROM pts, (VALUES "
@@ -378,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_cells": G.hotspot_cells_sql(),
         "iou_join": G.iou_join_sql(),
         "dwell_points": G.dwell_points_sql(),
+        "nearest_aoi": G.nearest_aoi_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

@@ -1362,3 +1362,54 @@ def q_augment_digest(sf_dir: str):
 
     out = aug.map_batches(digest, batch_format="pyarrow").to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
+
+
+# the two non-global AOIs (aoi_world covers every point, which would make
+# nearest-AOI degenerate) in integer micro-degrees, mirrored in SQL
+NEAREST_AOIS = [("aoi_mid", -30_000_000, -20_000_000, 30_000_000, 20_000_000),
+                ("aoi_ne", 100_000_000, 40_000_000, 170_000_000, 85_000_000)]
+
+
+def q_nearest_aoi(sf_dir: str):
+    """NEAREST-AOI assignment: each event point gets the closest AOI
+    rectangle by exact integer squared distance-to-box (0 inside; ties
+    break on aoi_id) — the proximity-join that routes observations to
+    their operating region.  The AOI set broadcasts (tiny); one
+    embarrassingly-parallel vectorized pass, no shuffle.
+    -> (event_id, aoi_id, d2)."""
+    pts = _points_e6(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        best_d = np.full(len(x), np.iinfo(np.int64).max, dtype=np.int64)
+        best_a = np.empty(len(x), dtype=object)
+        for aid, w, s, e, n in NEAREST_AOIS:  # ascending aoi_id == tie order
+            dx = np.maximum(0, np.maximum(w - x, x - e))
+            dy = np.maximum(0, np.maximum(s - y, y - n))
+            d2 = dx * dx + dy * dy
+            m = d2 < best_d
+            best_d[m] = d2[m]
+            best_a[m] = aid
+        return pa.table({"event_id": t["event_id"],
+                         "aoi_id": pa.array(list(best_a), pa.string()),
+                         "d2": pa.array(best_d)})
+
+    return pts.map_batches(assign, batch_format="pyarrow")
+
+
+def nearest_aoi_sql() -> str:
+    vals = ", ".join(f"('{a}', CAST({w} AS BIGINT), CAST({s} AS BIGINT), "
+                     f"CAST({e} AS BIGINT), CAST({n} AS BIGINT))"
+                     for a, w, s, e, n in NEAREST_AOIS)
+    return (
+        f"WITH p AS (SELECT event_id, {_X_SQL} AS x, {_Y_SQL} AS y FROM events), "
+        f"aois(aoi_id, w, s, e, n) AS (VALUES {vals}), "
+        "d AS (SELECT p.event_id, a.aoi_id, "
+        "GREATEST(CAST(0 AS BIGINT), a.w - p.x, p.x - a.e) AS dx, "
+        "GREATEST(CAST(0 AS BIGINT), a.s - p.y, p.y - a.n) AS dy "
+        "FROM p CROSS JOIN aois a) "
+        "SELECT event_id, aoi_id, dx*dx + dy*dy AS d2 FROM d "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id "
+        "ORDER BY dx*dx + dy*dy, aoi_id) = 1"
+    )

@@ -3709,3 +3709,116 @@ SQL_PERCENT_RANK = (
     "* 1000000 // NULLIF(COUNT(*) OVER (PARTITION BY event_type) - 1, 0), 0) "
     "AS BIGINT) AS pr_e6 FROM events"
 )
+
+
+def q_run_lengths(sf_dir: str):
+    """RUN-LENGTH ENCODING of each user's event-type stream (islands of
+    consecutive equal types, ordered by ts with event_id tie-break) — the
+    gaps-and-islands pattern feature stores use for streak/session-phase
+    features.  One user-bucketed shuffle; inside each bucket the change
+    flags and run ids come from vectorized groupby-shift + cumsum.
+    -> (user_id, run_id, event_type, run_len)."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_ub(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("ub", pa.array(uid % 64))
+
+    def rle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        by = g.groupby("user_id", sort=False)
+        chg = (g["event_type"] != by["event_type"].shift(1)).astype(np.int64)
+        run = chg.groupby(g["user_id"], sort=False).cumsum()
+        out = (pd.DataFrame({"user_id": g["user_id"], "run_id": run,
+                             "event_type": g["event_type"]})
+               .groupby(["user_id", "run_id", "event_type"], sort=False)
+               .size().reset_index(name="run_len"))
+        return out.astype({"user_id": "int64", "run_id": "int64",
+                           "run_len": "int64"})
+
+    out = (ds.map_batches(add_ub, batch_format="pyarrow")
+           .groupby("ub").map_groups(rle, batch_format="pandas")).to_pandas()
+    if "user_id" not in out.columns:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "run_id": pd.Series(dtype="int64"),
+                             "event_type": pd.Series(dtype=object),
+                             "run_len": pd.Series(dtype="int64")})
+    return out.astype({"user_id": "int64", "run_id": "int64",
+                       "run_len": "int64"})
+
+
+SQL_RUN_LENGTHS = (
+    "WITH w AS (SELECT user_id, ts, event_id, event_type, "
+    "CASE WHEN LAG(event_type) OVER u IS DISTINCT FROM event_type "
+    "THEN 1 ELSE 0 END AS chg "
+    "FROM events WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "r AS (SELECT user_id, event_type, "
+    "CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS BIGINT) AS run_id FROM w) "
+    "SELECT user_id, run_id, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS run_len FROM r GROUP BY 1, 2, 3"
+)
+
+
+def q_source_overlap(sf_dir: str):
+    """Pairwise vocabulary OVERLAP COEFFICIENT between document sources
+    (|A∩B| / min(|A|,|B|), e6 integer-exact) — the corpus-mixing diagnostic
+    run before blending sources into a training mixture.  Distinct
+    (source, word) pairs partial-dedupe per batch, per-source sizes are one
+    tiny groupby, the intersection counts come from ONE word-keyed
+    self-join (pairs shuffle, vocab never gathers), and the final division
+    happens on the (sources²)-bounded pair table."""
+    from ray.data.aggregate import Count as _Count
+
+    docs = _t(sf_dir, "documents", ["source", "text"])
+
+    def distinct_words(t: pa.Table) -> pa.Table:
+        s = t["source"].to_pandas()
+        w = t["text"].to_pandas().fillna("").str.lower().str.strip().str.split()
+        df = pd.DataFrame({"source": s.repeat(w.str.len().fillna(0).astype(int)),
+                           "word": w.explode().dropna()})
+        df = df.drop_duplicates()
+        return pa.table({"source": pa.array(df["source"], pa.string()),
+                         "word": pa.array(df["word"], pa.string())})
+
+    from ..stages.dedup import _compact_nonempty
+
+    sw = (docs.map_batches(distinct_words, batch_format="pyarrow")
+          .groupby(["source", "word"]).aggregate(_Count(alias_name="_c")))
+    sw = _compact_nonempty(
+        sw.materialize(),
+        fallback_schema=pa.schema([("source", pa.string()),
+                                   ("word", pa.string()),
+                                   ("_c", pa.int64())]))
+    sizes = (sw.groupby("source").aggregate(_Count(alias_name="n"))
+             .to_pandas().set_index("source")["n"].astype(np.int64))
+    pairs = (sw.join(sw, join_type="inner", num_partitions=cluster_partitions(),
+                     on=("word",), right_on=("word",), right_suffix="_b")
+             .map_batches(lambda t: t.filter(
+                 pc.less(t["source"], t["source_b"]))
+                 .select(["source", "source_b"]), batch_format="pyarrow"))
+    inter = (pairs.map_batches(
+        lambda t: pa.table({"k": pc.binary_join_element_wise(
+            t["source"], t["source_b"], "|")}), batch_format="pyarrow")
+        .groupby("k").aggregate(_Count(alias_name="inter")).to_pandas())
+    parts = inter["k"].str.split("|", expand=True)
+    a, b = parts[0], parts[1]
+    na = sizes.loc[a].to_numpy()
+    nb = sizes.loc[b].to_numpy()
+    ov = inter["inter"].to_numpy(dtype=np.int64) * 1_000_000 // np.minimum(na, nb)
+    return pd.DataFrame({"src_a": a.to_numpy(), "src_b": b.to_numpy(),
+                         "overlap_e6": ov}).sort_values(["src_a", "src_b"]) \
+        .reset_index(drop=True)
+
+
+SQL_SOURCE_OVERLAP = (
+    "WITH sw AS (SELECT DISTINCT source, unnest(regexp_split_to_array("
+    "lower(trim(text)), '\\s+')) AS word FROM documents WHERE trim(text) <> ''), "
+    "sz AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY 1), "
+    "i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter "
+    "FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source "
+    "GROUP BY 1, 2) "
+    "SELECT i.src_a, i.src_b, "
+    "CAST(i.inter * 1000000 // LEAST(x.n, y.n) AS BIGINT) AS overlap_e6 "
+    "FROM i JOIN sz x ON x.source = i.src_a JOIN sz y ON y.source = i.src_b"
+)

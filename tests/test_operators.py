@@ -2745,3 +2745,62 @@ class TestAugmentDigest:
             assert row["flip"] == int(flip)
             assert (row["crop_y"], row["crop_x"]) == (oy, ox)
             assert row["px_sum"] == int(a.astype(np.int64).sum())
+
+
+class TestRunLengths:
+    def test_crafted_streams(self, ray_session, tmp_path):
+        """user 1: a,a,b,a -> runs (a,2),(b,1),(a,1); user 2: single run."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_run_lengths
+
+        ts = pd.to_datetime([f"2024-01-01 00:0{k}" for k in range(6)])
+        t = pa.table({
+            "event_id": pa.array(np.arange(6), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "b", "a", "c", "c"]),
+            "value": pa.array(np.zeros(6)),
+            "props": pa.array(["{}"] * 6),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_run_lengths(str(tmp_path)).sort_values(
+            ["user_id", "run_id"]).reset_index(drop=True)
+        got = list(zip(out["user_id"], out["run_id"], out["event_type"],
+                       out["run_len"]))
+        assert got == [(1, 1, "a", 2), (1, 2, "b", 1), (1, 3, "a", 1),
+                       (2, 1, "c", 2)]
+
+
+class TestNearestAoi:
+    def test_inside_outside_and_tiebreak(self, ray_session):
+        """Points inside an AOI get d2=0 and that AOI; every row picks the
+        true minimum (brute-force numpy recompute)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            NEAREST_AOIS, q_nearest_aoi)
+
+        # sf0.01: event_ids span the full lon range, so inside-AOI points
+        # exist (sf0.001's ids 0-999 all land west of both AOIs)
+        sf = "/root/testdata/sf0.01"
+        out = q_nearest_aoi(sf).to_pandas().set_index("event_id")
+        eid = pq.read_table(f"{sf}/events.parquet", columns=["event_id"]) \
+            ["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid % 3600) * 100000 - 179950000
+        y = ((eid * 7) % 1800) * 100000 - 89950000
+        best = {}
+        for aid, w, s, e, n in NEAREST_AOIS:
+            dx = np.maximum(0, np.maximum(w - x, x - e))
+            dy = np.maximum(0, np.maximum(s - y, y - n))
+            d2 = dx * dx + dy * dy
+            for i, q in enumerate(eid):
+                if q not in best or d2[i] < best[q][0]:
+                    best[q] = (d2[i], aid)
+        assert (out["d2"] == 0).any() and (out["d2"] > 0).any()
+        for q, (d2, aid) in list(best.items())[:200]:
+            assert out.loc[q, "d2"] == d2 and out.loc[q, "aoi_id"] == aid
