@@ -350,3 +350,44 @@ class TestVppIntrospection:
         cfg = collection_config_from_products("vpp-test", slots)
         assert cfg.collection_id == "vpp-test"
         assert sorted(cfg.item_assets) == ["fapar", "ndvi"]
+
+
+class TestTabularSource:
+    def test_parquet_jsonl_csv_same_rows(self, ray_session, tmp_path):
+        """One corpus written in all three formats reads back identically
+        (column-pruned), and format errors are loud."""
+        import pandas as pd
+        import pytest
+
+        from stac_catalog_builder_ray.sources.tabular import read_table_auto
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b", "c", "d e f"],
+                           "extra": [9, 8, 7]})
+        pq_path = str(tmp_path / "docs.parquet")
+        jl_path = str(tmp_path / "docs.jsonl")
+        csv_path = str(tmp_path / "docs.csv")
+        df.to_parquet(pq_path, index=False)
+        df.to_json(jl_path, orient="records", lines=True)
+        df.to_csv(csv_path, index=False)
+
+        want = df[["doc_id", "text"]]
+        for p in (pq_path, jl_path, csv_path):
+            got = (read_table_auto(p, columns=["doc_id", "text"]).to_pandas()
+                   .sort_values("doc_id").reset_index(drop=True))
+            assert got.astype({"doc_id": "int64"}).equals(want), p
+
+        # directory of parts
+        d = tmp_path / "parts"
+        d.mkdir()
+        df.iloc[:2].to_json(str(d / "a.jsonl"), orient="records", lines=True)
+        df.iloc[2:].to_json(str(d / "b.jsonl"), orient="records", lines=True)
+        got = (read_table_auto(str(d), columns=["doc_id", "text"]).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got.astype({"doc_id": "int64"}).equals(want)
+
+        (tmp_path / "bad.xml").write_text("<x/>")
+        with pytest.raises(ValueError, match="unsupported"):
+            read_table_auto(str(tmp_path / "bad.xml"))
+        df.to_parquet(str(d / "c.parquet"), index=False)
+        with pytest.raises(ValueError, match="mixed"):
+            read_table_auto(str(d))
