@@ -1365,11 +1365,12 @@ def _bloom_positions(keys: np.ndarray, salt: int) -> np.ndarray:
     return (h % _BLOOM_BITS).astype(np.int64)
 
 
-def _bloom_build(keys_ds, key_col: str):
+def _bloom_build(keys_ds, key_col: str, fan_in: int = 8):
     """Distributed Bloom build: one fixed-size partial bitmap per batch,
-    OR-merged.  The merge is driver-side over #batches x 128 KiB arrays
-    (at 256 nodes: a two-level ray tree-reduce drops driver traffic to
-    #nodes bitmaps; the bitmap itself never depends on merge order)."""
+    TWO-LEVEL OR-merge — partial bitmaps combine inside ``fan_in``
+    repartitioned blocks first, so the driver reads ``fan_in`` 128 KiB
+    bitmaps instead of #batches of them (OR is associative/commutative, so
+    the merge shape can't change the result)."""
     def partial(t: pa.Table) -> pa.Table:
         bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
         k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1378,8 +1379,17 @@ def _bloom_build(keys_ds, key_col: str):
             np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         return pa.table({"bitmap": pa.array([bits.tobytes()], pa.binary())})
 
+    def or_block(t: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        for buf in t["bitmap"]:
+            bits |= np.frombuffer(buf.as_py(), dtype=np.uint8)
+        return pa.table({"bitmap": pa.array([bits.tobytes()], pa.binary())})
+
+    level1 = (keys_ds.map_batches(partial, batch_format="pyarrow")
+              .repartition(fan_in)
+              .map_batches(or_block, batch_format="pyarrow", batch_size=None))
     merged = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
-    for row in keys_ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+    for row in level1.iter_rows():
         merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
     return merged
 
