@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dwell_points": G.q_dwell_points,
         "augment_digest": G.q_augment_digest,
         "nearest_aoi": G.q_nearest_aoi,
+        "kcore": G.q_kcore,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "iou_join": G.iou_join_sql(),
         "dwell_points": G.dwell_points_sql(),
         "nearest_aoi": G.nearest_aoi_sql(),
+        "kcore": G.kcore_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

@@ -1413,3 +1413,121 @@ def nearest_aoi_sql() -> str:
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id "
         "ORDER BY dx*dx + dy*dy, aoi_id) = 1"
     )
+
+
+KCORE_K = 3
+KCORE_RADIUS = 4.0
+KCORE_SQL_ROUNDS = 12  # oracle unroll; Ray iterates to convergence (peel
+# rounds measured 2 @sf0.001 / 8 @sf0.01; extra rounds are no-ops because
+# peeling is monotone, so a generous unroll stays exact)
+
+
+def q_kcore(sf_dir: str, driver_edge_limit: int = 5_000_000):
+    """k-CORE decomposition (k=3) of the radius-4 proximity graph — the
+    density filter of graph curation (drop every node whose degree inside
+    the surviving subgraph is < k, to a fixpoint).  Completes the graph
+    family (pagerank / components / triangles) with the iterative-PEELING
+    archetype.
+
+    AUTO-ROUTED like ``neardup_cluster_labels``/``kmeans``: at or below
+    ``driver_edge_limit`` directed edges the peel runs locally (bincount
+    degrees + boolean masks — each Ray round costs ~1 s of job launch vs
+    microseconds of compute at that size; measured 43 s -> ~4 s at
+    sf0.01); above it the distributed loop engages — every round one
+    degree groupby + two partitioned semi-joins (edges ⋈ surviving nodes
+    per endpoint), nothing driver-held but the round's drop COUNT.
+    Rounds are data-bounded (monotone peel); both paths equality-tested.
+    Oracle: the same peel unrolled ``KCORE_SQL_ROUNDS`` times in SQL
+    (extra rounds no-op).  -> (node, core_deg) for k-core members."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..stages.dedup import _compact_nonempty
+    from ..stages.spatial import radius_join
+    from .relational import cluster_partitions
+
+    edges = radius_join(hashed_points(sf_dir), KCORE_RADIUS,
+                        id_col="event_id")
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks()
+        b = t["id_b"].combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    bi_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    bi = _compact_nonempty(
+        edges.map_batches(explode, batch_format="pyarrow").materialize(),
+        fallback_schema=bi_schema)
+    if bi.count() <= driver_edge_limit:
+        pdf = bi.to_pandas()
+        if pdf.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "core_deg": pd.Series(dtype="int64")})
+        ids, inv = np.unique(
+            np.concatenate([pdf["u"].to_numpy(np.int64),
+                            pdf["v"].to_numpy(np.int64)]), return_inverse=True)
+        ui, vi = inv[:len(pdf)], inv[len(pdf):]
+        alive_e = np.ones(len(ui), dtype=bool)
+        while True:
+            deg = np.bincount(ui[alive_e], minlength=len(ids))
+            keep = deg >= KCORE_K
+            ne = alive_e & keep[ui] & keep[vi]
+            if ne.sum() == alive_e.sum():
+                break
+            alive_e = ne
+        deg = np.bincount(ui[alive_e], minlength=len(ids))
+        m = deg >= KCORE_K
+        return (pd.DataFrame({"node": ids[m], "core_deg": deg[m]})
+                .astype({"node": "int64", "core_deg": "int64"})
+                .sort_values("node").reset_index(drop=True))
+    nparts = cluster_partitions()
+    deg_schema = pa.schema([("u", pa.int64()), ("deg", pa.int64())])
+    while True:
+        deg = _compact_nonempty(
+            bi.groupby("u").aggregate(_Count(alias_name="deg")).materialize(),
+            fallback_schema=deg_schema)
+        n_nodes = deg.count()
+        keep = _compact_nonempty(
+            deg.map_batches(
+                lambda t: pa.table({"ku": t["u"].filter(
+                    pc.greater_equal(t["deg"], KCORE_K))}),
+                batch_format="pyarrow").materialize(),
+            fallback_schema=pa.schema([("ku", pa.int64())]))
+        n_keep = keep.count()
+        if n_keep == 0:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "core_deg": pd.Series(dtype="int64")})
+        if n_keep == n_nodes:  # fixpoint: nothing peeled this round
+            pdf = deg.to_pandas()
+            return (pd.DataFrame({"node": pdf["u"].astype("int64"),
+                                  "core_deg": pdf["deg"].astype("int64")})
+                    .sort_values("node").reset_index(drop=True))
+        bi = _compact_nonempty(
+            (bi.join(keep, join_type="inner", num_partitions=nparts,
+                     on=("u",), right_on=("ku",))
+             .join(keep, join_type="inner", num_partitions=nparts,
+                   on=("v",), right_on=("ku",))
+             .select_columns(["u", "v"])).materialize(),
+            fallback_schema=bi_schema)
+
+
+def kcore_sql() -> str:
+    sql = (
+        "WITH " + _kmv_sql_cte("event_id") + ", "
+        "pts AS (SELECT event_id, (g % 36000) / 100.0 - 180.0 AS lon, "
+        "((g // 36000) % 18000) / 100.0 - 90.0 AS lat FROM sq), "
+        "e AS MATERIALIZED (SELECT a.event_id AS u, b.event_id AS v "
+        "FROM pts a JOIN pts b ON a.event_id < b.event_id "
+        "AND (a.lon-b.lon)*(a.lon-b.lon)+(a.lat-b.lat)*(a.lat-b.lat) "
+        f"<= {KCORE_RADIUS * KCORE_RADIUS}), "
+        "e0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)"
+    )
+    prev = "e0"
+    for r in range(1, KCORE_SQL_ROUNDS + 1):
+        sql += (f", a{r} AS MATERIALIZED (SELECT u FROM {prev} "
+                f"GROUP BY u HAVING COUNT(*) >= {KCORE_K})"
+                f", e{r} AS MATERIALIZED (SELECT x.u, x.v FROM {prev} x "
+                f"JOIN a{r} p ON p.u = x.u JOIN a{r} q ON q.u = x.v)")
+        prev = f"e{r}"
+    return (sql + f" SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg "
+            f"FROM {prev} GROUP BY 1")

@@ -822,3 +822,47 @@ class TestDwellPoints:
         got = set(zip(out["event_id"], out["user_id"]))
         # user 1: 101 dwells. user 2: 2000 is 180 deg east of 200 -> no dwell
         assert got == {(101, 1)}
+
+
+class TestKcore:
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("limit", [5_000_000, 0])
+    def test_paths_identical_and_match_python_peel(self, ray_session, limit):
+        """Local bincount peel vs distributed join peel give identical
+        k-cores, and both match an independent python set-based peel."""
+        import collections
+
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            KCORE_K, KCORE_RADIUS, _kmv_sql_cte, q_kcore)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_kcore(sf, driver_edge_limit=limit)
+        # independent oracle: python peel over the brute-force edge list
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+        edges = con.sql(
+            "WITH " + _kmv_sql_cte("event_id") +
+            ", pts AS (SELECT event_id, (g % 36000)/100.0 - 180.0 AS lon, "
+            "((g // 36000) % 18000)/100.0 - 90.0 AS lat FROM sq) "
+            "SELECT a.event_id AS id_a, b.event_id AS id_b FROM pts a "
+            "JOIN pts b ON a.event_id < b.event_id "
+            "AND (a.lon-b.lon)*(a.lon-b.lon)+(a.lat-b.lat)*(a.lat-b.lat) "
+            f"<= {KCORE_RADIUS * KCORE_RADIUS}").df()
+        adj = collections.defaultdict(set)
+        for a, b in zip(edges.id_a, edges.id_b):
+            adj[a].add(b)
+            adj[b].add(a)
+        alive = set(adj)
+        while True:
+            drop = {u for u in alive
+                    if sum(v in alive for v in adj[u]) < KCORE_K}
+            if not drop:
+                break
+            alive -= drop
+        want = {u: sum(v in alive for v in adj[u]) for u in sorted(alive)}
+        got = dict(zip(out["node"], out["core_deg"]))
+        assert len(want) > 0 and got == want
