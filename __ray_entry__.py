@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank": R.q_percent_rank,
         "run_lengths": R.q_run_lengths,
         "source_overlap": R.q_source_overlap,
+        "quantile_sketch": R.q_quantile_sketch,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,

@@ -3832,3 +3832,26 @@ SQL_SOURCE_OVERLAP = (
     "CAST(i.inter * 1000000 // LEAST(x.n, y.n) AS BIGINT) AS overlap_e6 "
     "FROM i JOIN sz x ON x.source = i.src_a JOIN sz y ON y.source = i.src_b"
 )
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Mergeable QUANTILE-SKETCH estimates of l_extendedprice (rows-only:
+    the sketch's compaction history is partition-dependent, so exact values
+    can't have a SQL twin — the ERROR BOUND is the contract, asserted
+    against exact quantiles in tests/test_operators.py::TestQuantileSketch):
+    per-batch MRL sketches tree-merge (Bloom-build shape) and answer
+    p1/p25/p50/p75/p99 in O(capacity * log n) memory per task — the
+    fixed-memory path when grouped_quantiles' exact two-phase co-location
+    is too wide.  Output includes the sketch's analytic rank-error bound so
+    downstream consumers can see the guarantee next to the estimate."""
+    from ..stages.quantile import sketch_quantiles
+
+    li = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = (0.01, 0.25, 0.50, 0.75, 0.99)
+    est, sk = sketch_quantiles(li, "l_extendedprice", qs, capacity=256)
+    return pd.DataFrame({
+        "quantile_e2": [int(round(q * 100)) for q in qs],
+        "est_cents": [int(round(est[q] * 100)) for q in qs],
+        "rank_err_bound": [sk.rank_error_bound()] * len(qs),
+        "n": [sk.n] * len(qs),
+    })

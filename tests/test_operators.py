@@ -2804,3 +2804,59 @@ class TestNearestAoi:
         assert (out["d2"] == 0).any() and (out["d2"] > 0).any()
         for q, (d2, aid) in list(best.items())[:200]:
             assert out.loc[q, "d2"] == d2 and out.loc[q, "aoi_id"] == aid
+
+
+class TestQuantileSketch:
+    def test_error_bound_vs_exact(self, ray_session):
+        """Sketch estimates sit within the analytic rank-error bound of the
+        exact quantiles (and within 2% rank empirically on this data)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_quantile_sketch
+
+        sf = "/root/testdata/sf0.01"
+        out = q_quantile_sketch(sf).set_index("quantile_e2")
+        vals = np.sort(pq.read_table(f"{sf}/lineitem.parquet",
+                                     columns=["l_extendedprice"])
+                       ["l_extendedprice"].to_numpy(zero_copy_only=False))
+        n = len(vals)
+        assert int(out["n"].iloc[0]) == n
+        bound = int(out["rank_err_bound"].iloc[0])
+        assert bound < n * 0.25  # the guarantee is meaningfully tight
+        for qe2, row in out.iterrows():
+            target = max(1, int(np.ceil(qe2 / 100.0 * n)))
+            est = row["est_cents"] / 100.0
+            # rank of the estimate in the exact sorted array
+            lo = np.searchsorted(vals, est, side="left")
+            hi = np.searchsorted(vals, est, side="right")
+            err = max(0, lo - target, target - hi)
+            assert err <= bound, (qe2, err, bound)
+            assert err <= 0.02 * n, (qe2, err)  # empirical tightness
+
+    def test_merge_equals_stream_bound_and_determinism(self, ray_session):
+        """Merging many partial sketches obeys the same bound as one big
+        sketch; repeated runs over the same stream are identical."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.stages.quantile import QuantileSketch
+
+        rng = np.random.default_rng(11)
+        data = rng.normal(size=40_000)
+        parts = np.array_split(data, 37)
+        merged = QuantileSketch(128)
+        for p in parts:
+            merged.merge(QuantileSketch(128).update(p))
+        again = QuantileSketch(128)
+        for p in parts:
+            again.merge(QuantileSketch(128).update(p))
+        svals = np.sort(data)
+        n = len(data)
+        for q in (0.1, 0.5, 0.9):
+            est = merged.quantile(q)
+            assert est == again.quantile(q)  # deterministic
+            target = int(np.ceil(q * n))
+            lo = np.searchsorted(svals, est, "left")
+            hi = np.searchsorted(svals, est, "right")
+            err = max(0, lo - target, target - hi)
+            assert err <= merged.rank_error_bound(), (q, err)

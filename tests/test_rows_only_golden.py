@@ -81,6 +81,12 @@ GOLDEN = {
     "augment_digest": ("6b89ac4d86a2ef3d", 500),
 }
 
+# quantile_sketch is rows-only but NOT pinned here: its compaction history
+# is partition-dependent by design, so the contract is the analytic
+# rank-error BOUND, asserted against exact quantiles in
+# test_operators::TestQuantileSketch (bound + 2% empirical + determinism
+# for a fixed stream).
+
 
 def _vhash(df: pd.DataFrame):
     cols = sorted(df.columns)
