@@ -64,6 +64,12 @@ QUERY_NAMES = [
     "pagerank",
     "dbscan",
     "training_manifest",
+    # round-4 operators (sf0.1 walls measured 2026-08-18 under ~1.2-1.5x
+    # host handicap: edit1 9.5s — 285k deletion variants + bucketed
+    # merge; iou 3.5s; kcore ~5s after the local-peel auto-route)
+    "edit1_join",
+    "iou_join",
+    "kcore",
 ]
 
 
