@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_digest": G.q_augment_digest,
         "nearest_aoi": G.q_nearest_aoi,
         "kcore": G.q_kcore,
+        "frame_sample": G.q_frame_sample,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
         "quality_score": T.q_quality_score,

@@ -1531,3 +1531,53 @@ def kcore_sql() -> str:
         prev = f"e{r}"
     return (sql + f" SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg "
             f"FROM {prev} GROUP BY 1")
+
+
+def q_frame_sample(sf_dir: str):
+    """VIDEO-style frame sampling made driver-visible (rows-only: binary
+    payload layout is not SQL-expressible): each documents-derived image
+    becomes a 4-frame clip (the raw frame repeated with a per-frame integer
+    brightness step — deterministic, no codecs), FrameSampleStage explodes
+    every 2nd frame to its own row, and each kept frame reduces to an
+    integer digest.  The container-format path (ffmpeg) stays a documented
+    capability gate; this exercises the REAL plumbing: payload slicing,
+    flat-map explode, per-frame schema.  Independent oracle:
+    tests/test_operators.py::TestFrameSampleQuery (local recompute)."""
+    from ..codec.raster import decode_image
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.multimodal import FrameSampleStage
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    ds = rd.read_parquet(images)
+
+    def to_clip(t: pa.Table) -> pa.Table:
+        ids, bufs, ws, hs = [], [], [], []
+        for i in range(t.num_rows):  # per-row opaque binary decode
+            px = decode_image(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            h, w = px.shape
+            frames = [((px.astype(np.int64) + 7 * f) % 65536).astype("<u2")
+                      for f in range(4)]
+            ids.append(t["image_id"][i].as_py())
+            bufs.append(b"".join(f.tobytes() for f in frames))
+            ws.append(w)
+            hs.append(h)
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "bytes": pa.array(bufs, pa.binary()),
+                         "w": pa.array(ws, pa.int32()),
+                         "h": pa.array(hs, pa.int32())})
+
+    sampled = ds.map_batches(to_clip, batch_format="pyarrow").map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"stride": 2},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def digest(t: pa.Table) -> pa.Table:
+        sums = np.empty(t.num_rows, dtype=np.int64)
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["bytes"][i].as_py(), dtype="<u2")
+            sums[i] = int(arr.astype(np.int64).sum())
+        return pa.table({"image_id": t["image_id"],
+                         "frame": pc.cast(t["frame"], pa.int64()),
+                         "px_sum": pa.array(sums)})
+
+    out = sampled.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["image_id", "frame"]).reset_index(drop=True)

@@ -2860,3 +2860,42 @@ class TestQuantileSketch:
             hi = np.searchsorted(svals, est, "right")
             err = max(0, lo - target, target - hi)
             assert err <= merged.rank_error_bound(), (q, err)
+
+
+class TestFrameSampleQuery:
+    def test_local_recompute(self, ray_session):
+        """Frames 0 and 2 of every 4-frame clip survive; each kept frame's
+        pixel sum equals the source image's sum shifted by the per-frame
+        brightness step (local decode recompute)."""
+        import glob
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.pipelines.geospatial import q_frame_sample
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+            images_from_documents)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_frame_sample(sf)
+        assert sorted(out["frame"].unique()) == [0, 2]  # stride 2 of 4
+        images = images_from_documents(sf, "/tmp/scbr-query-cache")
+        t = pq.read_table(sorted(glob.glob(images + "/*.parquet"))[0])
+        idx = out.set_index(["image_id", "frame"])["px_sum"]
+        checked = 0
+        for i in range(t.num_rows):
+            img_id = t["image_id"][i].as_py()
+            px = decode_image(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+            for f in (0, 2):
+                want = int((((px.astype(np.int64) + 7 * f) % 65536)).sum())
+                got = idx.loc[(img_id, f)]
+                if hasattr(got, "__len__"):
+                    # recurring image_ids carry DIFFERENT pixels (distinct
+                    # gradient params) — this row's sum must be among them
+                    assert want in set(got.tolist())
+                else:
+                    assert got == want
+            checked += 1
+            if checked >= 5:
+                break

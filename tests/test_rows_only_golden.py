@@ -79,6 +79,9 @@ GOLDEN = {
     # recompute: test_operators::TestAugmentDigest; epoch determinism in
     # TestAugment)
     "augment_digest": ("6b89ac4d86a2ef3d", 500),
+    # video-style frame sampling (independent local recompute:
+    # test_operators::TestFrameSampleQuery)
+    "frame_sample": ("53d048285d7a6b24", 1000),
 }
 
 # quantile_sketch is rows-only but NOT pinned here: its compaction history
