@@ -119,6 +119,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "run_lengths": R.q_run_lengths,
         "source_overlap": R.q_source_overlap,
         "quantile_sketch": R.q_quantile_sketch,
+        # round-4 late additions: grouped stats / histogram / growth curve
+        "corr_by_group": R.q_corr_by_group,
+        "grouped_mode": R.q_grouped_mode,
+        "histogram": R.q_histogram,
+        "entropy_by_group": R.q_entropy_by_group,
+        "new_users_daily": R.q_new_users_daily,
+        "heavy_hitters": T.q_heavy_hitters,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -321,6 +328,12 @@ def oracle_sql() -> dict[str, str]:
         "returned_revenue": R.SQL_RETURNED_REVENUE,
         "distinct_users": R.SQL_DISTINCT_USERS,
         "percent_rank": R.SQL_PERCENT_RANK,
+        "corr_by_group": R.SQL_CORR_BY_GROUP,
+        "grouped_mode": R.SQL_GROUPED_MODE,
+        "histogram": R.SQL_HISTOGRAM,
+        "entropy_by_group": R.SQL_ENTROPY_BY_GROUP,
+        "new_users_daily": R.SQL_NEW_USERS_DAILY,
+        "heavy_hitters": T.SQL_HEAVY_HITTERS,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

@@ -3855,3 +3855,236 @@ def q_quantile_sketch(sf_dir: str):
         "rank_err_bound": [sk.rank_error_bound()] * len(qs),
         "n": [sk.n] * len(qs),
     })
+
+
+# --- round-4 late additions: grouped statistics / histograms ----------------
+
+
+def q_corr_by_group(sf_dir: str):
+    """GROUPED PEARSON CORRELATION (quantity vs extendedprice per return
+    flag) computed EXACTLY in the distributed setting: per-batch integer
+    partial sums (n, Sx, Sy, Sxy, Sxx, Syy) over int-rounded inputs — all
+    bounded int64 by construction (x <= 50, y <= ~1e5) — folded by one tiny
+    groupby, with the final correlation assembled from Python bignums (the
+    cross terms exceed int64; DuckDB's HUGEINT SUM does the same) so the
+    result is bit-stable under any partial-aggregation order.  The same
+    six-sums shape is how corr/covariance matrices are computed over 100 TB
+    without a second pass."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = round_half_away(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = round_half_away(t["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "n": 1, "sx": x, "sy": y,
+                           "sxy": x * y, "sxx": x * x, "syy": y * y})
+        agg = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(_Sum("n", alias_name="n"), _Sum("sx", alias_name="sx"),
+                      _Sum("sy", alias_name="sy"), _Sum("sxy", alias_name="sxy"),
+                      _Sum("sxx", alias_name="sxx"), _Sum("syy", alias_name="syy"))
+           .to_pandas())
+    rows = []
+    for r in agg.itertuples():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxy, sxx, syy = int(r.sxy), int(r.sxx), int(r.syy)
+        num = n * sxy - sx * sy
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        corr = float(num) / float(den2) ** 0.5
+        rows.append((r.l_returnflag, n, corr))
+    return pd.DataFrame(rows, columns=["l_returnflag", "n", "corr"])
+
+
+SQL_CORR_BY_GROUP = (
+    "WITH b AS (SELECT l_returnflag, "
+    "CAST(ROUND(l_quantity, 0) AS BIGINT) AS x, "
+    "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y FROM lineitem) "
+    "SELECT l_returnflag, COUNT(*) AS n, "
+    "CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) / "
+    "SQRT(CAST((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * "
+    "(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)) AS DOUBLE)) AS corr "
+    "FROM b GROUP BY 1"
+)
+
+
+def q_grouped_mode(sf_dir: str):
+    """GROUPED MODE with deterministic tie-break (most frequent nation per
+    market segment; ties -> smallest nationkey), fully distributed via the
+    PACKED-ARGMAX trick: after the exact (segment, nation) counts, each
+    candidate is encoded as ``count * 1000 + (999 - nationkey)`` so a single
+    int64 MAX aggregate picks (max count, then min key) — no per-group sort,
+    no map_groups, and the second aggregate is as shuffle-cheap as a SUM.
+    The pack is safe while count < 2^53/1000 and key < 1000 (both hold by
+    construction; asserted)."""
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    ds = _t(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_mktsegment": t["c_mktsegment"].to_pandas(),
+                           "c_nationkey": t["c_nationkey"].to_pandas().astype("int64"),
+                           "n": 1})
+        agg = df.groupby(["c_mktsegment", "c_nationkey"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["c_mktsegment", "c_nationkey"])
+              .aggregate(_Sum("n", alias_name="n")))
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert k.size == 0 or (k.max() < 1000 and n.max() < (1 << 53) // 1000)
+        return pa.table({"c_mktsegment": t["c_mktsegment"],
+                         "score": pa.array(n * 1000 + (999 - k))})
+
+    best = (counts.map_batches(pack, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(_Max("score", alias_name="score"))
+            .to_pandas())
+    score = best["score"].astype("int64")
+    best["mode_nationkey"] = 999 - (score % 1000)
+    best["mode_count"] = score // 1000
+    return best[["c_mktsegment", "mode_nationkey", "mode_count"]]
+
+
+SQL_GROUPED_MODE = (
+    "WITH c AS (SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nk, "
+    "COUNT(*) AS n FROM customer GROUP BY 1, 2), "
+    "s AS (SELECT c_mktsegment, MAX(n * 1000 + (999 - nk)) AS score FROM c GROUP BY 1) "
+    "SELECT c_mktsegment, 999 - (score % 1000) AS mode_nationkey, "
+    "score // 1000 AS mode_count FROM s"
+)
+
+
+HISTOGRAM_WIDTH_CENTS = 2_500_000  # fixed equi-width bucket: $25k in cents
+
+
+def q_histogram(sf_dir: str):
+    """EQUI-WIDTH HISTOGRAM of order totals: fixed $25k buckets over exact
+    cents (fixed bounds need no global min/max pre-pass — the zero-extra-
+    pass histogram used for dashboards over 100 TB).  Per-batch bincount
+    partials (each batch emits at most n_buckets rows), one tiny groupby
+    Sum; empty buckets are absent on both sides by construction."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bucket = cents // HISTOGRAM_WIDTH_CENTS
+        vc = pd.Series(bucket).value_counts()
+        return pa.table({"bucket": pa.array(vc.index.to_numpy(np.int64)),
+                         "n_orders": pa.array(vc.to_numpy(np.int64))})
+
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(_Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["lo_cents"] = out["bucket"].astype("int64") * HISTOGRAM_WIDTH_CENTS
+    return out[["bucket", "lo_cents", "n_orders"]]
+
+
+SQL_HISTOGRAM = (
+    "WITH b AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // 2500000 "
+    "AS bucket FROM orders) "
+    "SELECT bucket, bucket * 2500000 AS lo_cents, COUNT(*) AS n_orders "
+    "FROM b GROUP BY 1"
+)
+
+
+def q_entropy_by_group(sf_dir: str):
+    """SHANNON ENTROPY of the event-type distribution per user cohort
+    (user_id % 16) — the class-balance / diversity diagnostic of training-
+    data audits.  Distribution counts are EXACT integers from one partial-
+    count pass + tiny groupby; the entropy itself is computed from those
+    exact counts on the (cohort x type)-sized result (bounded by the type
+    domain, not the corpus), summing -p*log2(p) in deterministic type
+    order."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"cohort": (t["user_id"].to_numpy(zero_copy_only=False) % 16),
+                           "event_type": t["event_type"].to_pandas(), "n": 1})
+        agg = df.groupby(["cohort", "event_type"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["cohort", "event_type"])
+              .aggregate(_Sum("n", alias_name="n"))
+              .to_pandas())
+    counts["n"] = counts["n"].astype("int64")
+    rows = []
+    for cohort, g in counts.sort_values(["cohort", "event_type"]).groupby("cohort"):
+        tot = int(g["n"].sum())
+        p = g["n"].to_numpy(np.float64) / tot
+        rows.append((int(cohort), tot, float(-(p * np.log2(p)).sum())))
+    return pd.DataFrame(rows, columns=["cohort", "n_events", "entropy_bits"])
+
+
+SQL_ENTROPY_BY_GROUP = (
+    "WITH c AS (SELECT user_id % 16 AS cohort, event_type, COUNT(*) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "t AS (SELECT cohort, SUM(n) AS tot FROM c GROUP BY 1) "
+    "SELECT c.cohort, CAST(t.tot AS BIGINT) AS n_events, "
+    "SUM(-(CAST(c.n AS DOUBLE) / t.tot) * LOG2(CAST(c.n AS DOUBLE) / t.tot)) "
+    "AS entropy_bits FROM c JOIN t ON c.cohort = t.cohort GROUP BY 1, 2"
+)
+
+
+def q_new_users_daily(sf_dir: str):
+    """CUMULATIVE-DISTINCT-USERS-BY-DAY (the growth curve every events
+    pipeline reports) WITHOUT a running count(distinct) window: first-seen
+    day per user via one groupby MIN (the only corpus-sized shuffle), then
+    per-day new-user counts, then a running sum over the day-count result —
+    which is bounded by the DATE DOMAIN (~10^3 rows for years of data), so
+    the cumulative pass is a driver-side cumsum over a tiny frame, not a
+    window over the corpus."""
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def day_part(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    first = (ds.map_batches(day_part, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(_Min("day", alias_name="day")))
+
+    def count_part(t: pa.Table) -> pa.Table:
+        vc = t["day"].to_pandas().value_counts()
+        return pa.table({"day": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                         "new_users": pa.array(vc.to_numpy(np.int64))})
+
+    daily = (first.map_batches(count_part, batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(_Sum("new_users", alias_name="new_users"))
+             .to_pandas())
+    daily["new_users"] = daily["new_users"].astype("int64")
+    daily = daily.sort_values("day", kind="stable").reset_index(drop=True)
+    daily["cum_users"] = daily["new_users"].cumsum()
+    return daily[["day", "new_users", "cum_users"]]
+
+
+SQL_NEW_USERS_DAILY = (
+    "WITH f AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day "
+    "FROM events GROUP BY 1), "
+    "c AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1) "
+    "SELECT day, new_users, "
+    "CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users FROM c"
+)

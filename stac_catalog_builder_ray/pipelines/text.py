@@ -1709,3 +1709,127 @@ def q_pq_ann(sf_dir: str):
     out = pq_topk_rerank(codes, books, emb, queries, k=5, shortlist=25)
     return out.astype({"query_id": "int64", "neighbor_id": "int64"}) \
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+
+# --- Misra-Gries heavy hitters (round-4 late addition) ----------------------
+
+
+def _mg_update(sketch: dict, word: str, inc: int, capacity: int) -> None:
+    """Textbook Misra-Gries update generalized to weighted increments."""
+    if word in sketch:
+        sketch[word] += inc
+    elif len(sketch) < capacity:
+        sketch[word] = inc
+    else:
+        dec = min(inc, min(sketch.values()))
+        dead = [k for k in sketch if sketch[k] == dec]
+        for k in sketch:
+            sketch[k] -= dec
+        for k in dead:
+            del sketch[k]
+        if inc > dec:
+            sketch[word] = inc - dec
+
+
+def _mg_merge(a: dict, b: dict, capacity: int) -> dict:
+    """Merge two MG sketches preserving the deficit bound (Agarwal et al.,
+    'Mergeable Summaries', PODS'12): add counts, then subtract the
+    (capacity+1)-th largest and drop non-positive entries."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    if len(out) > capacity:
+        kth = sorted(out.values(), reverse=True)[capacity]
+        out = {k: v - kth for k, v in out.items() if v - kth > 0}
+    return out
+
+
+def q_heavy_hitters(sf_dir: str, capacity: int = 512):
+    """HEAVY HITTERS over the corpus token stream — the two-pass
+    Misra-Gries pattern that finds every word with frequency >
+    n_tokens/capacity WITHOUT ever materializing the O(vocab) count table
+    on the driver (contrast ``word_freq``, which returns the full table):
+
+    pass 1 (streaming): each batch folds its token counts into a
+        capacity-bounded MG sketch (value_counts first, so updates are
+        per-distinct-word); the driver tree-folds the per-batch sketches
+        with the mergeable-summaries rule.  Guarantee: the merged sketch's
+        key set contains EVERY word with true count > n_tokens/capacity.
+    pass 2 (candidates only): exact counts for the <= capacity candidate
+        words (broadcast value_set filter + tiny groupby), then the exact
+        integer filter ``count * capacity > n_tokens``.
+
+    Driver state is O(n_batches x capacity) in pass 1 and <= capacity rows
+    in pass 2.  The sketch only steers WHICH words get exact-counted; the
+    output is computed from exact integers, hence deterministic and
+    SQL-checkable."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["text"])
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.split().explode().dropna()
+        vc = s.value_counts()
+        sk: dict = {}
+        for w, c in vc.items():
+            _mg_update(sk, w, int(c), capacity)
+        words = list(sk.keys())
+        # batch token total stamped on the first row only: summing the
+        # column recovers the exact global n_tokens after concatenation
+        stamp = [int(s.size)] + [0] * (len(words) - 1) if words else []
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "weight": pa.array(list(sk.values()), pa.int64()),
+                         "batch_tokens": pa.array(stamp, pa.int64())})
+
+    parts = docs.map_batches(batch_sketch, batch_format="pyarrow").to_pandas()
+    n_tokens = int(parts["batch_tokens"].sum())
+    merged: dict = {}
+    start = 0
+    while start < len(parts):  # fold in bounded chunks, capacity held throughout
+        chunk = parts.iloc[start:start + 4 * capacity]
+        # same word may appear in several batch sketches within the chunk:
+        # sum weights first (deferred truncation only tightens the bound)
+        summed = chunk.groupby("word")["weight"].sum()
+        merged = _mg_merge(
+            merged,
+            {w: int(v) for w, v in summed.items()},
+            capacity,
+        )
+        start += 4 * capacity
+    candidates = pa.array(sorted(merged.keys()), pa.string())
+    cand_ref = ray.put(candidates)
+
+    class ExactCandidateCounts:
+        def __init__(self):
+            self.cands = set(ray.get(cand_ref).to_pylist())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            s = (t["text"].to_pandas().fillna("").str.lower()
+                 .str.split().explode().dropna())
+            vc = s[s.isin(self.cands)].value_counts()
+            return pa.table({"word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                             "n": pa.array(vc.to_numpy(np.int64))})
+
+    exact = (docs.map_batches(ExactCandidateCounts, batch_format="pyarrow",
+                              concurrency=(1, 8))
+             .groupby("word")
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    exact["n"] = exact["n"].astype("int64")
+    out = exact[exact["n"] * capacity > n_tokens].copy()
+    out["n_tokens"] = n_tokens
+    return out.sort_values("word", kind="stable").reset_index(drop=True)
+
+
+SQL_HEAVY_HITTERS = (
+    # exact reference: full word counts filtered at the same integer
+    # threshold (the engine side never builds this full table — that is the
+    # point of the sketch — but the outputs must agree exactly)
+    "WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) "
+    "AS word FROM documents WHERE trim(text) <> ''), "
+    "t AS (SELECT COUNT(*) AS n_tokens FROM w), "
+    "c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1) "
+    "SELECT c.word, c.n, t.n_tokens FROM c, t WHERE c.n * 512 > t.n_tokens"
+)

@@ -2899,3 +2899,72 @@ class TestFrameSampleQuery:
             checked += 1
             if checked >= 5:
                 break
+
+
+class TestHeavyHitters:
+    """Misra-Gries two-pass heavy hitters (pipelines/text.py)."""
+
+    def test_mg_superset_guarantee_random_streams(self):
+        """The merged sketch's key set contains every item with true count
+        > n/capacity, across random Zipf-ish streams and chunked merges."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.pipelines.text import _mg_merge, _mg_update
+
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            cap = int(rng.integers(4, 32))
+            stream = rng.zipf(1.5, size=2000) % 200
+            # split into batches, sketch each, merge in chunks
+            sketches = []
+            for part in np.array_split(stream, 7):
+                sk = {}
+                vals, cnts = np.unique(part, return_counts=True)
+                for v, c in zip(vals, cnts):
+                    _mg_update(sk, int(v), int(c), cap)
+                sketches.append(sk)
+            merged = {}
+            for sk in sketches:
+                merged = _mg_merge(merged, sk, cap)
+            n = len(stream)
+            vals, cnts = np.unique(stream, return_counts=True)
+            must_have = {int(v) for v, c in zip(vals, cnts) if c * cap > n}
+            assert must_have <= set(merged.keys()), (trial, cap)
+
+    def test_exact_output_matches_full_count(self, ray_session):
+        """Engine output == brute-force full word count filtered at the same
+        threshold (the sketch only steers which words get exact-counted)."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_heavy_hitters
+
+        sf = "/root/testdata/sf0.001"
+        out = q_heavy_hitters(sf)
+        words = (pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+                 ["text"].to_pandas().fillna("").str.lower().str.split()
+                 .explode().dropna())
+        vc = words.value_counts()
+        n = int(words.size)
+        expected = {w: int(c) for w, c in vc.items() if c * 512 > n}
+        got = dict(zip(out["word"], out["n"].astype(int)))
+        assert got == expected
+        assert (out["n_tokens"] == n).all()
+
+
+class TestGroupedMode:
+    def test_packed_argmax_matches_pandas_mode(self, ray_session):
+        """Packed-argmax grouped mode == pandas mode with the same (count
+        desc, key asc) tie-break."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_grouped_mode
+
+        sf = "/root/testdata/sf0.001"
+        out = q_grouped_mode(sf).set_index("c_mktsegment")
+        df = pq.read_table(f"{sf}/customer.parquet",
+                           columns=["c_mktsegment", "c_nationkey"]).to_pandas()
+        for seg, g in df.groupby("c_mktsegment"):
+            vc = g["c_nationkey"].value_counts()
+            top = vc[vc == vc.max()].index.min()
+            assert int(out.loc[seg, "mode_nationkey"]) == int(top)
+            assert int(out.loc[seg, "mode_count"]) == int(vc.max())
