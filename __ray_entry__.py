@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_by_group": R.q_entropy_by_group,
         "new_users_daily": R.q_new_users_daily,
         "heavy_hitters": T.q_heavy_hitters,
+        "skyline": R.q_skyline,
+        "mutual_information": R.q_mutual_information,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -334,6 +336,8 @@ def oracle_sql() -> dict[str, str]:
         "entropy_by_group": R.SQL_ENTROPY_BY_GROUP,
         "new_users_daily": R.SQL_NEW_USERS_DAILY,
         "heavy_hitters": T.SQL_HEAVY_HITTERS,
+        "skyline": R.SQL_SKYLINE,
+        "mutual_information": R.SQL_MUTUAL_INFORMATION,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

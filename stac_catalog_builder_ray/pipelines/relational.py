@@ -4088,3 +4088,116 @@ SQL_NEW_USERS_DAILY = (
     "SELECT day, new_users, "
     "CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users FROM c"
 )
+
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2D skyline (maximize ``price_cents``, minimize ``p_size``) in
+    O(n log n): collapse to unique (price, size) points, sort price desc,
+    keep a point iff its size beats the prefix-min over STRICTLY greater
+    prices and it is the min size within its own price group (identical
+    duplicate points never dominate each other — strictness is required in
+    at least one dimension)."""
+    u = (df.groupby(["price_cents", "p_size"], sort=False)
+         .size().reset_index(name="_c"))
+    u = u.sort_values(["price_cents", "p_size"],
+                      ascending=[False, True], kind="stable").reset_index(drop=True)
+    grp_min = u.groupby("price_cents")["p_size"].transform("min")
+    is_new_price = u["price_cents"] != u["price_cents"].shift(1)
+    # prefix min of size over all STRICTLY-greater price groups
+    run_min = u["p_size"].cummin().shift(1)
+    prev_price_min = run_min.where(is_new_price).ffill()
+    keep = (u["p_size"] == grp_min) & (
+        prev_price_min.isna() | (u["p_size"] < prev_price_min)
+    )
+    kept = u[keep]
+    return df.merge(kept[["price_cents", "p_size"]], on=["price_cents", "p_size"])
+
+
+def q_skyline(sf_dir: str):
+    """SKYLINE / PARETO-FRONTIER query (parts that are not dominated on
+    (retail price max, size min) — the multi-objective shortlist operator)
+    via the classic TWO-PHASE distributed algorithm: each batch computes its
+    LOCAL skyline (the global skyline is always a subset of the union of
+    local skylines, so non-frontier rows are pruned before they ever move),
+    then one final pass over the tiny union.  Prices are compared in exact
+    integer cents; ties on both dimensions are genuine co-frontier points
+    and all are returned."""
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p_partkey": t["p_partkey"].to_numpy(zero_copy_only=False),
+            "price_cents": round_half_away(
+                t["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64),
+            "p_size": t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        return pa.Table.from_pandas(_skyline_2d(df), preserve_index=False)
+
+    union = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    out = _skyline_2d(union).sort_values("p_partkey", kind="stable")
+    return out[["p_partkey", "price_cents", "p_size"]].reset_index(drop=True)
+
+
+SQL_SKYLINE = (
+    "WITH b AS (SELECT p_partkey, CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) "
+    "AS price_cents, CAST(p_size AS BIGINT) AS p_size FROM part), "
+    "u AS (SELECT price_cents, p_size FROM b GROUP BY 1, 2), "
+    "m AS (SELECT price_cents, p_size, "
+    "MIN(p_size) OVER (PARTITION BY price_cents) AS grp_min, "
+    "MIN(p_size) OVER (ORDER BY price_cents DESC "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min FROM u) "
+    "SELECT b.p_partkey, b.price_cents, b.p_size FROM b "
+    "JOIN m ON b.price_cents = m.price_cents AND b.p_size = m.p_size "
+    "WHERE m.p_size = m.grp_min AND (m.prev_min IS NULL OR m.p_size < m.prev_min)"
+)
+
+
+def q_mutual_information(sf_dir: str):
+    """MUTUAL INFORMATION between event type and day-of-week (the
+    feature-vs-feature dependence audit of training-data QA) from ONE
+    partial-count pass: exact (type, dow) cell counts via per-batch
+    value_counts + tiny groupby, marginals and the MI sum computed from
+    those exact integers on the (|types| x 7)-sized result.  Single scalar
+    output row keeps the contract trivially comparable."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(t["ts"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "dow": dow.astype(np.int64), "n": 1})
+        agg = df.groupby(["event_type", "dow"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cells = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby(["event_type", "dow"])
+             .aggregate(_Sum("n", alias_name="n"))
+             .to_pandas())
+    cells["n"] = cells["n"].astype("int64")
+    total = int(cells["n"].sum())
+    nx = cells.groupby("event_type")["n"].sum()
+    ny = cells.groupby("dow")["n"].sum()
+    cells = cells.sort_values(["event_type", "dow"], kind="stable")
+    pxy = cells["n"].to_numpy(np.float64) / total
+    px = cells["event_type"].map(nx).to_numpy(np.float64) / total
+    py = cells["dow"].map(ny).to_numpy(np.float64) / total
+    mi = float((pxy * np.log2(pxy / (px * py))).sum())
+    return pd.DataFrame({"n_events": [total], "mi_bits": [mi]})
+
+
+SQL_MUTUAL_INFORMATION = (
+    "WITH c AS (SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "x AS (SELECT event_type, SUM(n) AS nx FROM c GROUP BY 1), "
+    "y AS (SELECT dow, SUM(n) AS ny FROM c GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS tot FROM c) "
+    "SELECT CAST(t.tot AS BIGINT) AS n_events, "
+    "SUM((CAST(c.n AS DOUBLE) / t.tot) * LOG2((CAST(c.n AS DOUBLE) * t.tot) / "
+    "(x.nx * y.ny))) AS mi_bits "
+    "FROM c JOIN x USING (event_type) JOIN y USING (dow) CROSS JOIN t "
+    "GROUP BY 1"
+)

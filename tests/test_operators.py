@@ -2968,3 +2968,45 @@ class TestGroupedMode:
             top = vc[vc == vc.max()].index.min()
             assert int(out.loc[seg, "mode_nationkey"]) == int(top)
             assert int(out.loc[seg, "mode_count"]) == int(vc.max())
+
+
+class TestSkyline:
+    def test_two_phase_equals_brute_force(self, ray_session):
+        """Union-of-local-skylines final pass == O(n^2) dominance check."""
+        import numpy as np
+        import pandas as pd
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            _skyline_2d,
+            q_skyline,
+        )
+
+        # unit: random point sets incl. duplicates and price ties
+        rng = np.random.default_rng(11)
+        for _ in range(5):
+            df = pd.DataFrame({
+                "p_partkey": np.arange(300),
+                "price_cents": rng.integers(0, 40, 300),
+                "p_size": rng.integers(0, 12, 300),
+            })
+            got = set(_skyline_2d(df)["p_partkey"])
+            p = df["price_cents"].to_numpy()
+            s = df["p_size"].to_numpy()
+            dominated = ((p[None, :] >= p[:, None]) & (s[None, :] <= s[:, None])
+                         & ((p[None, :] > p[:, None]) | (s[None, :] < s[:, None])))
+            expect = set(df["p_partkey"][~dominated.any(axis=1)])
+            assert got == expect
+
+        # end-to-end: distributed two-phase equals single-pass on the table
+        sf = "/root/testdata/sf0.001"
+        out = q_skyline(sf)
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+
+        t = pq.read_table(f"{sf}/part.parquet",
+                          columns=["p_partkey", "p_retailprice", "p_size"]).to_pandas()
+        t["price_cents"] = round_half_away(t["p_retailprice"].to_numpy() * 100.0).astype("int64")
+        t["p_size"] = t["p_size"].astype("int64")
+        whole = _skyline_2d(t[["p_partkey", "price_cents", "p_size"]])
+        assert set(out["p_partkey"]) == set(whole["p_partkey"])

@@ -827,10 +827,16 @@ class TestDwellPoints:
 class TestKcore:
     import pytest as _pytest
 
-    @_pytest.mark.parametrize("limit", [5_000_000, 0])
-    def test_paths_identical_and_match_python_peel(self, ray_session, limit):
-        """Local bincount peel vs distributed join peel give identical
-        k-cores, and both match an independent python set-based peel."""
+    @_pytest.mark.parametrize("limit,node_limit", [
+        (5_000_000, 50_000_000),  # tier 1: local bincount peel
+        (0, 50_000_000),          # tier 2: broadcast degree-vector route
+        (0, 0),                   # tier 3: distributed join peel
+    ])
+    def test_paths_identical_and_match_python_peel(self, ray_session, limit,
+                                                   node_limit):
+        """All three auto-route tiers (local peel / degree-vector /
+        join peel) give identical k-cores, and match an independent
+        python set-based peel."""
         import collections
 
         import duckdb
@@ -839,7 +845,8 @@ class TestKcore:
             KCORE_K, KCORE_RADIUS, _kmv_sql_cte, q_kcore)
 
         sf = "/root/testdata/sf0.001"
-        out = q_kcore(sf, driver_edge_limit=limit)
+        out = q_kcore(sf, driver_edge_limit=limit,
+                      driver_node_limit=node_limit)
         # independent oracle: python peel over the brute-force edge list
         con = duckdb.connect()
         con.sql(f"CREATE VIEW events AS SELECT * FROM "
