@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": T.q_heavy_hitters,
         "skyline": R.q_skyline,
         "mutual_information": R.q_mutual_information,
+        "idw": G.q_idw,
+        "balanced_resample": T.q_balanced_resample,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -338,6 +340,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": T.SQL_HEAVY_HITTERS,
         "skyline": R.SQL_SKYLINE,
         "mutual_information": R.SQL_MUTUAL_INFORMATION,
+        "idw": G.idw_sql(),
+        "balanced_resample": T.SQL_BALANCED_RESAMPLE,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

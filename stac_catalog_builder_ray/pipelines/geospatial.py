@@ -1645,3 +1645,105 @@ def q_frame_sample(sf_dir: str):
 
     out = sampled.map_batches(digest, batch_format="pyarrow").to_pandas()
     return out.sort_values(["image_id", "frame"]).reset_index(drop=True)
+
+
+IDW_RADIUS = 15.0  # degrees: search radius of the interpolation
+IDW_GRID_LONS = 6
+IDW_GRID_LATS = 4
+
+
+def q_idw(sf_dir: str):
+    """INVERSE-DISTANCE-WEIGHTED interpolation of the event value field at a
+    fixed query grid (the gridding/resampling primitive of geospatial
+    analytics: estimate a surface from scattered observations).  For each of
+    the 24 grid nodes, value = sum(w_i * v_i) / sum(w_i) over points within
+    ``IDW_RADIUS``, w = 1/d^2.
+
+    Distribution shape: the GRID is broadcast (it is tiny and fixed); each
+    batch computes its (batch x grid) distance block vectorized and emits
+    per-node partial sums; one tiny groupby folds them.  EXACTNESS: the
+    weighted terms are quantized per row to integers (num * 1e4, den * 1e8
+    — bounds checked against the value range and worst-case point density)
+    so the sums are order-independent int64 and the final ratio is computed
+    once from exact integers; per-row float arithmetic (hash -> lon/lat ->
+    d2 -> w) is IEEE-identical across engines.  Grid nodes are offset by
+    0.005 deg so no point (0.01-deg lattice) can sit at distance zero."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+    from .relational import _kmv_hash
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    gx = -150.005 + 60.0 * np.arange(IDW_GRID_LONS)
+    gy = -60.005 + 40.0 * np.arange(IDW_GRID_LATS)
+    gxx, gyy = np.meshgrid(gx, gy)           # shape (lats, lons)
+    gid = (np.arange(IDW_GRID_LONS)[None, :]
+           + IDW_GRID_LONS * np.arange(IDW_GRID_LATS)[:, None])
+    gxf, gyf, gidf = gxx.ravel(), gyy.ravel(), gid.ravel()
+
+    def partials(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _sqmod61(_kmv_hash(eid))
+        lon = (g % 36000) / 100.0 - 180.0
+        lat = ((g // 36000) % 18000) / 100.0 - 90.0
+        v = t["value"].to_numpy(zero_copy_only=False)
+        dx = lon[:, None] - gxf[None, :]
+        dy = lat[:, None] - gyf[None, :]
+        d2 = dx * dx + dy * dy
+        m = d2 <= IDW_RADIUS * IDW_RADIUS
+        rows = []
+        for j in range(len(gidf)):
+            mj = m[:, j]
+            if not mj.any():
+                continue
+            w = 1.0 / d2[mj, j]
+            num = round_half_away(w * v[mj] * 10000.0).astype(np.int64)
+            den = round_half_away(w * 100000000.0).astype(np.int64)
+            rows.append((int(gidf[j]), int(num.sum()), int(den.sum()),
+                         int(mj.sum())))
+        if not rows:
+            return pa.table({"grid_id": pa.array([], pa.int64()),
+                             "num_e4": pa.array([], pa.int64()),
+                             "den_e8": pa.array([], pa.int64()),
+                             "n_pts": pa.array([], pa.int64())})
+        a = np.array(rows, dtype=np.int64)
+        return pa.table({"grid_id": pa.array(a[:, 0]),
+                         "num_e4": pa.array(a[:, 1]),
+                         "den_e8": pa.array(a[:, 2]),
+                         "n_pts": pa.array(a[:, 3])})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("grid_id")
+           .aggregate(_Sum("num_e4", alias_name="num_e4"),
+                      _Sum("den_e8", alias_name="den_e8"),
+                      _Sum("n_pts", alias_name="n_pts"))
+           .to_pandas())
+    agg = agg.astype({"grid_id": "int64", "num_e4": "int64",
+                      "den_e8": "int64", "n_pts": "int64"})
+    agg["idw_value"] = (agg["num_e4"].to_numpy(np.float64) * 10000.0
+                        / agg["den_e8"].to_numpy(np.float64))
+    return (agg[["grid_id", "n_pts", "idw_value"]]
+            .sort_values("grid_id").reset_index(drop=True))
+
+
+def idw_sql() -> str:
+    return (
+        "WITH " + _kmv_sql_cte("event_id") + ", "
+        "pts AS (SELECT s.event_id, (g % 36000) / 100.0 - 180.0 AS lon, "
+        "((g // 36000) % 18000) / 100.0 - 90.0 AS lat, e.value "
+        "FROM sq s JOIN events e USING (event_id)), "
+        f"grid AS (SELECT i + {IDW_GRID_LONS} * j AS grid_id, "
+        "-150.005 + 60.0 * i AS gx, -60.005 + 40.0 * j AS gy "
+        f"FROM range({IDW_GRID_LONS}) r1(i), range({IDW_GRID_LATS}) r2(j)), "
+        "d AS (SELECT grid_id, "
+        "(p.lon - g.gx) * (p.lon - g.gx) + (p.lat - g.gy) * (p.lat - g.gy) AS d2, "
+        "p.value FROM pts p CROSS JOIN grid g), "
+        "f AS (SELECT grid_id, "
+        "CAST(ROUND(1.0 / d2 * value * 10000.0, 0) AS BIGINT) AS num_e4, "
+        "CAST(ROUND(1.0 / d2 * 100000000.0, 0) AS BIGINT) AS den_e8 FROM d "
+        f"WHERE d2 <= {IDW_RADIUS * IDW_RADIUS}) "
+        "SELECT grid_id, COUNT(*) AS n_pts, "
+        "CAST(SUM(num_e4) AS DOUBLE) * 10000.0 / SUM(den_e8) AS idw_value "
+        "FROM f GROUP BY 1"
+    )

@@ -1833,3 +1833,61 @@ SQL_HEAVY_HITTERS = (
     "c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1) "
     "SELECT c.word, c.n, t.n_tokens FROM c, t WHERE c.n * 512 > t.n_tokens"
 )
+
+
+BALANCE_CAP = 16  # max oversample copies per document
+
+
+def q_balanced_resample(sf_dir: str):
+    """CLASS-BALANCED OVERSAMPLING of documents by language (the
+    minority-class rebalancing step of training-mixture construction):
+    every class is oversampled toward the majority-class count, with the
+    per-document copy count CAPPED at ``BALANCE_CAP`` (unbounded
+    duplication of a tiny class degrades training — the cap is the
+    standard practical guard).
+
+    Deterministic, rank-free replication rule: for a class of size c and
+    target t (majority count), a document gets ``t // c`` copies plus one
+    extra iff ``doc_id % c < t % c`` — no global rank pass needed, every
+    batch computes its own rows' copy counts from the broadcast (class ->
+    count) map, and the expansion is one vectorized np.repeat.  Output is
+    (doc_id, lang, copy_idx)."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    counts = (docs.groupby("lang").aggregate(Count(alias_name="c"))
+              .to_pandas())
+    cmap = dict(zip(counts["lang"], counts["c"].astype(int)))
+    target = max(cmap.values())
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = t["lang"].to_pandas()
+        c = langs.map(cmap).to_numpy(np.int64)
+        reps = np.minimum(target // c + (ids % c < target % c), BALANCE_CAP)
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "copy_idx": pa.array([], pa.int64())})
+        idx = np.repeat(np.arange(len(ids)), reps)
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        copy_idx = np.arange(total) - starts
+        return pa.table({"doc_id": pa.array(ids[idx]),
+                         "lang": pa.array(langs.to_numpy(dtype=object)[idx],
+                                          pa.string()),
+                         "copy_idx": pa.array(copy_idx.astype(np.int64))})
+
+    return docs.map_batches(expand, batch_format="pyarrow")
+
+
+SQL_BALANCED_RESAMPLE = (
+    "WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1), "
+    "t AS (SELECT MAX(c) AS target FROM c), "
+    "r AS (SELECT d.doc_id, d.lang, LEAST(t.target // c.c + "
+    "CASE WHEN d.doc_id % c.c < t.target % c.c THEN 1 ELSE 0 END, 16) AS reps "
+    "FROM documents d JOIN c USING (lang) CROSS JOIN t) "
+    "SELECT r.doc_id, r.lang, g.x AS copy_idx "
+    "FROM r JOIN range(16) g(x) ON g.x < r.reps"
+)

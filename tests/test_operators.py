@@ -3010,3 +3010,33 @@ class TestSkyline:
         t["p_size"] = t["p_size"].astype("int64")
         whole = _skyline_2d(t[["p_partkey", "price_cents", "p_size"]])
         assert set(out["p_partkey"]) == set(whole["p_partkey"])
+
+
+class TestBalancedResample:
+    def test_balances_toward_majority_with_cap(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import (
+            BALANCE_CAP,
+            q_balanced_resample,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = q_balanced_resample(sf).to_pandas()
+        langs = (pq.read_table(f"{sf}/documents.parquet", columns=["lang"])
+                 ["lang"].to_pandas())
+        counts = langs.value_counts()
+        target = int(counts.max())
+        got = out.groupby("lang")["doc_id"].count()
+        for lang, c in counts.items():
+            c = int(c)
+            # modular rule: within one whole-class round of the target
+            # unless the cap binds
+            if target // c + 1 <= BALANCE_CAP:
+                assert abs(int(got[lang]) - target) <= c, lang
+            else:
+                assert int(got[lang]) <= BALANCE_CAP * c, lang
+        # each (doc, copy_idx) unique and contiguous from 0
+        per_doc = out.groupby("doc_id")["copy_idx"].agg(["min", "max", "count"])
+        assert (per_doc["min"] == 0).all()
+        assert (per_doc["max"] + 1 == per_doc["count"]).all()
