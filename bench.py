@@ -70,6 +70,11 @@ QUERY_NAMES = [
     "edit1_join",
     "iou_join",
     "kcore",
+    # round-4 late additions (idle-window walls 2026-08-18: all light —
+    # one-pass partial-aggregate shapes)
+    "heavy_hitters",
+    "idw",
+    "skyline",
 ]
 
 
