@@ -69,3 +69,34 @@ def hamming64(a, b) -> np.ndarray:
 
 
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def phash64_stack(stack: np.ndarray) -> np.ndarray:
+    """(n, h, w) same-shape stack -> int64 hashes, BIT-IDENTICAL to
+    per-image :func:`phash64` (equality-tested in tests/test_codec.py on
+    random shapes and on the bench table): cumsum scans, block-sum
+    subtractions, divisions, median and the bit pack are all the same
+    scalar operations applied per image — only the Python/numpy call
+    overhead (the dominant cost at 64x48: ~57% of the decode stage) is
+    amortized across the stack.  The 32x32 DCT is np.matmul-batched,
+    which our equality test pins to the per-image `d @ s @ d.T` result."""
+    n, h, w = stack.shape
+    if min(h, w) < 32:
+        raise ValueError(f"phash requires min(h, w) >= 32, got {h}x{w}")
+    size = 32
+    ys = (np.arange(size + 1) * h) // size
+    xs = (np.arange(size + 1) * w) // size
+    cs = np.zeros((n, h + 1, w + 1), dtype=np.float64)
+    cs[:, 1:, 1:] = np.cumsum(np.cumsum(stack.astype(np.float64), axis=1), axis=2)
+    s = (cs[:, ys[1:, None], xs[None, 1:]] - cs[:, ys[:-1, None], xs[None, 1:]]
+         - cs[:, ys[1:, None], xs[None, :-1]] + cs[:, ys[:-1, None], xs[None, :-1]])
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    small = s / area
+    d = _dct_matrix(size)
+    coef = np.matmul(np.matmul(d, small), d.T)
+    block = coef[:, :8, :8].reshape(n, 64)[:, 1:]
+    med = np.median(block, axis=1)
+    bits = block > med[:, None]
+    shifts = np.arange(62, -1, -1, dtype=np.uint64)
+    val = (bits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    return (val << np.uint64(1)).view(np.int64)

@@ -200,3 +200,32 @@ class TestFloatPixelStats:
         assert out["decode_ok"]
         assert out["px_min"] == -10  # floor(-9.99), not trunc -> -9
         assert out["px_max"] == 10  # ceil(9.99)
+
+
+class TestPhashStack:
+    def test_bit_identical_to_per_image(self):
+        """phash64_stack == per-image phash64 across shapes (incl. dims not
+        divisible by 32) and value ranges — the batched kernel must never
+        change a single bit or the flagship's phash_ok verification drifts."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.codec.phash import phash64, phash64_stack
+
+        rng = np.random.default_rng(17)
+        for shape in [(48, 64), (32, 32), (37, 53), (180, 240), (100, 33)]:
+            stack = rng.random((40, *shape)) * 65535
+            want = np.array([phash64(im) for im in stack], dtype=np.int64)
+            assert (phash64_stack(stack) == want).all(), shape
+        # integer dtype path (decoded rasters are uint16)
+        stack = rng.integers(0, 65535, (40, 48, 64)).astype(np.uint16)
+        want = np.array([phash64(im) for im in stack], dtype=np.int64)
+        assert (phash64_stack(stack) == want).all()
+
+    def test_rejects_small_images(self):
+        import numpy as np
+        import pytest
+
+        from stac_catalog_builder_ray.codec.phash import phash64_stack
+
+        with pytest.raises(ValueError):
+            phash64_stack(np.zeros((2, 16, 64)))
