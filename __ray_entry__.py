@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_information": R.q_mutual_information,
         "idw": G.q_idw,
         "balanced_resample": T.q_balanced_resample,
+        "mad_by_group": R.q_mad_by_group,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -342,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_information": R.SQL_MUTUAL_INFORMATION,
         "idw": G.idw_sql(),
         "balanced_resample": T.SQL_BALANCED_RESAMPLE,
+        "mad_by_group": R.SQL_MAD_BY_GROUP,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

@@ -4201,3 +4201,59 @@ SQL_MUTUAL_INFORMATION = (
     "FROM c JOIN x USING (event_type) JOIN y USING (dow) CROSS JOIN t "
     "GROUP BY 1"
 )
+
+
+def q_mad_by_group(sf_dir: str):
+    """MEDIAN ABSOLUTE DEVIATION per group (the robust dispersion statistic
+    outlier pipelines prefer over stddev) computed EXACTLY from ONE
+    counts pass: l_quantity has bounded distinct values, so per-batch
+    value_counts + a tiny groupby give the full per-group distribution;
+    the continuous median (DuckDB ``median`` on DOUBLE: mean of the two
+    middle order statistics for even n) falls out of the cumulative
+    counts, and the deviation distribution |x - med| is a REGROUPING of
+    the same counts table — MAD costs no second corpus pass.  All
+    arithmetic on the half-sums is exact in binary doubles (small ints
+    and halves), so both engines hash identically."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "l_quantity": t["l_quantity"].to_numpy(zero_copy_only=False)})
+        p = df.value_counts(["l_returnflag", "l_quantity"]).reset_index(name="n")
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_quantity"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts["n"] = counts["n"].astype("int64")
+
+    def cont_median(vals: np.ndarray, ns: np.ndarray) -> float:
+        order = np.argsort(vals, kind="stable")
+        vals, ns = vals[order], ns[order]
+        cum = ns.cumsum()
+        total = int(cum[-1])
+        if total % 2 == 1:
+            return float(vals[np.searchsorted(cum, (total + 1) // 2)])
+        lo = float(vals[np.searchsorted(cum, total // 2)])
+        hi = float(vals[np.searchsorted(cum, total // 2 + 1)])
+        return (lo + hi) / 2.0
+
+    rows = []
+    for flag, g in counts.groupby("l_returnflag"):
+        v = g["l_quantity"].to_numpy(np.float64)
+        n = g["n"].to_numpy(np.int64)
+        med = cont_median(v, n)
+        dev = np.abs(v - med)
+        # regroup: equal deviations from both sides of the median merge
+        dd = pd.DataFrame({"d": dev, "n": n}).groupby("d")["n"].sum()
+        mad = cont_median(dd.index.to_numpy(np.float64),
+                          dd.to_numpy(np.int64))
+        rows.append((flag, med, mad, int(n.sum())))
+    return pd.DataFrame(rows, columns=["l_returnflag", "med", "mad", "n"])
+
+
+SQL_MAD_BY_GROUP = (
+    "SELECT l_returnflag, median(l_quantity) AS med, mad(l_quantity) AS mad, "
+    "COUNT(*) AS n FROM lineitem GROUP BY 1"
+)
