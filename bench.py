@@ -258,8 +258,11 @@ SCALING_REPS = int(os.environ.get("SCBR_SCALING_REPS", "3"))
 # in the loop.
 #
 # PROBE_IDLE_REF: per-task seconds per concurrency level calibrated on an
-# idle box (per-level MIN across three `--probe` runs, 2026-08-18, this VM,
-# load avg < 0.5 — re-derive with `python bench.py --probe`).  The reference
+# idle box (per-level MIN across all probe readings on the current VM boot,
+# 2026-08-18 — re-derive with `python bench.py --probe`; the previous boot's
+# calibration {1: .420, 2: .445, 4: .437, 8: .442, 16: .498, 32: .578} read
+# 5-12% slower at low concurrency, which made clean-window host_factors dip
+# below 1 and skewed the normalized efficiency).  The reference
 # EMBEDS the intrinsic shared-DRAM contention (flat through 8 procs, 1.13x
 # at 16, 1.31x at 32 — matching BASELINE.md's 8->32 ceiling analysis), so
 # host_factor = measured / idle_ref isolates HOST noise only; a level with
@@ -268,7 +271,7 @@ SCALING_REPS = int(os.environ.get("SCBR_SCALING_REPS", "3"))
 # by its host_factor before forming the ratio.
 PROBE_N_IMAGES = 24
 PROBE_TASK_REPS = 100  # ~0.45 s per task on the idle box
-PROBE_IDLE_REF = {1: 0.420, 2: 0.445, 4: 0.437, 8: 0.442, 16: 0.498, 32: 0.578}
+PROBE_IDLE_REF = {1: 0.464, 2: 0.496, 4: 0.417, 8: 0.383, 16: 0.405, 32: 0.525}
 
 
 def _probe_payloads():
