@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw": G.q_idw,
         "balanced_resample": T.q_balanced_resample,
         "mad_by_group": R.q_mad_by_group,
+        "feature_hash": T.q_feature_hash,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -344,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "idw": G.idw_sql(),
         "balanced_resample": T.SQL_BALANCED_RESAMPLE,
         "mad_by_group": R.SQL_MAD_BY_GROUP,
+        "feature_hash": T.SQL_FEATURE_HASH,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

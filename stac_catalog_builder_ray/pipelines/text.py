@@ -1891,3 +1891,77 @@ SQL_BALANCED_RESAMPLE = (
     "SELECT r.doc_id, r.lang, g.x AS copy_idx "
     "FROM r JOIN range(16) g(x) ON g.x < r.reps"
 )
+
+
+FEATURE_DIM = 64          # hashing-trick output dimensionality
+_FH_MOD = 1_000_003       # rolling-hash modulus (prime)
+
+
+def _word_buckets(words: "np.ndarray") -> "np.ndarray":
+    """Codepoint rolling hash (Horner, base 31 mod 1e6+3) % FEATURE_DIM per
+    word, vectorized by LENGTH GROUP: words of equal length become a dense
+    (n, L) uint32 codepoint matrix (utf-32 reinterpret) and the Horner fold
+    runs once per character position, not once per word.  Matches DuckDB's
+    ``list_reduce`` over ``ascii()`` codepoints exactly (unicode included —
+    parity asserted in the oracle check)."""
+    import numpy as np
+
+    out = np.zeros(len(words), dtype=np.int64)
+    lens = np.array([len(w) for w in words])
+    for ln in np.unique(lens):
+        sel = lens == ln
+        if ln == 0:
+            continue
+        arr = np.frombuffer("".join(words[sel]).encode("utf-32-le"),
+                            dtype=np.uint32).reshape(-1, int(ln)).astype(np.int64)
+        h = np.zeros(arr.shape[0], dtype=np.int64)
+        for j in range(int(ln)):
+            h = (h * 31 + arr[:, j]) % _FH_MOD
+        out[sel] = h
+    return out % FEATURE_DIM
+
+
+def q_feature_hash(sf_dir: str):
+    """FEATURE HASHING (the 'hashing trick' of large-scale text ML: fixed
+    D-dimensional bag-of-words without a vocabulary pass) — each document's
+    tokens are counted into ``FEATURE_DIM`` buckets by a deterministic
+    codepoint rolling hash.  One partial pass (per-batch explode + per-batch
+    (doc, bucket) counts, hashing each DISTINCT word once) + one bounded
+    groupby; no global vocabulary is ever built, which is the entire point
+    of the trick at 100 TB."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.split()
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        exploded = s.explode().dropna()
+        if exploded.empty:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        words = exploded.to_numpy(dtype=object)
+        uniq, inv = np.unique(words, return_inverse=True)
+        buckets = _word_buckets(uniq)[inv]
+        df = pd.DataFrame({"doc_id": doc_ids[exploded.index.to_numpy()],
+                           "bucket": buckets, "n": 1})
+        agg = df.groupby(["doc_id", "bucket"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby(["doc_id", "bucket"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    return out.astype({"doc_id": "int64", "bucket": "int64", "n": "int64"})
+
+
+SQL_FEATURE_HASH = (
+    "WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), "
+    "'\\s+')) AS word FROM documents WHERE trim(text) <> ''), "
+    "h AS (SELECT doc_id, list_reduce(list_prepend(0, "
+    "list_transform(string_split(word, ''), c -> ascii(c))), "
+    f"(a, b) -> (a * 31 + b) % {_FH_MOD}) % {FEATURE_DIM} AS bucket FROM w) "
+    "SELECT doc_id, bucket, COUNT(*) AS n FROM h GROUP BY 1, 2"
+)
