@@ -3040,3 +3040,94 @@ class TestBalancedResample:
         per_doc = out.groupby("doc_id")["copy_idx"].agg(["min", "max", "count"])
         assert (per_doc["min"] == 0).all()
         assert (per_doc["max"] + 1 == per_doc["count"]).all()
+
+
+class TestMadByGroup:
+    def test_matches_numpy_interpolated_median(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_mad_by_group
+
+        sf = "/root/testdata/sf0.001"
+        out = q_mad_by_group(sf).set_index("l_returnflag")
+        df = pq.read_table(f"{sf}/lineitem.parquet",
+                           columns=["l_returnflag", "l_quantity"]).to_pandas()
+        for flag, g in df.groupby("l_returnflag"):
+            x = g["l_quantity"].to_numpy(np.float64)
+            med = float(np.median(x))          # numpy = interpolated, same contract
+            mad = float(np.median(np.abs(x - med)))
+            assert out.loc[flag, "med"] == med
+            assert out.loc[flag, "mad"] == mad
+            assert int(out.loc[flag, "n"]) == len(x)
+
+
+class TestFeatureHash:
+    def test_buckets_deterministic_and_counts_conserve(self, ray_session):
+        import numpy as np
+
+        from stac_catalog_builder_ray.pipelines.text import (
+            FEATURE_DIM,
+            _word_buckets,
+            q_feature_hash,
+        )
+
+        # kernel: matches a scalar Horner fold incl. unicode
+        words = np.array(["hello", "world", "a", "中文词", "émigré"], dtype=object)
+        got = _word_buckets(words)
+        for w, b in zip(words, got):
+            h = 0
+            for ch in w:
+                h = (h * 31 + ord(ch)) % 1_000_003
+            assert b == h % FEATURE_DIM, w
+        # pipeline: bucket counts conserve the token count per doc
+        sf = "/root/testdata/sf0.001"
+        out = q_feature_hash(sf)
+        assert (out["bucket"] >= 0).all() and (out["bucket"] < FEATURE_DIM).all()
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        n_tokens = int(texts["text"].fillna("").str.lower().str.split()
+                       .map(len).sum())
+        assert int(out["n"].sum()) == n_tokens
+
+
+class TestIdw:
+    def test_matches_bruteforce_numpy(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            IDW_GRID_LATS,
+            IDW_GRID_LONS,
+            IDW_RADIUS,
+            _sqmod61,
+            q_idw,
+        )
+        from stac_catalog_builder_ray.pipelines.relational import _kmv_hash
+
+        sf = "/root/testdata/sf0.001"
+        out = q_idw(sf).set_index("grid_id")
+        t = pq.read_table(f"{sf}/events.parquet",
+                          columns=["event_id", "value"])
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        g = _sqmod61(_kmv_hash(eid))
+        lon = (g % 36000) / 100.0 - 180.0
+        lat = ((g // 36000) % 18000) / 100.0 - 90.0
+        v = t["value"].to_numpy()
+        gx = -150.005 + 60.0 * np.arange(IDW_GRID_LONS)
+        gy = -60.005 + 40.0 * np.arange(IDW_GRID_LATS)
+        for j in range(IDW_GRID_LATS):
+            for i in range(IDW_GRID_LONS):
+                gid = j * IDW_GRID_LONS + i
+                d2 = (lon - gx[i]) ** 2 + (lat - gy[j]) ** 2
+                m = d2 <= IDW_RADIUS ** 2
+                if not m.any():
+                    assert gid not in out.index
+                    continue
+                w = 1.0 / d2[m]
+                ref = (w * v[m]).sum() / w.sum()
+                # engine quantizes terms to integers; agreement to ~1e-4 rel
+                assert abs(out.loc[gid, "idw_value"] - ref) < 1e-3 + 1e-4 * abs(ref)
+                assert int(out.loc[gid, "n_pts"]) == int(m.sum())
