@@ -220,7 +220,6 @@ def items_dataset(md, known_asset_types: Optional[FrozenSet[str]] = None,
     quadratically inflate sort-shuffle task count: 10.6s -> 1.6s at 50k
     rows)."""
     import pyarrow as pa
-    import zlib as _zlib
 
     if coalesce_blocks == "auto":
         # scale the pre-shuffle block count with the cluster instead of a
@@ -230,12 +229,14 @@ def items_dataset(md, known_asset_types: Optional[FrozenSet[str]] = None,
         coalesce_blocks = cluster_partitions(per_cpu=1.0, floor=16)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        ids = t["item_id"].to_pylist()
-        buckets = np.fromiter(
-            ((_zlib.crc32(s.encode()) if s is not None else 0) % n_buckets for s in ids),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        # C-level fixed-key siphash over the id strings (the er_join
+        # add_vbucket pattern) — the previous per-row Python crc32 loop was
+        # the one remaining row-loop in the flagship hot path.  Bucket
+        # assignment is internal to the shuffle, so the swap changes no
+        # output: items group identically whichever bucket they land in.
+        ids = t["item_id"].to_pandas().fillna("")
+        buckets = (pd.util.hash_array(ids.to_numpy(dtype=object))
+                   % n_buckets).astype(np.int64)
         return t.append_column("item_bucket", pa.array(buckets))
 
     ds = md.select_columns(ASSEMBLY_INPUT_COLUMNS).map_batches(add_bucket, batch_format="pyarrow")
