@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_resample": T.q_balanced_resample,
         "mad_by_group": R.q_mad_by_group,
         "feature_hash": T.q_feature_hash,
+        "degree_hist": G.q_degree_hist,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "balanced_resample": T.SQL_BALANCED_RESAMPLE,
         "mad_by_group": R.SQL_MAD_BY_GROUP,
         "feature_hash": T.SQL_FEATURE_HASH,
+        "degree_hist": G.degree_hist_sql(),
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

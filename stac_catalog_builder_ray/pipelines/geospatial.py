@@ -1747,3 +1747,55 @@ def idw_sql() -> str:
         "CAST(SUM(num_e4) AS DOUBLE) * 10000.0 / SUM(den_e8) AS idw_value "
         "FROM f GROUP BY 1"
     )
+
+
+def q_degree_hist(sf_dir: str):
+    """DEGREE-DISTRIBUTION HISTOGRAM of the radius-4 proximity graph (the
+    first diagnostic of any graph pipeline — skew here predicts shuffle
+    skew everywhere downstream): one degree groupby over the bidirectional
+    edge list, then a tiny count-of-counts.  Isolated points (degree 0)
+    are absent on both sides by construction (the edge list defines the
+    node set)."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from ..stages.dedup import _compact_nonempty
+    from ..stages.spatial import radius_join
+
+    edges = radius_join(hashed_points(sf_dir), KCORE_RADIUS,
+                        id_col="event_id")
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks()
+        b = t["id_b"].combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b])})
+
+    deg = _compact_nonempty(
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("u").aggregate(_Count(alias_name="deg")).materialize(),
+        fallback_schema=pa.schema([("u", pa.int64()), ("deg", pa.int64())]))
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t["deg"].to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table({"deg": pa.array(vc.index.to_numpy(np.int64)),
+                         "n_nodes": pa.array(vc.to_numpy(np.int64))})
+
+    out = (deg.map_batches(hist_part, batch_format="pyarrow")
+           .groupby("deg").aggregate(_Sum("n_nodes", alias_name="n_nodes"))
+           .to_pandas())
+    return (out.astype({"deg": "int64", "n_nodes": "int64"})
+            .sort_values("deg").reset_index(drop=True))
+
+
+def degree_hist_sql() -> str:
+    return (
+        "WITH " + _kmv_sql_cte("event_id") + ", "
+        "pts AS (SELECT event_id, (g % 36000) / 100.0 - 180.0 AS lon, "
+        "((g // 36000) % 18000) / 100.0 - 90.0 AS lat FROM sq), "
+        "e AS (SELECT a.event_id AS u, b.event_id AS v "
+        "FROM pts a JOIN pts b ON a.event_id < b.event_id "
+        "AND (a.lon-b.lon)*(a.lon-b.lon)+(a.lat-b.lat)*(a.lat-b.lat) "
+        f"<= {KCORE_RADIUS * KCORE_RADIUS}), "
+        "d AS (SELECT u, COUNT(*) AS deg FROM "
+        "(SELECT u FROM e UNION ALL SELECT v FROM e) GROUP BY u) "
+        "SELECT deg, COUNT(*) AS n_nodes FROM d GROUP BY 1"
+    )
