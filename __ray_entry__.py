@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_by_group": R.q_mad_by_group,
         "feature_hash": T.q_feature_hash,
         "degree_hist": G.q_degree_hist,
+        "standardize_by_group": R.q_standardize_by_group,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_by_group": R.SQL_MAD_BY_GROUP,
         "feature_hash": T.SQL_FEATURE_HASH,
         "degree_hist": G.degree_hist_sql(),
+        "standardize_by_group": R.SQL_STANDARDIZE_BY_GROUP,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

@@ -4257,3 +4257,68 @@ SQL_MAD_BY_GROUP = (
     "SELECT l_returnflag, median(l_quantity) AS med, mad(l_quantity) AS mad, "
     "COUNT(*) AS n FROM lineitem GROUP BY 1"
 )
+
+
+def q_standardize_by_group(sf_dir: str):
+    """GROUPED Z-SCORE STANDARDIZATION (the feature-normalization step of
+    ML preprocessing) as the canonical TWO-PASS broadcast shape: pass 1
+    computes per-group (n, Sx, Sxx) as exact int64 partials (one tiny
+    groupby); the per-group mean and sample-stddev are then derived ONCE
+    from exact integers (identical doubles in both engines, vs the
+    engine-specific float accumulation of builtin STDDEV) and broadcast
+    into pass 2, which emits z = (x - mean) / std per row.  No sort, no
+    second shuffle — group stats ride along as a tiny dict."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    ds = _t(sf_dir, "lineitem", cols)
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = round_half_away(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "n": 1, "sx": x, "sxx": x * x})
+        agg = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    stats = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("l_returnflag")
+             .aggregate(_Sum("n", alias_name="n"), _Sum("sx", alias_name="sx"),
+                        _Sum("sxx", alias_name="sxx"))
+             .to_pandas())
+    mean = {}
+    std = {}
+    for r in stats.itertuples():
+        n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+        mean[r.l_returnflag] = sx / n
+        # sample variance from exact integer sums (n*Sxx - Sx^2 is a
+        # Python bignum, same as DuckDB HUGEINT); math.sqrt is IEEE sqrt
+        # like SQL SQRT (pow(x, 0.5) is not)
+        import math
+
+        std[r.l_returnflag] = math.sqrt(float(n * sxx - sx * sx) / (n * (n - 1)))
+
+    def transform(t: pa.Table) -> pa.Table:
+        x = round_half_away(t["l_quantity"].to_numpy(zero_copy_only=False))
+        flags = t["l_returnflag"].to_pandas()
+        m = flags.map(mean).to_numpy(np.float64)
+        s = flags.map(std).to_numpy(np.float64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "z": pa.array((x - m) / s)})
+
+    return ds.map_batches(transform, batch_format="pyarrow")
+
+
+SQL_STANDARDIZE_BY_GROUP = (
+    "WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag, "
+    "CAST(ROUND(l_quantity, 0) AS BIGINT) AS x FROM lineitem), "
+    "s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx "
+    "FROM b GROUP BY 1), "
+    "st AS (SELECT l_returnflag, CAST(sx AS DOUBLE) / n AS mean, "
+    "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1))) AS std FROM s) "
+    "SELECT b.l_orderkey, b.l_linenumber, "
+    "(CAST(b.x AS DOUBLE) - st.mean) / st.std AS z "
+    "FROM b JOIN st USING (l_returnflag)"
+)
