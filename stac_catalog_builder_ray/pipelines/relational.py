@@ -4322,3 +4322,44 @@ SQL_STANDARDIZE_BY_GROUP = (
     "(CAST(b.x AS DOUBLE) - st.mean) / st.std AS z "
     "FROM b JOIN st USING (l_returnflag)"
 )
+
+
+def q_string_agg(sf_dir: str):
+    """GROUPED ORDERED STRING AGGREGATION (SQL ``string_agg(x, ',' ORDER BY
+    x)``): nations per region, sorted and comma-joined.  The deterministic
+    ORDER BY inside the aggregate is what makes this hashable cross-engine;
+    per-batch partial lists concat under a bounded groupby (group count =
+    region domain), sorted once per group at the end.  For corpus-sized
+    groups this operator is a design smell (unbounded row) — bounded
+    domains only, which the region/nation tables are."""
+    from ray.data.aggregate import Sum as _Sum
+
+    nat = _t(sf_dir, "nation", ["n_regionkey", "n_name"])
+    reg = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"n_regionkey": t["n_regionkey"].to_pandas(),
+                           "names": t["n_name"].to_pandas()})
+        agg = (df.groupby("n_regionkey")["names"]
+               .apply(lambda s: ",".join(s)).reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = nat.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # final: merge partial strings per group, then a single sort+join of the
+    # bounded name list (the ORDER BY inside the aggregate)
+    rows = []
+    for rk, g in parts.groupby("n_regionkey"):
+        names = sorted(",".join(g["names"]).split(","))
+        rows.append((int(rk), ",".join(names), len(names)))
+    out = pd.DataFrame(rows, columns=["r_regionkey", "nations", "n_nations"])
+    out = out.merge(reg, on="r_regionkey")
+    return out[["r_regionkey", "r_name", "nations", "n_nations"]]
+
+
+SQL_STRING_AGG = (
+    "SELECT n.n_regionkey AS r_regionkey, r.r_name, "
+    "string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations, "
+    "COUNT(*) AS n_nations "
+    "FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey "
+    "GROUP BY 1, 2"
+)
