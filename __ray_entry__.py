@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": G.q_degree_hist,
         "standardize_by_group": R.q_standardize_by_group,
         "string_agg": R.q_string_agg,
+        "drawdown": R.q_drawdown,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_hist": G.degree_hist_sql(),
         "standardize_by_group": R.SQL_STANDARDIZE_BY_GROUP,
         "string_agg": R.SQL_STRING_AGG,
+        "drawdown": R.SQL_DRAWDOWN,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

@@ -4363,3 +4363,47 @@ SQL_STRING_AGG = (
     "FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey "
     "GROUP BY 1, 2"
 )
+
+
+def q_drawdown(sf_dir: str):
+    """PER-USER RUNNING-MAX DRAWDOWN over the ordered event stream (the
+    peak-to-current gap of monitoring/financial pipelines: how far below
+    its high-water mark each observation sits).  Same bucketed shape as
+    ``running_sum``: one shuffle on mixed ``user_id % 64``, one vectorized
+    grouped-cummax per bucket, exact int64 e4-scaled values so the
+    subtraction is order-stable."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid * 2654435761) % 64))
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        v4 = round_half_away(g["value"].to_numpy() * 10000.0).astype("int64")
+        s = pd.Series(v4, index=g.index)
+        peak = s.groupby(g["user_id"], sort=False).cummax()
+        g["peak_e4"] = peak
+        g["drawdown_e4"] = peak - s
+        return g[["event_id", "user_id", "peak_e4", "drawdown_e4"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(16)
+        .groupby("bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
+SQL_DRAWDOWN = (
+    "WITH b AS (SELECT event_id, user_id, ts, "
+    "CAST(ROUND(value * 10000, 0) AS BIGINT) AS v4 FROM events) "
+    "SELECT event_id, user_id, "
+    "MAX(v4) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_e4, "
+    "MAX(v4) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v4 AS drawdown_e4 "
+    "FROM b"
+)
