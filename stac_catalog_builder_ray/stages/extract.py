@@ -200,7 +200,16 @@ class DecodeExtract:
                 px_max[i] = int(np.clip(np.ceil(px.max()), _i32.min, _i32.max))
                 px_mean[i] = float(px.mean())
                 if phash_col is not None:
-                    pending_px.setdefault(px.shape, []).append((i, px))
+                    # pre-filter rows the batched hasher cannot take so a
+                    # single bad row degrades to phash_ok=False (the old
+                    # per-image semantics) instead of raising out of
+                    # phash64_stack (min(h,w)<32 -> ValueError) or the
+                    # expected-value int64 cast (null phash -> TypeError)
+                    # and killing the whole batch task
+                    if phash_col[i] is None or min(px.shape) < 32:
+                        phash_ok[i] = False
+                    else:
+                        pending_px.setdefault(px.shape, []).append((i, px))
             except Exception:
                 decode_ok[i] = False
 

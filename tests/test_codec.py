@@ -229,3 +229,38 @@ class TestPhashStack:
 
         with pytest.raises(ValueError):
             phash64_stack(np.zeros((2, 16, 64)))
+
+    def test_decode_extract_degrades_bad_phash_rows(self):
+        """A null phash or a sub-32px image must degrade to phash_ok=False
+        for THAT row (the old per-image semantics) — not raise out of the
+        batched phash64_stack (ValueError on min(h,w)<32) or the int64
+        expected-value cast (TypeError on None) and kill the whole batch
+        task. Round-4 advice regression."""
+        import pyarrow as pa
+
+        from stac_catalog_builder_ray.codec.phash import phash64
+        from stac_catalog_builder_ray.codec.raster import encode_multiband
+        from stac_catalog_builder_ray.stages.extract import DecodeExtract
+
+        good = np.linspace(0, 100, 48 * 64).reshape(48, 64)
+        tiny = np.linspace(0, 100, 16 * 64).reshape(16, 64)  # min dim < 32
+        batch = pa.table({
+            "image_id": pa.array([
+                "2001/observations_2m-temp-monthly_2001-01-01.tif",
+                "2001/observations_2m-temp-monthly_2001-02-01.tif",
+                "2001/observations_2m-temp-monthly_2001-03-01.tif",
+            ]),
+            "bytes": pa.array([
+                encode_multiband([good]),
+                encode_multiband([good]),
+                encode_multiband([tiny]),
+            ], pa.binary()),
+            "w": pa.array([64, 64, 64], pa.int32()),
+            "h": pa.array([48, 48, 16], pa.int32()),
+            "fmt": pa.array(["mbnd"] * 3),
+            "caption": pa.array(["ok", "null phash", "tiny"]),
+            "phash": pa.array([phash64(good), None, 12345], pa.int64()),
+        })
+        out = DecodeExtract(verify_phash=True)(batch).to_pydict()
+        assert out["decode_ok"] == [True, True, True]
+        assert out["phash_ok"] == [True, False, False]
