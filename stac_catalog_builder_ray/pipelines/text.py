@@ -1743,62 +1743,82 @@ def _mg_merge(a: dict, b: dict, capacity: int) -> dict:
     return out
 
 
-def q_heavy_hitters(sf_dir: str, capacity: int = 512):
+_HH_CAPACITY = 512  # default heavy-hitter threshold denominator; the SQL
+# oracle below is built from this same constant so a non-default capacity
+# cannot silently diverge from it
+
+
+def q_heavy_hitters(sf_dir: str, capacity: int = _HH_CAPACITY, *,
+                    num_blocks: int = None):
     """HEAVY HITTERS over the corpus token stream — the two-pass
     Misra-Gries pattern that finds every word with frequency >
     n_tokens/capacity WITHOUT ever materializing the O(vocab) count table
     on the driver (contrast ``word_freq``, which returns the full table):
 
-    pass 1 (streaming): each batch folds its token counts into a
-        capacity-bounded MG sketch (value_counts first, so updates are
-        per-distinct-word); the driver tree-folds the per-batch sketches
-        with the mergeable-summaries rule.  Guarantee: the merged sketch's
-        key set contains EVERY word with true count > n_tokens/capacity.
-    pass 2 (candidates only): exact counts for the <= capacity candidate
+    pass 1 (streaming): each batch folds its token counts into an MG
+        sketch of 2*capacity counters (value_counts first, so updates are
+        per-distinct-word).  The per-batch sketch rows are then folded
+        DISTRIBUTEDLY — a ``groupby(word).Sum(weight)`` followed by the
+        one-shot mergeable-summaries truncation (keep words whose summed
+        weight exceeds the (2*capacity+1)-th largest).  Guarantee: per
+        batch, weight >= f_b - tokens_b/(2c+1) (Misra-Gries deficit), so
+        the summed weight W >= f - n/(2c+1); a true heavy hitter
+        (f > n/c) therefore has W > n/c - n/(2c+1) > n/(2c+1) >= d, the
+        truncation cut (d*(2c+1) <= sum(W) <= n) — it always survives.
+        Driver state is O(capacity): only the <= 2c+1 top rows ever land
+        on the driver (round-4 directive: the previous version
+        ``to_pandas()``-ed ALL per-batch partials, O(n_batches x c) rows).
+    pass 2 (candidates only): exact counts for the <= 2*capacity candidate
         words (broadcast value_set filter + tiny groupby), then the exact
         integer filter ``count * capacity > n_tokens``.
 
-    Driver state is O(n_batches x capacity) in pass 1 and <= capacity rows
-    in pass 2.  The sketch only steers WHICH words get exact-counted; the
-    output is computed from exact integers, hence deterministic and
-    SQL-checkable."""
+    The sketch only steers WHICH words get exact-counted; the output is
+    computed from exact integers, hence deterministic and SQL-checkable
+    (any candidate superset of the true heavy hitters yields the identical
+    result).  ``num_blocks`` forces the pass-1 input block count (test
+    hook for the many-batches fold path)."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
 
     docs = _docs(sf_dir, ["text"])
+    if num_blocks:
+        docs = docs.repartition(num_blocks)
+    sketch_cap = 2 * capacity
 
     def batch_sketch(t: pa.Table) -> pa.Table:
         s = t["text"].to_pandas().fillna("").str.lower().str.split().explode().dropna()
         vc = s.value_counts()
         sk: dict = {}
         for w, c in vc.items():
-            _mg_update(sk, w, int(c), capacity)
+            _mg_update(sk, w, int(c), sketch_cap)
         words = list(sk.keys())
         # batch token total stamped on the first row only: summing the
-        # column recovers the exact global n_tokens after concatenation
+        # column recovers the exact global n_tokens after aggregation
         stamp = [int(s.size)] + [0] * (len(words) - 1) if words else []
         return pa.table({"word": pa.array(words, pa.string()),
                          "weight": pa.array(list(sk.values()), pa.int64()),
                          "batch_tokens": pa.array(stamp, pa.int64())})
 
-    parts = docs.map_batches(batch_sketch, batch_format="pyarrow").to_pandas()
-    n_tokens = int(parts["batch_tokens"].sum())
-    merged: dict = {}
-    start = 0
-    while start < len(parts):  # fold in bounded chunks, capacity held throughout
-        chunk = parts.iloc[start:start + 4 * capacity]
-        # same word may appear in several batch sketches within the chunk:
-        # sum weights first (deferred truncation only tightens the bound)
-        summed = chunk.groupby("word")["weight"].sum()
-        merged = _mg_merge(
-            merged,
-            {w: int(v) for w, v in summed.items()},
-            capacity,
-        )
-        start += 4 * capacity
-    candidates = pa.array(sorted(merged.keys()), pa.string())
+    # distributed fold: the partial-sketch table (O(n_batches x capacity)
+    # rows) never touches the driver — sum weights per word in a shuffle,
+    # then keep only the top sketch_cap rows (the one-shot MG truncation)
+    folded = (docs.map_batches(batch_sketch, batch_format="pyarrow")
+              .groupby("word")
+              .aggregate(Sum("weight", alias_name="weight"),
+                         Sum("batch_tokens", alias_name="batch_tokens"))
+              .materialize())
+    n_tokens = folded.sum("batch_tokens") or 0
+    n_tokens = int(n_tokens)
+    top = (folded.sort("weight", descending=True)
+           .limit(sketch_cap + 1).to_pandas())
+    if len(top) > sketch_cap:
+        d = int(top["weight"].iloc[sketch_cap])
+    else:
+        d = 0
+    cand_words = top["word"][top["weight"] > d]
+    candidates = pa.array(sorted(cand_words), pa.string())
     cand_ref = ray.put(candidates)
 
     class ExactCandidateCounts:
@@ -1826,12 +1846,13 @@ def q_heavy_hitters(sf_dir: str, capacity: int = 512):
 SQL_HEAVY_HITTERS = (
     # exact reference: full word counts filtered at the same integer
     # threshold (the engine side never builds this full table — that is the
-    # point of the sketch — but the outputs must agree exactly)
+    # point of the sketch — but the outputs must agree exactly); built from
+    # _HH_CAPACITY so a non-default capacity cannot diverge from the oracle
     "WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) "
     "AS word FROM documents WHERE trim(text) <> ''), "
     "t AS (SELECT COUNT(*) AS n_tokens FROM w), "
     "c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1) "
-    "SELECT c.word, c.n, t.n_tokens FROM c, t WHERE c.n * 512 > t.n_tokens"
+    f"SELECT c.word, c.n, t.n_tokens FROM c, t WHERE c.n * {_HH_CAPACITY} > t.n_tokens"
 )
 
 

@@ -2950,6 +2950,20 @@ class TestHeavyHitters:
         assert got == expected
         assert (out["n_tokens"] == n).all()
 
+    def test_distributed_fold_many_batches_identical(self, ray_session):
+        """Round-4 directive: pass 1 folds the per-batch sketch partials
+        DISTRIBUTEDLY (groupby + top-k cut; the driver only ever sees
+        O(capacity) rows).  Forcing the input into >= 64 blocks — many
+        independent batch sketches — must not change a single output row."""
+        import pandas as pd
+
+        from stac_catalog_builder_ray.pipelines.text import q_heavy_hitters
+
+        sf = "/root/testdata/sf0.001"
+        base = q_heavy_hitters(sf)
+        many = q_heavy_hitters(sf, num_blocks=64)
+        pd.testing.assert_frame_equal(base, many)
+
 
 class TestGroupedMode:
     def test_packed_argmax_matches_pandas_mode(self, ray_session):
