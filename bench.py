@@ -258,20 +258,82 @@ SCALING_REPS = int(os.environ.get("SCBR_SCALING_REPS", "3"))
 # in the loop.
 #
 # PROBE_IDLE_REF: per-task seconds per concurrency level calibrated on an
-# idle box (per-level MIN across all probe readings on the current VM boot,
-# 2026-08-18 — re-derive with `python bench.py --probe`; the previous boot's
-# calibration {1: .420, 2: .445, 4: .437, 8: .442, 16: .498, 32: .578} read
-# 5-12% slower at low concurrency, which made clean-window host_factors dip
-# below 1 and skewed the normalized efficiency).  The reference
-# EMBEDS the intrinsic shared-DRAM contention (flat through 8 procs, 1.13x
-# at 16, 1.31x at 32 — matching BASELINE.md's 8->32 ceiling analysis), so
-# host_factor = measured / idle_ref isolates HOST noise only; a level with
-# host_factor >> 1 was throttled while measured, and
+# idle box (per-level MIN across all probe readings on ONE VM boot).  The
+# calibration is boot-specific — the 2026-08-17 boot's values read 5-12%
+# slower at low concurrency than the 2026-08-18 boot's, which made
+# clean-window host_factors dip below 1 and skewed the normalized
+# efficiency — so `python bench.py --probe` PERSISTS its readings to a
+# sidecar keyed by /proc boot_id and the runtime loads that sidecar,
+# falling back to the embedded (inevitably stale) values with a warning.
+# The reference EMBEDS the intrinsic shared-DRAM contention (flat through
+# 8 procs, 1.13x at 16, 1.31x at 32 — matching BASELINE.md's 8->32 ceiling
+# analysis), so host_factor = measured / idle_ref isolates HOST noise only;
+# a level with host_factor >> 1 was throttled while measured, and
 # `efficiency_host_normalized` multiplies each level's throughput back up
 # by its host_factor before forming the ratio.
 PROBE_N_IMAGES = 24
 PROBE_TASK_REPS = 100  # ~0.45 s per task on the idle box
-PROBE_IDLE_REF = {1: 0.464, 2: 0.496, 4: 0.417, 8: 0.383, 16: 0.405, 32: 0.525}
+PROBE_IDLE_REF_EMBEDDED = {1: 0.464, 2: 0.496, 4: 0.417, 8: 0.383, 16: 0.405, 32: 0.525}
+PROBE_SIDECAR = "/tmp/scbr-bench/probe-idle-ref.json"
+
+
+def _boot_id() -> str:
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return f.read().strip()
+    except OSError:
+        return "unknown"
+
+
+def _load_probe_idle_ref() -> dict:
+    """Sidecar calibration for THIS boot if present; embedded fallback
+    (with a stderr warning — it is guaranteed stale on a new boot)."""
+    try:
+        with open(PROBE_SIDECAR) as f:
+            d = json.load(f)
+        if d.get("boot_id") == _boot_id():
+            ref = {int(k): float(v) for k, v in d["per_level"].items()}
+            if ref:
+                # embedded values fill any level the sidecar hasn't seen yet
+                return {**PROBE_IDLE_REF_EMBEDDED, **ref}
+        print(
+            "bench: probe calibration sidecar is from a previous boot; "
+            "using embedded idle ref — run `python bench.py --probe` to "
+            "recalibrate",
+            file=sys.stderr,
+        )
+    except (OSError, ValueError, KeyError):
+        print(
+            "bench: no probe calibration sidecar for this boot; using "
+            "embedded idle ref — run `python bench.py --probe` to "
+            "recalibrate",
+            file=sys.stderr,
+        )
+    return dict(PROBE_IDLE_REF_EMBEDDED)
+
+
+def _save_probe_calibration(per_level: dict) -> None:
+    """Merge per-level MINs into the sidecar (atomic tmp+rename), keyed by
+    boot id — repeated --probe runs only ever tighten the calibration."""
+    os.makedirs(os.path.dirname(PROBE_SIDECAR), exist_ok=True)
+    merged = dict(per_level)
+    try:
+        with open(PROBE_SIDECAR) as f:
+            old = json.load(f)
+        if old.get("boot_id") == _boot_id():
+            for k, v in old.get("per_level", {}).items():
+                k = int(k)
+                merged[k] = min(float(v), merged.get(k, float(v)))
+    except (OSError, ValueError, KeyError):
+        pass
+    tmp = PROBE_SIDECAR + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"boot_id": _boot_id(),
+                   "per_level": {str(k): v for k, v in merged.items()}}, f)
+    os.replace(tmp, PROBE_SIDECAR)
+
+
+PROBE_IDLE_REF = _load_probe_idle_ref()
 
 
 def _probe_payloads():
@@ -312,14 +374,17 @@ def probe_task_sec(nprocs: int) -> float:
 
 
 def run_probe() -> dict:
-    """Calibration mode (`--probe`): min-of-3 per-task seconds per level."""
+    """Calibration mode (`--probe`): min-of-3 per-task seconds per level.
+    Persists the per-level mins to the boot-keyed sidecar so later bench /
+    scaling runs on this boot use a fresh idle reference automatically."""
     levels = sorted({n for p in SCALING_PAIRS for n in p} | {1})
     out = {}
     for n in levels:
         out[str(n)] = round(min(probe_task_sec(n) for _ in range(3)), 4)
+    _save_probe_calibration({int(k): v for k, v in out.items()})
     return {"metric": "contention probe per-task sec (decode+phash, no Ray)",
             "task_reps": PROBE_TASK_REPS, "n_images": PROBE_N_IMAGES,
-            "per_level": out,
+            "per_level": out, "sidecar": PROBE_SIDECAR, "boot_id": _boot_id(),
             "idle_ref": {str(k): v for k, v in PROBE_IDLE_REF.items()}}
 
 

@@ -3872,6 +3872,8 @@ def q_corr_by_group(sf_dir: str):
     without a second pass."""
     from ray.data.aggregate import Sum as _Sum
 
+    import math
+
     from ..functions.rounding import round_half_away
 
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
@@ -3897,7 +3899,10 @@ def q_corr_by_group(sf_dir: str):
         sxy, sxx, syy = int(r.sxy), int(r.sxx), int(r.syy)
         num = n * sxy - sx * sy
         den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
-        corr = float(num) / float(den2) ** 0.5
+        # math.sqrt is IEEE sqrt like SQL SQRT; pow(x, 0.5) is not (see
+        # q_standardize_by_group) — only the harness's 6-decimal rounding
+        # masked the difference here
+        corr = float(num) / math.sqrt(float(den2))
         rows.append((r.l_returnflag, n, corr))
     return pd.DataFrame(rows, columns=["l_returnflag", "n", "corr"])
 
@@ -4203,17 +4208,60 @@ SQL_MUTUAL_INFORMATION = (
 )
 
 
-def q_mad_by_group(sf_dir: str):
+def _mad_cont_median(vals: np.ndarray, ns: np.ndarray) -> float:
+    """Continuous median (DuckDB ``median`` on DOUBLE: mean of the two
+    middle order statistics for even n) from a (value, count) table."""
+    order = np.argsort(vals, kind="stable")
+    vals, ns = vals[order], ns[order]
+    cum = ns.cumsum()
+    total = int(cum[-1])
+    if total % 2 == 1:
+        return float(vals[np.searchsorted(cum, (total + 1) // 2)])
+    lo = float(vals[np.searchsorted(cum, total // 2)])
+    hi = float(vals[np.searchsorted(cum, total // 2 + 1)])
+    return (lo + hi) / 2.0
+
+
+def _mad_from_group_counts(v: np.ndarray, n: np.ndarray):
+    """(med, mad, n) from one group's (value, count) distribution.  The
+    deviation distribution |x - med| is a REGROUPING of the same counts
+    table — MAD costs no second corpus pass."""
+    med = _mad_cont_median(v, n)
+    dev = np.abs(v - med)
+    # regroup: equal deviations from both sides of the median merge
+    dd = pd.DataFrame({"d": dev, "n": n}).groupby("d")["n"].sum()
+    mad = _mad_cont_median(dd.index.to_numpy(np.float64),
+                           dd.to_numpy(np.int64))
+    return med, mad, int(n.sum())
+
+
+def q_mad_by_group(sf_dir: str, driver_state_limit: int = 100_000):
     """MEDIAN ABSOLUTE DEVIATION per group (the robust dispersion statistic
     outlier pipelines prefer over stddev) computed EXACTLY from ONE
-    counts pass: l_quantity has bounded distinct values, so per-batch
-    value_counts + a tiny groupby give the full per-group distribution;
-    the continuous median (DuckDB ``median`` on DOUBLE: mean of the two
-    middle order statistics for even n) falls out of the cumulative
-    counts, and the deviation distribution |x - med| is a REGROUPING of
-    the same counts table — MAD costs no second corpus pass.  All
-    arithmetic on the half-sums is exact in binary doubles (small ints
-    and halves), so both engines hash identically."""
+    counts pass: per-batch value_counts + a tiny groupby give the full
+    per-group distribution, and median + MAD both fall out of cumulative
+    counts (see :func:`_mad_from_group_counts`).  All arithmetic on the
+    half-sums is exact in binary doubles (small ints and halves), so both
+    engines hash identically.
+
+    AUTO-ROUTED on the counts-table size (round-4 directive: the old
+    version assumed a bounded value domain and ``to_pandas()``-ed the full
+    counts table — on a continuous 100 TB column the counts table IS the
+    column).  The (group, value) counts Dataset is materialized
+    DISTRIBUTED and its exact row count (cheaper and tighter than a KMV
+    estimate — the table is already built) picks the route:
+
+    - <= ``driver_state_limit`` distinct (group, value) pairs: gather the
+      counts table to the driver and fold per group (lowest constant).
+    - above: per-group ``map_groups`` computes (med, mad, n) ON WORKERS
+      from the distributed counts; the driver only sees O(groups) result
+      rows.  Bit-identical math (same helper), equality-tested by a
+      forced-route test at sf0.001.
+
+    For a truly continuous domain (counts ~ corpus) the exact answer
+    fundamentally needs the distribution; the documented approximate path
+    is the MRL ``QuantileSketch`` (``q_quantile_sketch``), with its
+    analytic rank-error bound, over x and |x - med|."""
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -4222,35 +4270,36 @@ def q_mad_by_group(sf_dir: str):
         p = df.value_counts(["l_returnflag", "l_quantity"]).reset_index(name="n")
         return pa.Table.from_pandas(p, preserve_index=False)
 
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(["l_returnflag", "l_quantity"])
-              .aggregate(Sum("n", alias_name="n"))
-              .to_pandas())
-    counts["n"] = counts["n"].astype("int64")
+    counts_ds = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["l_returnflag", "l_quantity"])
+                 .aggregate(Sum("n", alias_name="n"))
+                 .materialize())
+    n_distinct = counts_ds.count()
 
-    def cont_median(vals: np.ndarray, ns: np.ndarray) -> float:
-        order = np.argsort(vals, kind="stable")
-        vals, ns = vals[order], ns[order]
-        cum = ns.cumsum()
-        total = int(cum[-1])
-        if total % 2 == 1:
-            return float(vals[np.searchsorted(cum, (total + 1) // 2)])
-        lo = float(vals[np.searchsorted(cum, total // 2)])
-        hi = float(vals[np.searchsorted(cum, total // 2 + 1)])
-        return (lo + hi) / 2.0
+    if n_distinct <= driver_state_limit:
+        counts = counts_ds.to_pandas()
+        counts["n"] = counts["n"].astype("int64")
+        rows = []
+        for flag, g in counts.groupby("l_returnflag"):
+            med, mad, n = _mad_from_group_counts(
+                g["l_quantity"].to_numpy(np.float64),
+                g["n"].to_numpy(np.int64))
+            rows.append((flag, med, mad, n))
+        return pd.DataFrame(rows, columns=["l_returnflag", "med", "mad", "n"])
 
-    rows = []
-    for flag, g in counts.groupby("l_returnflag"):
-        v = g["l_quantity"].to_numpy(np.float64)
-        n = g["n"].to_numpy(np.int64)
-        med = cont_median(v, n)
-        dev = np.abs(v - med)
-        # regroup: equal deviations from both sides of the median merge
-        dd = pd.DataFrame({"d": dev, "n": n}).groupby("d")["n"].sum()
-        mad = cont_median(dd.index.to_numpy(np.float64),
-                          dd.to_numpy(np.int64))
-        rows.append((flag, med, mad, int(n.sum())))
-    return pd.DataFrame(rows, columns=["l_returnflag", "med", "mad", "n"])
+    def group_mad(g: pd.DataFrame) -> pd.DataFrame:
+        med, mad, n = _mad_from_group_counts(
+            g["l_quantity"].to_numpy(np.float64),
+            g["n"].to_numpy(np.int64))
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "med": [med], "mad": [mad], "n": [n]})
+
+    out = (counts_ds.groupby("l_returnflag")
+           .map_groups(group_mad, batch_format="pandas")
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values("l_returnflag", kind="stable")
+            .reset_index(drop=True)[["l_returnflag", "med", "mad", "n"]])
 
 
 SQL_MAD_BY_GROUP = (

@@ -57,16 +57,18 @@ def add_salted_key(ds, key_col: str, hot_fanout: Dict[str, int], salted_col: str
             self.fanout = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = pc.cast(batch[key_col], pa.string()).to_pylist()
-            n = len(keys)
+            # "None" fill keeps the old f-string rendering of null keys
+            key_arr = pc.fill_null(pc.cast(batch[key_col], pa.string()), "None")
+            n = len(key_arr)
             # cheap deterministic row hash: stable across runs, spreads rows
             h = np.arange(n, dtype=np.int64) * 2654435761 % (1 << 31)
-            salts = np.zeros(n, dtype=np.int64)
-            for i, k in enumerate(keys):
-                f = self.fanout.get(k, 1)
-                if f > 1:
-                    salts[i] = h[i] % f
-            salted = pa.array([f"{k}#{s}" for k, s in zip(keys, salts)], pa.string())
+            # vectorized fanout lookup: the hot-key dict is small, the batch
+            # is not — map + fillna, never a per-row .get loop
+            f = (pd.Series(key_arr.to_pandas(), dtype=object)
+                 .map(self.fanout).fillna(1).to_numpy(dtype=np.int64))
+            salts = np.where(f > 1, h % np.maximum(f, 1), 0)
+            salted = pc.binary_join_element_wise(
+                key_arr, pc.cast(pa.array(salts), pa.string()), "#")
             return batch.append_column(salted_col, salted)
 
     return ds.map_batches(Salt, batch_format="pyarrow", concurrency=(1, 4))
@@ -86,14 +88,15 @@ def add_salted_key_by_id(ds, key_col: str, id_col: str,
 
     def salt(batch: pa.Table) -> pa.Table:
         fanout = ray.get(ref)
-        keys = pc.cast(batch[key_col], pa.string()).to_pylist()
+        key_arr = pc.fill_null(pc.cast(batch[key_col], pa.string()), "None")
         ids = np.asarray(pc.cast(batch[id_col], pa.string()).to_pylist(),
                          dtype=object)
         h = pd.util.hash_array(ids)  # fixed-key siphash: stable across runs
-        f = np.fromiter((fanout.get(k, 1) for k in keys), dtype=np.int64,
-                        count=len(keys))
-        salts = np.where(f > 1, (h % f.astype(np.uint64)).astype(np.int64), 0)
-        salted = pa.array([f"{k}#{s}" for k, s in zip(keys, salts)], pa.string())
+        f = (pd.Series(key_arr.to_pandas(), dtype=object)
+             .map(fanout).fillna(1).to_numpy(dtype=np.int64))
+        salts = np.where(f > 1, (h % np.maximum(f, 1).astype(np.uint64)).astype(np.int64), 0)
+        salted = pc.binary_join_element_wise(
+            key_arr, pc.cast(pa.array(salts), pa.string()), "#")
         return batch.append_column(salted_col, salted)
 
     return ds.map_batches(salt, batch_format="pyarrow")

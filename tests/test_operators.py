@@ -3075,6 +3075,22 @@ class TestMadByGroup:
             assert out.loc[flag, "mad"] == mad
             assert int(out.loc[flag, "n"]) == len(x)
 
+    def test_forced_distributed_route_identical(self, ray_session):
+        """Round-4 directive: above the distinct-count guard the per-group
+        fold runs in map_groups on workers instead of a driver gather of
+        the full counts table.  Forcing that route (driver_state_limit=0)
+        must be bit-identical — same helper, same math."""
+        import pandas as pd
+
+        from stac_catalog_builder_ray.pipelines.relational import q_mad_by_group
+
+        sf = "/root/testdata/sf0.001"
+        base = (q_mad_by_group(sf)
+                .sort_values("l_returnflag").reset_index(drop=True))
+        dist = (q_mad_by_group(sf, driver_state_limit=0)
+                .sort_values("l_returnflag").reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, dist)
+
 
 class TestFeatureHash:
     def test_buckets_deterministic_and_counts_conserve(self, ray_session):
