@@ -873,3 +873,43 @@ class TestKcore:
         want = {u: sum(v in alive for v in adj[u]) for u in sorted(alive)}
         got = dict(zip(out["node"], out["core_deg"]))
         assert len(want) > 0 and got == want
+
+
+class TestProximityEdgeCache:
+    def test_same_key_reuses_materialized_edges(self, ray_session):
+        """Round-4 directive #4: the graph family (radius_join / dbscan /
+        triangles at eps=RADIUS; kcore / degree_hist at KCORE_RADIUS) share
+        ONE materialized epsilon-join per (session, sf_dir, radius) — the
+        second call must return the SAME object, a different radius must
+        not."""
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            KCORE_RADIUS, RADIUS, clear_proximity_edge_cache,
+            proximity_edges)
+
+        clear_proximity_edge_cache()
+        sf = "/root/testdata/sf0.001"
+        a = proximity_edges(sf, RADIUS)
+        b = proximity_edges(sf, RADIUS)
+        c = proximity_edges(sf, KCORE_RADIUS)
+        assert a is b
+        assert c is not a
+        # and the cached dataset is live + correct for this session
+        assert a.count() >= 0 and set(a.schema().names) == {"id_a", "id_b"}
+        clear_proximity_edge_cache()
+
+    def test_primitives_return_datasets(self, ray_session):
+        """Round-4 directive #7: iou_pairs / kcore_members are
+        Dataset-returning primitives (compose into pipelines without a
+        driver gather); only the q_ wrappers materialize."""
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            iou_pairs, kcore_members)
+
+        sf = "/root/testdata/sf0.001"
+        iou = iou_pairs(sf)
+        assert isinstance(iou, rd.Dataset)
+        assert set(iou.schema().names) == {"id_a", "id_b", "iou_e6"}
+        kc = kcore_members(sf)
+        assert isinstance(kc, rd.Dataset)
+        assert set(kc.schema().names) == {"node", "core_deg"}
