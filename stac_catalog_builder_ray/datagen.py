@@ -218,25 +218,49 @@ def _make_rows(indices: Iterator[int], smoke: bool, w: int, h: int) -> Dict[str,
     return cols
 
 
+def _default_rows_per_file(out_dir: str, w: int, h: int) -> int:
+    """Payload-aware part sizing (the measured wide-payload rule from
+    sources/partsize.py, applied at WRITE time where it actually controls
+    read-task granularity — Ray 2.49 schedules one read task per part):
+    ~40 MB of raw pixel payload per part, capped at the historical 2048 so
+    narrow tables keep their existing layout bit-for-bit.  RESUME SAFETY:
+    if the dir already has a part-00000, its footer row count wins — a
+    default change can never mis-index an existing partitioned table."""
+    first = os.path.join(out_dir, "part-00000.parquet")
+    if os.path.exists(first):
+        try:
+            n = pq.ParquetFile(first).metadata.num_rows
+            if n > 0:
+                return n
+        except Exception:
+            pass
+    row_bytes = max(1, w * h * 2)  # uint16 raster payload dominates the row
+    return max(64, min(2048, (40 * 1024 * 1024) // row_bytes))
+
+
 def generate_images_table(
     out_dir: str,
     n_rows: int | None = None,
     smoke: bool = False,
     w: int = 240,
     h: int = 180,
-    rows_per_file: int = 2048,
+    rows_per_file: int | None = None,
     overwrite: bool = False,
 ) -> str:
     """Write the images table as partitioned Parquet under ``out_dir``
     (``part-{k:05d}.parquet``), resumable: existing complete parts are kept
     unless ``overwrite``.  Returns ``out_dir``.  Smoke sets use the fixed
-    240x180 reference shape; scale sets default to the caller's (w, h)."""
+    240x180 reference shape; scale sets default to the caller's (w, h).
+    ``rows_per_file`` defaults to :func:`_default_rows_per_file` (payload-
+    aware <= ~40 MB parts; footer-derived for existing dirs)."""
     if smoke:
         n_rows = 12
         w, h = 240, 180
     if n_rows is None:
         raise ValueError("n_rows required for non-smoke tables")
     os.makedirs(out_dir, exist_ok=True)
+    if rows_per_file is None:
+        rows_per_file = _default_rows_per_file(out_dir, w, h)
     for k, start in enumerate(range(0, n_rows, rows_per_file)):
         path = os.path.join(out_dir, f"part-{k:05d}.parquet")
         if os.path.exists(path) and not overwrite:
@@ -265,15 +289,19 @@ def generate_images_table_parallel(
     n_rows: int,
     w: int = 240,
     h: int = 180,
-    rows_per_file: int = 2048,
+    rows_per_file: int | None = None,
     concurrency: int = 16,
 ) -> str:
     """Ray-parallel variant of :func:`generate_images_table` for bench-scale
     tables: one Ray task per part file, same deterministic bytes (generation
-    is pure arithmetic on the row index), same atomic-rename resume."""
+    is pure arithmetic on the row index), same atomic-rename resume.
+    ``rows_per_file`` defaults like the serial writer (payload-aware,
+    footer-derived for existing dirs)."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    if rows_per_file is None:
+        rows_per_file = _default_rows_per_file(out_dir, w, h)
     parts = [
         (k, start, min(start + rows_per_file, n_rows))
         for k, start in enumerate(range(0, n_rows, rows_per_file))

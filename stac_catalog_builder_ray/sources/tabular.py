@@ -64,6 +64,12 @@ def read_table_auto(path: str, columns: Optional[List[str]] = None):
 
     ext = _detect(paths)
     if ext == ".parquet":
+        from .partsize import wide_payload_num_blocks
+
+        nb = wide_payload_num_blocks(paths, columns=columns)
+        if nb is not None:  # wide-payload rule: see sources/partsize.py
+            return rd.read_parquet(paths, columns=columns,
+                                   override_num_blocks=nb)
         return rd.read_parquet(paths, columns=columns)
     ds = getattr(rd, _READERS[ext])(paths)
     if columns:

@@ -102,6 +102,34 @@ class TestDatagen:
         assert len(aois) == 8
         assert len({a["aoi_id"] for a in aois}) == 8
 
+    def test_payload_aware_part_default_and_footer_resume(self, tmp_path):
+        """Round-4 directive #6, writer side: the default part size follows
+        the measured <= ~40 MB rule (Ray 2.49 schedules ONE read task per
+        part, so write-time granularity is the real control): wide 240x180
+        rasters get ~40MB/86KB = 485-row parts, narrow 64x48 keeps the
+        historical 2048 cap; and an EXISTING dir's footer row count always
+        wins so a default change can never mis-index a resumed table."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.datagen import (
+            _default_rows_per_file, generate_images_table)
+
+        assert _default_rows_per_file(str(tmp_path), 240, 180) == \
+            (40 * 1024 * 1024) // (240 * 180 * 2)
+        assert _default_rows_per_file(str(tmp_path), 64, 48) == 2048
+
+        # footer-derived resume: write with an explicit odd part size, then
+        # extend with the default — layout must follow the existing parts
+        d = os.path.join(str(tmp_path), "imgs")
+        generate_images_table(d, n_rows=14, w=32, h=32, rows_per_file=7)
+        generate_images_table(d, n_rows=21, w=32, h=32)
+        t = pq.read_table(d)
+        assert t.num_rows == 21
+        assert len(set(t.column("image_id").to_pylist())) == 21
+        assert pq.ParquetFile(os.path.join(d, "part-00001.parquet")).metadata.num_rows == 7
+
     def test_images_table(self, smoke_images_dir):
         import pyarrow.parquet as pq
 

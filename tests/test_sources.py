@@ -391,3 +391,74 @@ class TestTabularSource:
         df.to_parquet(str(d / "c.parquet"), index=False)
         with pytest.raises(ValueError, match="mixed"):
             read_table_auto(str(d))
+
+
+class TestWidePayloadSplit:
+    """Round-4 directive #6: the measured <=~40 MB-part rule for >=50 KB/row
+    payloads (BASELINE.md wide-payload regime) is applied automatically from
+    parquet FOOTERS by read_images / read_table_auto."""
+
+    @staticmethod
+    def _write_wide(tmpdir, n_files=2, rows=30, row_kb=120):
+        import os
+
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(7)
+        paths = []
+        for f in range(n_files):
+            payload = [rng.bytes(row_kb * 1024) for _ in range(rows)]
+            t = pa.table({
+                "image_id": pa.array(np.arange(rows) + f * rows),
+                "bytes": pa.array(payload, pa.binary()),
+            })
+            p = os.path.join(str(tmpdir), f"part-{f:05d}.parquet")
+            # small row groups so override_num_blocks can actually split
+            pq.write_table(t, p, row_group_size=5, compression="zstd")
+            paths.append(p)
+        return paths
+
+    def test_narrow_and_pruned_reads_keep_default_layout(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.sources.partsize import (
+            wide_payload_num_blocks)
+
+        # narrow rows: never overridden, whatever the part size
+        p = os.path.join(str(tmp_path), "narrow.parquet")
+        pq.write_table(pa.table({"a": pa.array(np.arange(10_000))}), p)
+        assert wide_payload_num_blocks([p]) is None
+
+        # wide table read METADATA-ONLY: the selected columns are narrow,
+        # so the footer rule must classify it narrow too
+        wide = self._write_wide(tmp_path)
+        assert wide_payload_num_blocks(wide, columns=["image_id"]) is None
+
+    def test_wide_coarse_parts_pin_task_count(self, tmp_path, monkeypatch):
+        import os
+
+        from stac_catalog_builder_ray.sources import partsize
+
+        wide = self._write_wide(tmp_path)  # 2 parts x ~3.6 MB, ~120 KB/row
+        # real constants: 7.2 MB total <= 40 MB x 2 parts -> default layout
+        assert partsize.wide_payload_num_blocks(wide) is None
+        # shrink the target so the same layout is "coarse": the pinned
+        # count is ceil(total_selected_bytes / target)
+        monkeypatch.setattr(partsize, "TARGET_TASK_BYTES", 1024 * 1024)
+        n = partsize.wide_payload_num_blocks(wide)
+        sel = sum(os.path.getsize(p) for p in wide)
+        import math
+        assert n == math.ceil(sel / (1024 * 1024)) and n > len(wide)
+
+    def test_read_images_applies_override_end_to_end(self, ray_session,
+                                                     tmp_path, monkeypatch):
+        from stac_catalog_builder_ray.sources import partsize
+        from stac_catalog_builder_ray.sources.images import read_images
+
+        self._write_wide(tmp_path)
+        monkeypatch.setattr(partsize, "TARGET_TASK_BYTES", 1024 * 1024)
+        ds = read_images(str(tmp_path))
+        assert ds.count() == 60  # override path reads every row exactly once
+        assert set(ds.schema().names) == {"image_id", "bytes"}
