@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_digest": G.q_augment_digest,
         "nearest_aoi": G.q_nearest_aoi,
         "kcore": G.q_kcore,
+        "clustering_coeff": G.q_clustering_coeff,
+        "bfs_hops": G.q_bfs_hops,
         "frame_sample": G.q_frame_sample,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
@@ -173,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": T.q_minhash_dedup,
         "neardup_cluster": T.q_neardup_cluster,
         "simhash": T.q_simhash,
+        "bm25": T.q_bm25,
         "fingerprint": T.q_fingerprint,
         "tfidf_top_terms": T.q_tfidf_top_terms,
         "gopher_quality": T.q_gopher_quality,
@@ -421,11 +424,14 @@ def oracle_sql() -> dict[str, str]:
         "dwell_points": G.dwell_points_sql(),
         "nearest_aoi": G.nearest_aoi_sql(),
         "kcore": G.kcore_sql(),
+        "clustering_coeff": G.clustering_coeff_sql(),
+        "bfs_hops": G.bfs_hops_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": T.SQL_NGRAM_JACCARD,
         "langid": T.SQL_LANGID,
+        "bm25": T.bm25_sql(),
         "neardup_cluster": T.SQL_NEARDUP_CLUSTER,
         "tfidf_top_terms": T.SQL_TFIDF_TOP_TERMS,
         "gopher_quality": T.SQL_GOPHER_QUALITY,

@@ -1135,6 +1135,75 @@ def triangles_sql() -> str:
     )
 
 
+def q_clustering_coeff(sf_dir: str):
+    """LOCAL CLUSTERING COEFFICIENT per node of the radius-0.5 proximity
+    graph — the neighborhood-density statistic of graph curation (how
+    close each node's neighborhood is to a clique):
+    ``cc = 2 * n_tri / (deg * (deg - 1))`` for nodes with deg >= 2,
+    published INTEGER-EXACT as ``cc_e6 = 2*n_tri*1_000_000 //
+    (deg*(deg-1))`` so the SQL twin hashes bit-for-bit (no float
+    division on either side).
+
+    Scale shape: the epsilon-join edge list comes from the SESSION CACHE
+    (``proximity_edges`` — shared with radius_join/dbscan/triangles);
+    degrees are per-batch ``np.unique`` partials + one groupby-sum over
+    O(nodes) rows; per-node triangle counts ride ``q_triangles``
+    (adjacency-broadcast with the documented partitioned-wedge swap at
+    sizes where adjacency outgrows a node); the left-merge of the two
+    node-bounded tables happens once.  -> (node, deg, n_tri, cc_e6) for
+    deg >= 2."""
+    from ray.data.aggregate import Sum
+
+    edges = proximity_edges(sf_dir, RADIUS)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+           .to_pandas())
+    empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "deg": pd.Series(dtype="int64"),
+                          "n_tri": pd.Series(dtype="int64"),
+                          "cc_e6": pd.Series(dtype="int64")})
+    if "node" not in deg.columns or not len(deg):
+        return empty
+    deg = deg[deg["deg"] >= 2]
+    if not len(deg):
+        return empty
+    tri = q_triangles(sf_dir)
+    out = deg.merge(tri, on="node", how="left")
+    out["n_tri"] = out["n_tri"].fillna(0).astype("int64")
+    d = out["deg"].to_numpy(dtype=np.int64)
+    t3 = out["n_tri"].to_numpy(dtype=np.int64)
+    out["cc_e6"] = 2 * t3 * 1_000_000 // (d * (d - 1))
+    return (out.astype({"node": "int64", "deg": "int64"})
+            .sort_values("node").reset_index(drop=True)
+            [["node", "deg", "n_tri", "cc_e6"]])
+
+
+def clustering_coeff_sql() -> str:
+    return (
+        f"WITH e AS ({radius_join_sql()}), "
+        "bi AS (SELECT id_a AS u, id_b AS v FROM e "
+        "UNION ALL SELECT id_b, id_a FROM e), "
+        "d AS (SELECT u, COUNT(*) AS deg FROM bi GROUP BY 1), "
+        "ori AS (SELECT id_a AS u, id_b AS v FROM e), "
+        "tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM ori a "
+        "JOIN ori b ON b.u = a.v JOIN ori c ON c.u = a.u AND c.v = b.v), "
+        "n3 AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri), "
+        "t AS (SELECT node, COUNT(*) AS n_tri FROM n3 GROUP BY 1) "
+        "SELECT d.u AS node, d.deg, COALESCE(t.n_tri, 0) AS n_tri, "
+        "2 * COALESCE(t.n_tri, 0) * 1000000 // (d.deg * (d.deg - 1)) AS cc_e6 "
+        "FROM d LEFT JOIN t ON t.node = d.u WHERE d.deg >= 2"
+    )
+
+
 # --- skewed points: hotspot / IoU / dwell operators --------------------------
 
 # integer micro-degree coordinates of the events_points grid (exact in SQL:
@@ -1665,6 +1734,165 @@ def kcore_sql() -> str:
         prev = f"e{r}"
     return (sql + f" SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg "
             f"FROM {prev} GROUP BY 1")
+
+
+BFS_SEED_MOD = 97   # seeds: event_id % 97 == 0 (hop 0)
+BFS_MAX_HOPS = 6    # bounded horizon == the SQL twin's unroll depth
+
+
+def q_bfs_hops(sf_dir: str, driver_edge_limit: int = 5_000_000):
+    """BOUNDED-HOP BFS (seed-set shortest hop distance) over the radius-4
+    proximity graph: seeds are events with ``event_id % 97 == 0`` (hop
+    0); every node within <= ``BFS_MAX_HOPS`` hops gets its EXACT hop —
+    the reachability/expansion primitive, and the FRONTIER-ITERATION
+    archetype completing the graph family (pagerank = fixed rounds,
+    components = label fixpoint, kcore = monotone peel).
+
+    AUTO-ROUTE like kcore (both routes equality-tested):
+    - edges <= ``driver_edge_limit``: LOCAL numpy BFS — sorted edge
+      arrays, each round one fully-vectorized ragged gather
+      (searchsorted bounds + np.repeat index arithmetic, no per-node
+      loop); Ray round-launch overhead dominates compute at this size.
+    - else: DISTRIBUTED bounded Bellman-Ford — exactly ``BFS_MAX_HOPS``
+      rounds of (edges ⋈ frontier on u -> candidate v at hop r) + a
+      min-groupby union; nothing driver-held.  Frontier-only expansion
+      is an optimization of the same recurrence (settled nodes can only
+      re-derive larger hops), so it matches the SQL unroll exactly.
+
+    The shared epsilon-join comes from the session edge cache.
+    -> (node, hop), hop <= 6, seeds included even when isolated."""
+    import ray
+    from ray.data.aggregate import Min as _Min
+
+    from ..stages.dedup import _compact_nonempty
+
+    edges = proximity_edges(sf_dir, KCORE_RADIUS)
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+
+    def seed_batch(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ids[ids % BFS_SEED_MOD == 0]
+        return pa.table({"node": pa.array(s),
+                         "hop": pa.array(np.zeros(len(s), np.int64))})
+
+    hop_schema = pa.schema([("node", pa.int64()), ("hop", pa.int64())])
+    seeds_ds = _compact_nonempty(
+        ev.map_batches(seed_batch, batch_format="pyarrow").materialize(),
+        fallback_schema=hop_schema)
+
+    if edges.count() <= driver_edge_limit:
+        ep = edges.to_pandas()
+        sp = seeds_ds.to_pandas()
+        seeds = (np.unique(sp["node"].to_numpy(np.int64)) if len(sp)
+                 else np.array([], np.int64))
+        if len(ep):
+            a = ep["id_a"].to_numpy(np.int64)
+            b = ep["id_b"].to_numpy(np.int64)
+            u = np.concatenate([a, b])
+            v = np.concatenate([b, a])
+            order = np.argsort(u, kind="stable")
+            us, vs = u[order], v[order]
+        else:
+            us = vs = np.array([], np.int64)
+        nodes, hops = [seeds], [np.zeros(len(seeds), np.int64)]
+        visited, frontier = seeds, seeds
+        for r in range(1, BFS_MAX_HOPS + 1):
+            if not len(frontier):
+                break
+            lo = np.searchsorted(us, frontier, "left")
+            hi = np.searchsorted(us, frontier, "right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                break
+            # vectorized ragged gather of every frontier node's neighbors
+            starts = np.repeat(lo, cnt)
+            offs = np.arange(total) - np.repeat(
+                np.concatenate([[0], cnt.cumsum()[:-1]]), cnt)
+            neigh = np.unique(vs[starts + offs])
+            new = neigh[~np.isin(neigh, visited, assume_unique=True)]
+            if not len(new):
+                break
+            nodes.append(new)
+            hops.append(np.full(len(new), r, np.int64))
+            visited = np.union1d(visited, new)
+            frontier = new
+        return (pd.DataFrame({"node": np.concatenate(nodes),
+                              "hop": np.concatenate(hops)})
+                .astype({"node": "int64", "hop": "int64"})
+                .sort_values("node").reset_index(drop=True))
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks()
+        b = t["id_b"].combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    bi = _compact_nonempty(
+        edges.map_batches(explode, batch_format="pyarrow").materialize(),
+        fallback_schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]))
+    hops = seeds_ds
+    for r in range(1, BFS_MAX_HOPS + 1):
+        rr = np.int64(r)
+
+        def front(t: pa.Table, rr=rr) -> pa.Table:
+            m = pc.equal(t["hop"], pa.scalar(int(rr) - 1, pa.int64()))
+            return pa.table({"fu": t["node"].filter(m)})
+
+        frontier = _compact_nonempty(
+            hops.map_batches(front, batch_format="pyarrow").materialize(),
+            fallback_schema=pa.schema([("fu", pa.int64())]))
+        if frontier.count() == 0:
+            break
+        from .relational import cluster_partitions
+
+        cand = (bi.join(frontier, join_type="inner",
+                        num_partitions=cluster_partitions(),
+                        on=("u",), right_on=("fu",)))
+
+        def as_hop(t: pa.Table, rr=rr) -> pa.Table:
+            n = len(t)
+            return pa.table({"node": t["v"],
+                             "hop": pa.array(np.full(n, rr, np.int64))})
+
+        cand = _compact_nonempty(
+            cand.map_batches(as_hop, batch_format="pyarrow").materialize(),
+            fallback_schema=hop_schema)
+        hops = _compact_nonempty(
+            hops.union(cand).groupby("node")
+            .aggregate(_Min("hop", alias_name="hop")).materialize(),
+            fallback_schema=hop_schema)
+    out = hops.to_pandas()
+    if "node" not in out.columns:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "hop": pd.Series(dtype="int64")})
+    return (out.astype({"node": "int64", "hop": "int64"})
+            .sort_values("node").reset_index(drop=True))
+
+
+def bfs_hops_sql() -> str:
+    sql = (
+        "WITH " + _kmv_sql_cte("event_id") + ", "
+        "pts AS (SELECT event_id, (g % 36000) / 100.0 - 180.0 AS lon, "
+        "((g // 36000) % 18000) / 100.0 - 90.0 AS lat FROM sq), "
+        "e AS MATERIALIZED (SELECT a.event_id AS u, b.event_id AS v "
+        "FROM pts a JOIN pts b ON a.event_id < b.event_id "
+        "AND (a.lon-b.lon)*(a.lon-b.lon)+(a.lat-b.lat)*(a.lat-b.lat) "
+        f"<= {KCORE_RADIUS * KCORE_RADIUS}), "
+        "bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+        "h0 AS (SELECT event_id AS node, CAST(0 AS BIGINT) AS hop "
+        f"FROM events WHERE event_id % {BFS_SEED_MOD} = 0)"
+    )
+    prev = "h0"
+    for r in range(1, BFS_MAX_HOPS + 1):
+        sql += (f", h{r} AS MATERIALIZED (SELECT node, MIN(hop) AS hop "
+                f"FROM (SELECT node, hop FROM {prev} UNION ALL "
+                f"SELECT bi.v AS node, p.hop + 1 AS hop FROM bi "
+                f"JOIN {prev} p ON bi.u = p.node) GROUP BY node)")
+        prev = f"h{r}"
+    return sql + f" SELECT node, hop FROM {prev}"
 
 
 def q_frame_sample(sf_dir: str):

@@ -183,6 +183,140 @@ SQL_LANGID = (
 )
 
 
+BM25_TERMS = ("window", "merge", "dup", "scan")  # the fixed retrieval query
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25(sf_dir: str):
+    """BM25 RETRIEVAL SCORING of every document against a fixed query
+    (the lexical-retrieval primitive of RAG / training-data curation
+    pipelines): Lucene-style
+    ``score = Σ_t ln((N - df_t + 0.5)/(df_t + 0.5) + 1) *
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with k1=1.2, b=0.75.
+
+    Scale shape (one corpus pass + one narrow pass):
+    - pass 1 tokenizes once per batch (vectorized pandas split/explode,
+      filtered to the 4 query terms BEFORE the value_counts — rows out
+      are O(docs x |query|), never O(tokens)) and emits the NARROW
+      (doc_id, dl, tf_t...) table, materialized distributed;
+    - corpus stats (N, Σdl, df_t) are ONE tiny aggregate over indicator
+      columns — six numbers on the driver, broadcast as plain floats;
+    - scoring is a vectorized map over the narrow table; only docs
+      containing >= 1 query term are emitted.
+
+    Float parity with the SQL twin: idf uses driver-side ``math.log``
+    (libm, like DuckDB's LN); every +,*,/ is written in the SAME
+    left-associated order in both engines; avgdl = int-sum / int-count
+    in both.  The harness's 6-decimal rounding absorbs last-ulp libm
+    variation.  -> (doc_id, score)."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _compact_nonempty
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    terms = list(BM25_TERMS)
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.strip().str.lower()
+        toks = s.str.split()
+        dl = toks.str.len().fillna(0).astype("int64")
+        ex = toks.explode()
+        ex = ex[ex.isin(terms)]
+        if ex.empty:  # no query term in this batch: all-zero tf columns
+            vc = pd.DataFrame(0, index=range(len(s)), columns=terms)
+        else:
+            vc = (ex.groupby([ex.index, ex]).size().unstack(fill_value=0)
+                  .reindex(columns=terms, fill_value=0)
+                  .reindex(index=range(len(s)), fill_value=0))
+        cols = {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "dl": pa.array(dl.to_numpy())}
+        for term in terms:
+            cols[f"tf_{term}"] = pa.array(
+                vc[term].to_numpy().astype(np.int64))
+        return pa.table(cols)
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())]
+                          + [(f"tf_{term}", pa.int64()) for term in terms])
+    tfd = _compact_nonempty(
+        docs.map_batches(tf_partial, batch_format="pyarrow").materialize(),
+        fallback_schema=tf_schema)
+
+    stats = tfd.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([len(t)], pa.int64()),
+             "sdl": pa.array([pc.sum(t["dl"]).as_py() or 0], pa.int64()),
+             **{f"df_{term}": pa.array(
+                 [pc.sum(pc.cast(pc.greater(t[f"tf_{term}"], 0),
+                                 pa.int64())).as_py() or 0], pa.int64())
+                for term in terms}}),
+        batch_format="pyarrow",
+    ).aggregate(Sum("n", alias_name="n"), Sum("sdl", alias_name="sdl"),
+                *[Sum(f"df_{term}", alias_name=f"df_{term}")
+                  for term in terms])
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    avgdl = int(stats["sdl"]) / n_docs  # int/int -> exact IEEE division
+    idf = {term: math.log((n_docs - int(stats[f"df_{term}"]) + 0.5)
+                          / (int(stats[f"df_{term}"]) + 0.5) + 1.0)
+           for term in terms}
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = np.zeros(len(t), np.float64)
+        any_tf = np.zeros(len(t), bool)
+        for term in terms:  # fixed 4-term loop; each step is vectorized
+            tf = t[f"tf_{term}"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            score = score + (idf[term] * (tf * (BM25_K1 + 1.0))) / denom
+            any_tf |= tf > 0
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(any_tf)),
+                         "score": pa.array(score[any_tf])})
+
+    out = tfd.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    return (out.astype({"doc_id": "int64", "score": "float64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def bm25_sql() -> str:
+    terms = BM25_TERMS
+    k1, b = BM25_K1, BM25_B
+    tok = ("CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE "
+           "regexp_split_to_array(lower(trim(text)), '\\s+') END")
+    tf_cols = ", ".join(
+        f"length(list_filter(toks, x -> x = '{t}')) AS tf_{t}"
+        for t in terms)
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in terms)
+    # same left-associated expression as the engine: (idf * (tf * 2.2))
+    # / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), summed in fixed
+    # term order
+    score = " + ".join(
+        f"(LN((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0) "
+        f"* (d.tf_{t} * ({k1} + 1.0))) "
+        f"/ (d.tf_{t} + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl))"
+        for t in terms)
+    any_tf = " + ".join(f"d.tf_{t}" for t in terms)
+    return (
+        f"WITH tk AS (SELECT doc_id, {tok} AS toks FROM documents), "
+        f"d AS (SELECT doc_id, length(toks) AS dl, {tf_cols} FROM tk), "
+        f"s AS (SELECT COUNT(*) AS n_docs, "
+        f"CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {df_cols} FROM d) "
+        f"SELECT d.doc_id, {score} AS score FROM d, s WHERE {any_tf} > 0"
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 

@@ -3161,3 +3161,43 @@ class TestIdw:
                 # engine quantizes terms to integers; agreement to ~1e-4 rel
                 assert abs(out.loc[gid, "idw_value"] - ref) < 1e-3 + 1e-4 * abs(ref)
                 assert int(out.loc[gid, "n_pts"]) == int(m.sum())
+
+
+class TestBm25:
+    def test_matches_independent_python_bm25(self, ray_session):
+        """Score recomputed independently in pure python (tokenize, tf/df,
+        Lucene BM25 formula) from the raw documents parquet — exact to
+        1e-9 relative (same IEEE expression order)."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import (
+            BM25_B, BM25_K1, BM25_TERMS, q_bm25)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_bm25(sf)
+        assert len(out) > 0
+        texts = pq.read_table(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        toks = {r.doc_id: (r.text or "").strip().lower().split()
+                for r in texts.itertuples()}
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks.values()) / n
+        df = {t: sum(1 for w in toks.values() if t in w) for t in BM25_TERMS}
+        idf = {t: math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+               for t in BM25_TERMS}
+        want = {}
+        for d, words in toks.items():
+            s, any_tf = 0.0, False
+            for t in BM25_TERMS:
+                tf = words.count(t)
+                any_tf |= tf > 0
+                s = s + (idf[t] * (tf * (BM25_K1 + 1.0))) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(words) / avgdl))
+            if any_tf:
+                want[d] = s
+        got = dict(zip(out["doc_id"], out["score"]))
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], rel=1e-9)

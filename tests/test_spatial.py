@@ -913,3 +913,93 @@ class TestProximityEdgeCache:
         kc = kcore_members(sf)
         assert isinstance(kc, rd.Dataset)
         assert set(kc.schema().names) == {"node", "core_deg"}
+
+
+class TestBfsHops:
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("limit", [5_000_000, 0])
+    def test_routes_identical_and_match_python_bfs(self, ray_session, limit):
+        """Local numpy route and distributed Bellman-Ford route give the
+        same bounded-hop distances, and both match an independent python
+        BFS over the DuckDB brute-force edge list."""
+        import collections
+
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            BFS_MAX_HOPS, BFS_SEED_MOD, KCORE_RADIUS, _kmv_sql_cte,
+            q_bfs_hops)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_bfs_hops(sf, driver_edge_limit=limit)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+        edges = con.sql(
+            "WITH " + _kmv_sql_cte("event_id") +
+            ", pts AS (SELECT event_id, (g % 36000)/100.0 - 180.0 AS lon, "
+            "((g // 36000) % 18000)/100.0 - 90.0 AS lat FROM sq) "
+            "SELECT a.event_id AS id_a, b.event_id AS id_b FROM pts a "
+            "JOIN pts b ON a.event_id < b.event_id "
+            "AND (a.lon-b.lon)*(a.lon-b.lon)+(a.lat-b.lat)*(a.lat-b.lat) "
+            f"<= {KCORE_RADIUS * KCORE_RADIUS}").df()
+        seeds = con.sql(
+            f"SELECT event_id FROM events WHERE event_id % {BFS_SEED_MOD} = 0"
+        ).df()["event_id"].tolist()
+        adj = collections.defaultdict(set)
+        for a, b in zip(edges.id_a, edges.id_b):
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for hop in range(1, BFS_MAX_HOPS + 1):
+            nxt = {v for u in frontier for v in adj[u]} - set(want)
+            for v in nxt:
+                want[v] = hop
+            frontier = nxt
+        got = dict(zip(out["node"], out["hop"]))
+        assert len(want) > 0 and got == want
+
+
+class TestClusteringCoeff:
+    def test_matches_python_recount(self, ray_session):
+        """cc_e6 recomputed in python from the DuckDB brute-force edge
+        list at sf0.01 (nonvacuous: the sf0.001 radius-0.5 graph has no
+        deg>=2 node)."""
+        import collections
+
+        import duckdb
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            RADIUS, _kmv_sql_cte, q_clustering_coeff)
+
+        sf = "/root/testdata/sf0.01"
+        out = q_clustering_coeff(sf)
+        assert len(out) > 0
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+        edges = con.sql(
+            "WITH " + _kmv_sql_cte("event_id") +
+            ", pts AS (SELECT event_id, (g % 36000)/100.0 - 180.0 AS lon, "
+            "((g // 36000) % 18000)/100.0 - 90.0 AS lat FROM sq) "
+            "SELECT a.event_id AS id_a, b.event_id AS id_b FROM pts a "
+            "JOIN pts b ON a.event_id < b.event_id "
+            "AND (a.lon-b.lon)*(a.lon-b.lon)+(a.lat-b.lat)*(a.lat-b.lat) "
+            f"<= {RADIUS * RADIUS}").df()
+        adj = collections.defaultdict(set)
+        for a, b in zip(edges.id_a, edges.id_b):
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for u, nb in adj.items():
+            d = len(nb)
+            if d < 2:
+                continue
+            nbl = sorted(nb)
+            tri = sum(1 for i, x in enumerate(nbl) for y in nbl[i + 1:]
+                      if y in adj[x])
+            want[u] = (d, tri, 2 * tri * 1_000_000 // (d * (d - 1)))
+        got = {r.node: (r.deg, r.n_tri, r.cc_e6) for r in out.itertuples()}
+        assert got == want
