@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cluster": T.q_neardup_cluster,
         "simhash": T.q_simhash,
         "bm25": T.q_bm25,
+        "bigram_xent": T.q_bigram_xent,
         "fingerprint": T.q_fingerprint,
         "tfidf_top_terms": T.q_tfidf_top_terms,
         "gopher_quality": T.q_gopher_quality,
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": T.SQL_NGRAM_JACCARD,
         "langid": T.SQL_LANGID,
         "bm25": T.bm25_sql(),
+        "bigram_xent": T.bigram_xent_sql(),
         "neardup_cluster": T.SQL_NEARDUP_CLUSTER,
         "tfidf_top_terms": T.SQL_TFIDF_TOP_TERMS,
         "gopher_quality": T.SQL_GOPHER_QUALITY,

@@ -317,6 +317,172 @@ def bm25_sql() -> str:
     )
 
 
+def q_bigram_xent(sf_dir: str, broadcast_limit: int = 100_000):
+    """PER-DOCUMENT CROSS-ENTROPY under a corpus-trained add-one-smoothed
+    BIGRAM model — the perplexity-style quality score LLM data pipelines
+    use to rank/filter documents (low xent = in-distribution text):
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1,.) + V)``,
+    ``xent = -(Σ_bigrams log2 p) / n_bigrams`` over docs with >= 2 tokens.
+
+    Scale shape:
+    - ONE tokenize pass emits per-batch (doc, w1, w2, m) bigram
+      MULTIPLICITY partials (value_counts — rows are distinct bigrams
+      per doc-batch, never raw tokens); one groupby-sum builds the doc
+      bigram table; corpus bigram + context counts are aggregates OVER
+      THAT TABLE; only the vocab size (it must include single-token
+      docs' words, which join no bigram) needs one extra distinct-word
+      partial pass.
+    - scoring AUTO-ROUTES like tfidf: model <= ``broadcast_limit``
+      distinct bigrams ships as two dicts (``ray.put`` once), else two
+      PARTITIONED hash joins on (w1, w2) / (w1) — web-scale bigram vocab
+      must never be collected.
+    - per-doc fold is one groupby-sum of (m*lp, m).
+
+    Float notes: log2 of int-ratio per distinct bigram; per-doc sums are
+    order-arbitrary on BOTH engines (DuckDB SUM vs Ray groupby), drift
+    ~1e-13 absorbed by the harness's 6-decimal rounding (same contract
+    as corr_by_group).  -> (doc_id, n_bigrams, xent)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import _compact_nonempty
+    from .relational import cluster_partitions
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.strip().str.lower()
+        toks = s.str.split()
+        doc = pd.Series(t["doc_id"].to_numpy(zero_copy_only=False),
+                        index=s.index)
+        exw = toks.explode()
+        exw = exw[exw.notna()]
+        ex = pd.DataFrame({"doc_id": doc.loc[exw.index].to_numpy(),
+                           "w1": exw.to_numpy()}, index=exw.index)
+        # consecutive-token pairing: explode preserves in-doc order, the
+        # index level groups per source row -> shift(-1) is "next token"
+        ex["w2"] = ex.groupby(level=0)["w1"].shift(-1)
+        ex = ex.dropna(subset=["w2"])
+        vc = (ex.value_counts(["doc_id", "w1", "w2"]).reset_index(name="m")
+              if len(ex) else
+              pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "w1": pd.Series(dtype=object),
+                            "w2": pd.Series(dtype=object),
+                            "m": pd.Series(dtype="int64")}))
+        return pa.table({"doc_id": pa.array(vc["doc_id"].to_numpy(np.int64)),
+                         "w1": pa.array(vc["w1"].to_numpy(dtype=object),
+                                        pa.string()),
+                         "w2": pa.array(vc["w2"].to_numpy(dtype=object),
+                                        pa.string()),
+                         "m": pa.array(vc["m"].to_numpy(np.int64))})
+
+    bg_schema = pa.schema([("doc_id", pa.int64()), ("w1", pa.string()),
+                           ("w2", pa.string()), ("m", pa.int64())])
+    bg = _compact_nonempty(
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["doc_id", "w1", "w2"])
+        .aggregate(Sum("m", alias_name="m")).materialize(),
+        fallback_schema=bg_schema)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_bigrams": pd.Series(dtype="int64"),
+                          "xent": pd.Series(dtype="float64")})
+    if bg.count() == 0:
+        return empty
+
+    bc = _compact_nonempty(  # corpus bigram counts
+        bg.groupby(["w1", "w2"]).aggregate(Sum("m", alias_name="c"))
+        .materialize(),
+        fallback_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                   ("c", pa.int64())]))
+    cc = _compact_nonempty(  # context counts c(w1, .)
+        bc.groupby("w1").aggregate(Sum("c", alias_name="cw")).materialize(),
+        fallback_schema=pa.schema([("w1", pa.string()), ("cw", pa.int64())]))
+    # vocab = distinct unigrams corpus-wide; a single-token doc's word
+    # joins neither bigram slot, so V needs its own distinct-word pass
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.strip().str.lower()
+        words = pd.unique(s.str.split().explode().dropna())
+        return pa.table({"w": pa.array(words, pa.string())})
+
+    vocab = (docs.map_batches(uni_partial, batch_format="pyarrow")
+             .groupby("w").aggregate(Count(alias_name="n")).count())
+
+    n_model = bc.count()
+    if n_model <= broadcast_limit:
+        bcp = bc.to_pandas()
+        ccp = cc.to_pandas()
+        # pair key packed as one string so the batch-side lookup is a
+        # single vectorized Series.map (no per-row tuple-dict probes)
+        c_ref = ray.put((dict(zip(bcp["w1"] + "\x00" + bcp["w2"],
+                                  bcp["c"].astype(np.int64))),
+                         dict(zip(ccp["w1"], ccp["cw"].astype(np.int64)))))
+
+        def score_bcast(t: pa.Table) -> pa.Table:
+            cmap, wmap = ray.get(c_ref)
+            w1 = t["w1"].to_pandas()
+            w2 = t["w2"].to_pandas()
+            c = (w1 + "\x00" + w2).map(cmap).to_numpy(np.int64)
+            cw = w1.map(wmap).to_numpy(np.int64)
+            m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lp = np.log2((c + 1.0) / (cw + float(vocab)))
+            return pa.table({"doc_id": t["doc_id"],
+                             "slp": pa.array(m * lp),
+                             "m": pa.array(m)})
+
+        scored = bg.map_batches(score_bcast, batch_format="pyarrow")
+    else:
+        joined = (bg.join(bc, join_type="inner", on=("w1", "w2"),
+                          num_partitions=cluster_partitions())
+                  .join(cc, join_type="inner", on=("w1",),
+                        num_partitions=cluster_partitions()))
+
+        def score_joined(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cw = t["cw"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lp = np.log2((c + 1.0) / (cw + float(vocab)))
+            return pa.table({"doc_id": t["doc_id"],
+                             "slp": pa.array(m * lp),
+                             "m": pa.array(m)})
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+
+    agg = (scored.groupby("doc_id")
+           .aggregate(Sum("slp", alias_name="slp"),
+                      Sum("m", alias_name="n_bigrams"))
+           .to_pandas())
+    if "doc_id" not in agg.columns or not len(agg):
+        return empty
+    agg["xent"] = -(agg["slp"].to_numpy(np.float64)
+                    / agg["n_bigrams"].to_numpy(np.int64))
+    return (agg.astype({"doc_id": "int64", "n_bigrams": "int64"})
+            [["doc_id", "n_bigrams", "xent"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def bigram_xent_sql() -> str:
+    tok = ("CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE "
+           "regexp_split_to_array(lower(trim(text)), '\\s+') END")
+    return (
+        f"WITH tk AS (SELECT doc_id, {tok} AS toks FROM documents), "
+        "bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 "
+        "FROM tk, UNNEST(range(1, length(toks))) AS u(i) "
+        "WHERE length(toks) >= 2), "
+        "bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+        "cc AS (SELECT w1, SUM(c) AS cw FROM bc GROUP BY 1), "
+        "v AS (SELECT COUNT(DISTINCT x) AS vocab FROM "
+        "(SELECT unnest(toks) AS x FROM tk)), "
+        "sc AS (SELECT g.doc_id, "
+        "LOG2((bc.c + 1.0) / (cc.cw + v.vocab)) AS lp "
+        "FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2 "
+        "JOIN cc ON cc.w1 = g.w1, v) "
+        "SELECT doc_id, COUNT(*) AS n_bigrams, "
+        "-SUM(lp) / COUNT(*) AS xent FROM sc GROUP BY 1"
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 

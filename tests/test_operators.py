@@ -3201,3 +3201,55 @@ class TestBm25:
         assert set(got) == set(want)
         for d in want:
             assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+class TestBigramXent:
+    def test_matches_independent_python_model(self, ray_session):
+        """xent recomputed from a pure-python add-one bigram model."""
+        import collections
+        import math
+
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_bigram_xent
+
+        sf = "/root/testdata/sf0.001"
+        out = q_bigram_xent(sf)
+        assert len(out) > 0
+        texts = pq.read_table(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        toks = {r.doc_id: (r.text or "").strip().lower().split()
+                for r in texts.itertuples()}
+        bc = collections.Counter()
+        cw = collections.Counter()
+        vocab = set()
+        for words in toks.values():
+            vocab.update(words)
+            for a, b in zip(words, words[1:]):
+                bc[(a, b)] += 1
+                cw[a] += 1
+        want = {}
+        for d, words in toks.items():
+            pairs = list(zip(words, words[1:]))
+            if not pairs:
+                continue
+            s = sum(math.log2((bc[p] + 1.0) / (cw[p[0]] + len(vocab)))
+                    for p in pairs)
+            want[d] = (len(pairs), -s / len(pairs))
+        got = {r.doc_id: (r.n_bigrams, r.xent) for r in out.itertuples()}
+        assert set(got) == set(want)
+        for d, (n, x) in want.items():
+            assert got[d][0] == n
+            assert got[d][1] == pytest.approx(x, rel=1e-9)
+
+    def test_forced_partitioned_route_identical(self, ray_session):
+        """broadcast_limit=0 forces the two partitioned model joins; the
+        result must match the broadcast route exactly (same log2 inputs)."""
+        import pandas as pd
+
+        from stac_catalog_builder_ray.pipelines.text import q_bigram_xent
+
+        sf = "/root/testdata/sf0.001"
+        base = q_bigram_xent(sf)
+        dist = q_bigram_xent(sf, broadcast_limit=0)
+        pd.testing.assert_frame_equal(base, dist)
