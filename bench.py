@@ -75,6 +75,14 @@ QUERY_NAMES = [
     "heavy_hitters",
     "idw",
     "skyline",
+    # round-5 operators.  NOTE: radius_join/dbscan (eps=0.5) and
+    # kcore/bfs_hops (eps=4) now SHARE one session-cached epsilon-join
+    # each (clustering_coeff shares eps=0.5 too) — bench order means the
+    # first query of each radius pays the edge build for its group.
+    "clustering_coeff",
+    "bfs_hops",
+    "bm25",
+    "bigram_xent",
 ]
 
 
