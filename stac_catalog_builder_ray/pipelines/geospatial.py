@@ -1307,6 +1307,77 @@ def hotspot_cells_sql() -> str:
     )
 
 
+MOSAIC_RES = 3  # bounded 4^res selection grid
+
+
+def q_cell_mosaic(sf_dir: str):
+    """BEST-OBSERVATION-PER-CELL mosaic selection — the "greenest pixel"
+    compositing primitive of satellite mosaicking (per grid cell keep the
+    single best-scored observation): cell = res-3 quadkey of the hashed
+    point, winner = MAX ``value_e4`` with MIN ``event_id`` tie-break.
+
+    Scale shape: the argmax is ONE PACKED int64 MAX —
+    ``packed = (value_e4 << 32) + (2^31 - 1 - event_id)`` (value spacing
+    2^32 strictly dominates the 2^31-bounded tie component, so packed
+    order == (value DESC, event_id ASC); requires event_id < 2^31, the
+    64-bit repack is the documented wider-id path) — per-batch pandas
+    groupby-max partials, then one groupby-Max over O(cells) rows.  No
+    row ever shuffles; the cell table is bounded by the GRID, not the
+    corpus.  -> (cell, event_id, value_e4)."""
+    from ray.data.aggregate import Max
+
+    from ..functions.rounding import round_half_away
+    from .relational import _kmv_hash
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    TIE = np.int64(2**31 - 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _sqmod61(_kmv_hash(eid))
+        lon = (g % 36000) / 100.0 - 180.0
+        lat = ((g // 36000) % 18000) / 100.0 - 90.0
+        cells = cell_encode(lon, lat, MOSAIC_RES)
+        v4 = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        packed = (v4 << np.int64(32)) + (TIE - eid)
+        p = (pd.DataFrame({"cell": cells, "packed": packed})
+             .groupby("cell", sort=False)["packed"].max().reset_index())
+        return pa.table({"cell": pa.array(p["cell"].to_numpy(np.int64)),
+                         "packed": pa.array(p["packed"].to_numpy(np.int64))})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("cell").aggregate(Max("packed", alias_name="packed"))
+           .to_pandas())
+    if "cell" not in out.columns or not len(out):
+        return pd.DataFrame({"cell": pd.Series(dtype="int64"),
+                             "event_id": pd.Series(dtype="int64"),
+                             "value_e4": pd.Series(dtype="int64")})
+    packed = out["packed"].to_numpy(np.int64)
+    return (pd.DataFrame({
+        "cell": out["cell"].to_numpy(np.int64),
+        "event_id": TIE - (packed & np.int64(0xFFFFFFFF)),
+        "value_e4": packed >> np.int64(32),
+    }).sort_values("cell").reset_index(drop=True))
+
+
+def cell_mosaic_sql() -> str:
+    cell = cell_encode_sql("lon", "lat", MOSAIC_RES)
+    return (
+        "WITH " + _kmv_sql_cte("event_id") + ", "
+        "pts AS (SELECT event_id, (g % 36000) / 100.0 - 180.0 AS lon, "
+        "((g // 36000) % 18000) / 100.0 - 90.0 AS lat FROM sq), "
+        f"ev AS (SELECT p.event_id, {cell} AS cell, "
+        "CAST(ROUND(e.value * 10000, 0) AS BIGINT) AS value_e4 "
+        "FROM pts p JOIN events e ON e.event_id = p.event_id) "
+        "SELECT cell, event_id, value_e4 FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY cell ORDER BY value_e4 DESC, event_id) AS rn FROM ev) "
+        "WHERE rn = 1"
+    )
+
+
 IOU_MIN_E6 = 200_000
 IOU_HALF_W = 800_000  # half-extents of the fixed footprint, micro-degrees
 IOU_HALF_H = 600_000

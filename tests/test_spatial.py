@@ -1003,3 +1003,36 @@ class TestClusteringCoeff:
             want[u] = (d, tri, 2 * tri * 1_000_000 // (d * (d - 1)))
         got = {r.node: (r.deg, r.n_tri, r.cc_e6) for r in out.itertuples()}
         assert got == want
+
+
+class TestCellMosaic:
+    def test_matches_pandas_argmax(self, ray_session):
+        """Winner per cell recomputed with a pandas sort+drop_duplicates
+        argmax over the same derived points and e4 quantization."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import (
+            round_half_away)
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            MOSAIC_RES, _sqmod61, cell_encode, q_cell_mosaic)
+        from stac_catalog_builder_ray.pipelines.relational import _kmv_hash
+
+        sf = "/root/testdata/sf0.001"
+        out = q_cell_mosaic(sf)
+        assert len(out) > 0
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_id", "value"]).to_pandas()
+        eid = ev["event_id"].to_numpy(np.int64)
+        g = _sqmod61(_kmv_hash(eid))
+        lon = (g % 36000) / 100.0 - 180.0
+        lat = ((g // 36000) % 18000) / 100.0 - 90.0
+        ev["cell"] = cell_encode(lon, lat, MOSAIC_RES)
+        ev["value_e4"] = round_half_away(
+            ev["value"].to_numpy() * 10000.0).astype(np.int64)
+        want = (ev.sort_values(["cell", "value_e4", "event_id"],
+                               ascending=[True, False, True], kind="stable")
+                .drop_duplicates("cell")
+                [["cell", "event_id", "value_e4"]]
+                .sort_values("cell").reset_index(drop=True)
+                .astype("int64"))
+        pd.testing.assert_frame_equal(out.astype("int64"), want)
