@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram": R.q_histogram,
         "entropy_by_group": R.q_entropy_by_group,
         "new_users_daily": R.q_new_users_daily,
+        "retention": R.q_retention,
         "heavy_hitters": T.q_heavy_hitters,
         "skyline": R.q_skyline,
         "mutual_information": R.q_mutual_information,
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram": R.SQL_HISTOGRAM,
         "entropy_by_group": R.SQL_ENTROPY_BY_GROUP,
         "new_users_daily": R.SQL_NEW_USERS_DAILY,
+        "retention": R.SQL_RETENTION,
         "heavy_hitters": T.SQL_HEAVY_HITTERS,
         "skyline": R.SQL_SKYLINE,
         "mutual_information": R.SQL_MUTUAL_INFORMATION,

@@ -4095,6 +4095,109 @@ SQL_NEW_USERS_DAILY = (
 )
 
 
+def q_retention(sf_dir: str, driver_user_limit: int = 20_000_000):
+    """COHORT RETENTION curve (the product-analytics archetype: users
+    cohorted by FIRST-ACTIVITY day, counted on each later active day):
+    -> (cohort_day, k_days, n_users) where ``n_users`` is the number of
+    the cohort's users active exactly ``k_days`` after their first day.
+
+    Scale shape: ONE distinct-(user, day) pass (per-batch dedupe
+    partials, the only corpus-sized shuffle; rows out are bounded by
+    users × active-days, not events); cohorts are a groupby-MIN over
+    that table; the cohort lookup AUTO-ROUTES — <= ``driver_user_limit``
+    users ships as sorted arrays (vectorized searchsorted, the dbscan
+    pattern), above it a partitioned join on user_id; the final fold is
+    a groupby over the (date-domain × horizon)-bounded curve table.  All
+    arithmetic is integer epoch-days — hash-exact vs SQL."""
+    import ray
+    from ray.data.aggregate import Count as _Count, Min as _Min
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    US_PER_DAY = 86_400_000_000
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+             // US_PER_DAY)
+        p = pd.DataFrame({"user_id": u, "day_i": d}).drop_duplicates()
+        return pa.table({"user_id": pa.array(p["user_id"].to_numpy(np.int64)),
+                         "day_i": pa.array(p["day_i"].to_numpy(np.int64))})
+
+    ud = (ds.map_batches(pair_part, batch_format="pyarrow")
+          .groupby(["user_id", "day_i"])
+          .aggregate(_Count(alias_name="_n"))
+          .select_columns(["user_id", "day_i"])
+          .materialize())
+    cohort = (ud.groupby("user_id")
+              .aggregate(_Min("day_i", alias_name="cohort_i"))
+              .materialize())
+    n_users_total = cohort.count()
+    empty = pd.DataFrame({"cohort_day": pd.Series(dtype=object),
+                          "k_days": pd.Series(dtype="int64"),
+                          "n_users": pd.Series(dtype="int64")})
+    if n_users_total == 0:
+        return empty
+
+    if n_users_total <= driver_user_limit:
+        cp = cohort.to_pandas()
+        order = np.argsort(cp["user_id"].to_numpy(np.int64), kind="stable")
+        keys = cp["user_id"].to_numpy(np.int64)[order]
+        vals = cp["cohort_i"].to_numpy(np.int64)[order]
+        ref = ray.put((keys, vals))
+
+        def curve_part(t: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            d = t["day_i"].to_numpy(zero_copy_only=False)
+            ci = v[np.searchsorted(k, u)]  # every user has a cohort row
+            p = (pd.DataFrame({"cohort_i": ci, "k_days": d - ci})
+                 .value_counts().reset_index(name="n"))
+            return pa.table({
+                "cohort_i": pa.array(p["cohort_i"].to_numpy(np.int64)),
+                "k_days": pa.array(p["k_days"].to_numpy(np.int64)),
+                "n": pa.array(p["n"].to_numpy(np.int64))})
+
+        curve_src = ud.map_batches(curve_part, batch_format="pyarrow")
+    else:
+        joined = ud.join(cohort, join_type="inner", on=("user_id",),
+                         num_partitions=cluster_partitions())
+
+        def curve_join(t: pa.Table) -> pa.Table:
+            d = t["day_i"].to_numpy(zero_copy_only=False)
+            ci = t["cohort_i"].to_numpy(zero_copy_only=False)
+            p = (pd.DataFrame({"cohort_i": ci, "k_days": d - ci})
+                 .value_counts().reset_index(name="n"))
+            return pa.table({
+                "cohort_i": pa.array(p["cohort_i"].to_numpy(np.int64)),
+                "k_days": pa.array(p["k_days"].to_numpy(np.int64)),
+                "n": pa.array(p["n"].to_numpy(np.int64))})
+
+        curve_src = joined.map_batches(curve_join, batch_format="pyarrow")
+
+    out = (curve_src.groupby(["cohort_i", "k_days"])
+           .aggregate(Sum("n", alias_name="n_users"))
+           .to_pandas())
+    if "cohort_i" not in out.columns or not len(out):
+        return empty
+    out["cohort_day"] = pd.to_datetime(
+        out["cohort_i"].to_numpy(np.int64), unit="D").strftime("%Y-%m-%d")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.astype({"k_days": "int64"})
+            [["cohort_day", "k_days", "n_users"]]
+            .sort_values(["cohort_day", "k_days"], kind="stable")
+            .reset_index(drop=True))
+
+
+SQL_RETENTION = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "CAST(date_trunc('day', ts) AS DATE) AS day FROM events), "
+    "c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1) "
+    "SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day, "
+    "CAST(ud.day - c.cohort_day AS BIGINT) AS k_days, COUNT(*) AS n_users "
+    "FROM ud JOIN c ON ud.user_id = c.user_id GROUP BY 1, 2"
+)
+
+
 def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
     """Exact 2D skyline (maximize ``price_cents``, minimize ``p_size``) in
     O(n log n): collapse to unique (price, size) points, sort price desc,

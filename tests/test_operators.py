@@ -3253,3 +3253,45 @@ class TestBigramXent:
         base = q_bigram_xent(sf)
         dist = q_bigram_xent(sf, broadcast_limit=0)
         pd.testing.assert_frame_equal(base, dist)
+
+
+class TestRetention:
+    def test_matches_pandas_cohorts(self, ray_session):
+        """Curve recomputed with a pure-pandas distinct-(user,day) +
+        first-day cohort fold over the raw events parquet."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_retention
+
+        sf = "/root/testdata/sf0.001"
+        out = q_retention(sf)
+        assert len(out) > 0
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["day_i"] = (ev["ts"].astype("int64") // 86_400_000_000)
+        ud = ev[["user_id", "day_i"]].drop_duplicates()
+        cohort = ud.groupby("user_id")["day_i"].min().rename("cohort_i")
+        m = ud.merge(cohort, on="user_id")
+        m["k_days"] = m["day_i"] - m["cohort_i"]
+        want = (m.groupby(["cohort_i", "k_days"]).size()
+                .reset_index(name="n_users"))
+        want["cohort_day"] = pd.to_datetime(
+            want["cohort_i"], unit="D").dt.strftime("%Y-%m-%d")
+        want = (want[["cohort_day", "k_days", "n_users"]]
+                .sort_values(["cohort_day", "k_days"], kind="stable")
+                .reset_index(drop=True)
+                .astype({"k_days": "int64", "n_users": "int64"}))
+        pd.testing.assert_frame_equal(out, want)
+        # sanity: day-0 retention equals each cohort's size
+        d0 = out[out["k_days"] == 0].set_index("cohort_day")["n_users"]
+        sizes = (pd.to_datetime(cohort, unit="D").dt.strftime("%Y-%m-%d")
+                 .value_counts())
+        assert d0.sort_index().equals(sizes.sort_index().astype("int64"))
+
+    def test_forced_join_route_identical(self, ray_session):
+        from stac_catalog_builder_ray.pipelines.relational import q_retention
+
+        sf = "/root/testdata/sf0.001"
+        base = q_retention(sf)
+        dist = q_retention(sf, driver_user_limit=0)
+        pd.testing.assert_frame_equal(base, dist)
