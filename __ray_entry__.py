@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": G.q_clustering_coeff,
         "bfs_hops": G.q_bfs_hops,
         "cell_mosaic": G.q_cell_mosaic,
+        "od_matrix": G.q_od_matrix,
         "frame_sample": G.q_frame_sample,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
@@ -431,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": G.clustering_coeff_sql(),
         "bfs_hops": G.bfs_hops_sql(),
         "cell_mosaic": G.cell_mosaic_sql(),
+        "od_matrix": G.od_matrix_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

@@ -1522,6 +1522,83 @@ def dwell_points_sql() -> str:
     )
 
 
+OD_RES = 2  # 4^2 = coarse flow grid; raise with point density
+
+
+def q_od_matrix(sf_dir: str):
+    """ORIGIN-DESTINATION FLOW MATRIX (the movement-analytics aggregate:
+    for every user's consecutive event pair, count transitions between
+    res-2 grid cells, stays included): -> (cell_from, cell_to, n_trips).
+
+    Scale shape: ONE user-bucketed shuffle (crc-free ``user_id % 64``
+    buckets like dwell_points); inside each bucket the next-event
+    coordinates come from a vectorized pandas groupby-shift (no row
+    loop), and each bucket emits value_counts PARTIALS over (from, to)
+    cells — the final groupby moves O(occupied cell-pairs) rows, bounded
+    by the GRID squared, not the event corpus."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def add_xy(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid % 3600) * 100000 - 179950000
+        y = ((eid * 7) % 1800) * 100000 - 89950000
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"], "x": pa.array(x), "y": pa.array(y),
+                         "ub": pa.array(uid % 64)})
+
+    def flows_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        by = g.groupby("user_id", sort=False)
+        nx, ny = by["x"].shift(-1), by["y"].shift(-1)
+        m = nx.notna()
+        if not m.any():
+            return pd.DataFrame({"cell_from": pd.Series(dtype="int64"),
+                                 "cell_to": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        cf = cell_encode(g.loc[m, "x"].to_numpy(np.int64) / 1e6,
+                         g.loc[m, "y"].to_numpy(np.int64) / 1e6, OD_RES)
+        ct = cell_encode(nx[m].to_numpy(np.int64) / 1e6,
+                         ny[m].to_numpy(np.int64) / 1e6, OD_RES)
+        p = (pd.DataFrame({"cell_from": cf, "cell_to": ct})
+             .value_counts().reset_index(name="n"))
+        return p.astype({"cell_from": "int64", "cell_to": "int64",
+                         "n": "int64"})
+
+    out = (ds.map_batches(add_xy, batch_format="pyarrow")
+           .groupby("ub").map_groups(flows_bucket, batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby(["cell_from", "cell_to"])
+           .aggregate(_Sum("n", alias_name="n_trips"))
+           .to_pandas())
+    if "cell_from" not in out.columns or not len(out):
+        return pd.DataFrame({"cell_from": pd.Series(dtype="int64"),
+                             "cell_to": pd.Series(dtype="int64"),
+                             "n_trips": pd.Series(dtype="int64")})
+    return (out.astype({"cell_from": "int64", "cell_to": "int64",
+                        "n_trips": "int64"})
+            .sort_values(["cell_from", "cell_to"], kind="stable")
+            .reset_index(drop=True))
+
+
+def od_matrix_sql() -> str:
+    cf = cell_encode_sql("x / 1000000.0", "y / 1000000.0", OD_RES)
+    ct = cell_encode_sql("nx / 1000000.0", "ny / 1000000.0", OD_RES)
+    return (
+        f"WITH p AS (SELECT user_id, ts, event_id, {_X_SQL} AS x, "
+        f"{_Y_SQL} AS y FROM events), "
+        "w AS (SELECT user_id, x, y, LEAD(x) OVER u AS nx, "
+        "LEAD(y) OVER u AS ny FROM p "
+        "WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        f"t AS (SELECT {cf} AS cell_from, {ct} AS cell_to FROM w "
+        "WHERE nx IS NOT NULL) "
+        "SELECT cell_from, cell_to, COUNT(*) AS n_trips FROM t GROUP BY 1, 2"
+    )
+
+
 def q_augment_digest(sf_dir: str):
     """Deterministic per-epoch AUGMENTATION audit over the documents-derived
     images table (rows-only: pixel decode is not SQL-expressible): run the

@@ -1036,3 +1036,35 @@ class TestCellMosaic:
                 .sort_values("cell").reset_index(drop=True)
                 .astype("int64"))
         pd.testing.assert_frame_equal(out.astype("int64"), want)
+
+
+class TestOdMatrix:
+    def test_matches_pandas_lead(self, ray_session):
+        """Flow counts recomputed independently: per-user lead over
+        (ts, event_id) order, same derived coordinates and OD_RES cells."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            OD_RES, cell_encode, q_od_matrix)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_od_matrix(sf)
+        assert len(out) > 0
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_id", "user_id", "ts"]).to_pandas()
+        eid = ev["event_id"].to_numpy(np.int64)
+        ev["x"] = (eid % 3600) * 100000 - 179950000
+        ev["y"] = ((eid * 7) % 1800) * 100000 - 89950000
+        ev = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        by = ev.groupby("user_id", sort=False)
+        ev["nx"], ev["ny"] = by["x"].shift(-1), by["y"].shift(-1)
+        w = ev[ev["nx"].notna()]
+        want = (pd.DataFrame({
+            "cell_from": cell_encode(w["x"].to_numpy(np.int64) / 1e6,
+                                     w["y"].to_numpy(np.int64) / 1e6, OD_RES),
+            "cell_to": cell_encode(w["nx"].to_numpy(np.int64) / 1e6,
+                                   w["ny"].to_numpy(np.int64) / 1e6, OD_RES)})
+            .value_counts().reset_index(name="n_trips")
+            .sort_values(["cell_from", "cell_to"], kind="stable")
+            .reset_index(drop=True).astype("int64"))
+        pd.testing.assert_frame_equal(out.astype("int64"), want)
