@@ -83,6 +83,9 @@ QUERY_NAMES = [
     "bfs_hops",
     "bm25",
     "bigram_xent",
+    "cell_mosaic",
+    "retention",
+    "od_matrix",
 ]
 
 

@@ -49,8 +49,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import ray
 
@@ -69,6 +75,7 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -77,16 +84,27 @@ def main():
             got = to_pandas(fn(sf_dir))
         except Exception as e:
             failures.append(name)
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"ray: {type(e).__name__}: {e}"}
             print(f"FAIL {name}: ray side raised {type(e).__name__}: {e}")
             continue
         dt = time.monotonic() - t0
         if name not in oracles:
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(got),
+                             "oracle_rows": None, "err": "no_oracle"}
             print(f"rows-only {name}: {len(got)} rows, cols={sorted(got.columns)} ({dt:.1f}s)")
             continue
         try:
             want = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(got),
+                             "oracle_rows": None,
+                             "err": f"oracle: {type(e).__name__}: {e}"}
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             continue
         ok_rows = len(got) == len(want)
@@ -95,6 +113,9 @@ def main():
         status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures.append(name)
+        records[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                         "hash_match": ok_hash, "spark_rows": len(got),
+                         "oracle_rows": len(want), "err": None}
         print(
             f"{status} {name}: rows {len(got)}/{len(want)} cols_ok={ok_cols} hash_ok={ok_hash} ({dt:.1f}s)"
         )
@@ -109,6 +130,12 @@ def main():
             print(f"  ray cols: {sorted(got.columns)}; sql cols: {sorted(want.columns)}")
 
     print("\nFAILURES:", failures if failures else "none")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_path} ({len(records)} queries)")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
