@@ -2243,3 +2243,126 @@ def degree_hist_sql() -> str:
         "(SELECT u FROM e UNION ALL SELECT v FROM e) GROUP BY u) "
         "SELECT deg, COUNT(*) AS n_nodes FROM d GROUP BY 1"
     )
+
+
+# --- global Moran's I spatial autocorrelation --------------------------------
+
+MORAN_RES = 6
+
+
+def q_morans_i(sf_dir: str):
+    """GLOBAL MORAN'S I spatial autocorrelation (the canonical "is this
+    variable spatially clustered?" statistic of geospatial analytics —
+    ESDA / Getis-style global test) over the per-cell value field, rook
+    (4-neighbour) adjacency, binary weights:
+
+        I = (N / W) * sum_ij w_ij d_i d_j / sum_i d_i^2,  d_i = x_i - mean
+
+    Scale shape: the corpus reduces FIRST (per-batch per-cell e4-sum
+    partials -> one groupby bounded by 4^res cells); the neighbour sums
+    come from a kring-style VECTORIZED 4-offset scatter of the per-cell
+    AGGREGATE rows into a second tiny groupby (both shuffles move
+    O(#occupied cells) rows — points never replicate).  The final fold
+    runs on the driver over <= 4^res rows in PYTHON BIGNUM (exact — the
+    deviations are kept as integers scaled by N: d_i ~ N*x_i - S, so
+    numerator and denominator are exact integers and the DuckDB twin
+    reproduces them HUGEINT-bit-identically; one float divide at the
+    end).  Driver state is grid-bounded, independent of corpus size.
+
+    Reference anchor: the reference's per-collection spatial summaries
+    (stacbuilder/metadata.py extent rollups) stop at bbox unions; this is
+    the statistic layer above them on the same cell index."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+    from ..geo.cell import RES_SHIFT, XY_BITS, XY_MASK
+
+    n_side = 1 << MORAN_RES
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+
+    def percell(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        cell = cell_encode(lon, lat, MORAN_RES)
+        e4 = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 1e4).astype(np.int64)
+        g = (pd.DataFrame({"cell": cell, "e4": e4})
+             .groupby("cell", sort=False)["e4"].sum().reset_index())
+        return pa.table({"cell": pa.array(g["cell"].to_numpy(np.int64)),
+                         "x": pa.array(g["e4"].to_numpy(np.int64))})
+
+    occ = (ds.map_batches(percell, batch_format="pyarrow")
+           .groupby("cell").aggregate(_Sum("x", alias_name="x")))
+
+    offs = np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], dtype=np.int64)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = (c >> XY_BITS) & XY_MASK
+        cy = c & XY_MASK
+        m = len(c)
+        tx = np.repeat(cx, 4) + np.tile(offs[:, 0], m)
+        ty = np.repeat(cy, 4) + np.tile(offs[:, 1], m)
+        ok = (tx >= 0) & (tx < n_side) & (ty >= 0) & (ty < n_side)
+        tgt = (np.int64(MORAN_RES) << RES_SHIFT) | (tx[ok] << XY_BITS) | ty[ok]
+        return pa.table({"cell": pa.array(tgt),
+                         "nb_x": pa.array(np.repeat(x, 4)[ok]),
+                         "one": pa.array(np.ones(int(ok.sum()), dtype=np.int64))})
+
+    nb = (occ.map_batches(scatter, batch_format="pyarrow")
+          .groupby("cell").aggregate(_Sum("nb_x", alias_name="nb_x"),
+                                     _Sum("one", alias_name="nb_n")))
+
+    cdf = occ.to_pandas()          # <= 4^res rows by construction
+    ndf = nb.to_pandas()
+    # inner merge drops scatter targets that are UNoccupied cells, so nb_n
+    # counts exactly the occupied-occupied rook pairs (twice, once per
+    # direction) — the standard symmetric binary W.
+    j = cdf.merge(ndf, on="cell", how="inner")
+    n = int(len(cdf))
+    sx = int(cdf["x"].astype("int64").sum())
+    num = 0
+    for xi, bx, bn in zip(j["x"].astype("int64").to_numpy(),
+                          j["nb_x"].astype("int64").to_numpy(),
+                          j["nb_n"].astype("int64").to_numpy()):
+        num += int(n * int(xi) - sx) * (n * int(bx) - int(bn) * sx)
+    den = 0
+    for xi in cdf["x"].astype("int64").to_numpy():
+        den += int(n * int(xi) - sx) ** 2
+    w = int(j["nb_n"].astype("int64").sum())
+    morans_i = (float(n) * float(num)) / (float(w) * float(den))
+    return pd.DataFrame({"n_cells": pd.Series([n], dtype="int64"),
+                         "w_pairs": pd.Series([w], dtype="int64"),
+                         "morans_i": pd.Series([morans_i], dtype="float64")})
+
+
+def morans_i_sql() -> str:
+    from ..geo.cell import XY_BITS, XY_MASK
+
+    lon, lat = lonlat_sql("event_id")
+    cell = cell_encode_sql(lon, lat, MORAN_RES)
+    return (
+        f"WITH c AS (SELECT {cell} AS cell, "
+        "CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) AS x "
+        "FROM events GROUP BY 1), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx FROM c), "
+        f"d AS (SELECT cell, x, (cell >> {XY_BITS}) & {XY_MASK} AS cx, "
+        f"cell & {XY_MASK} AS cy FROM c), "
+        "nb AS (SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS nb_n, "
+        "CAST(SUM(b.x) AS BIGINT) AS nb_x FROM d a JOIN d b "
+        "ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1 GROUP BY 1), "
+        "t AS (SELECT SUM(CAST(s.n * d.x - s.sx AS HUGEINT) * "
+        "CAST(s.n * nb.nb_x - nb.nb_n * s.sx AS HUGEINT)) AS num "
+        "FROM d JOIN nb USING (cell) CROSS JOIN s), "
+        "e AS (SELECT SUM(CAST(s.n * d.x - s.sx AS HUGEINT) * "
+        "CAST(s.n * d.x - s.sx AS HUGEINT)) AS den FROM d CROSS JOIN s), "
+        "w AS (SELECT CAST(SUM(nb_n) AS BIGINT) AS wp FROM nb) "
+        "SELECT s.n AS n_cells, w.wp AS w_pairs, "
+        "(CAST(s.n AS DOUBLE) * CAST(t.num AS DOUBLE)) / "
+        "(CAST(w.wp AS DOUBLE) * CAST(e.den AS DOUBLE)) AS morans_i "
+        "FROM s CROSS JOIN t CROSS JOIN e CROSS JOIN w"
+    )
