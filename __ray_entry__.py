@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standardize_by_group": R.q_standardize_by_group,
         "string_agg": R.q_string_agg,
         "drawdown": R.q_drawdown,
+        "ohlc": R.q_ohlc,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -363,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "standardize_by_group": R.SQL_STANDARDIZE_BY_GROUP,
         "string_agg": R.SQL_STRING_AGG,
         "drawdown": R.SQL_DRAWDOWN,
+        "ohlc": R.SQL_OHLC,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

@@ -4559,3 +4559,83 @@ SQL_DRAWDOWN = (
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v4 AS drawdown_e4 "
     "FROM b"
 )
+
+
+def q_ohlc(sf_dir: str):
+    """OHLC RESAMPLING (the time-series candle aggregate every metering /
+    market-data pipeline ships: per (series, day) the OPENING value, HIGH,
+    LOW, CLOSING value, tick count and volume) over ``events`` keyed by
+    (event_type, day).
+
+    The open/close are ARG-MIN / ARG-MAX selections over the event-time
+    order (ts, event_id) — an aggregate Ray Data's built-ins lack.  Shape:
+    per-batch pandas sort + grouped first/last produce ONE partial row per
+    (series, day) per batch carrying the (ts, event_id) witnesses of its
+    local open/close plus min/max/count/sum; partials hash on ``day_i % 64``
+    buckets (date-domain keys — no skew) and each bucket reduces
+    VECTORIZED (two sorts + drop_duplicates — no per-group Python).  The
+    shuffle moves O(series x days x batches) partial rows, never the
+    corpus; values fold as e4 integers (money-cents discipline), so the
+    DuckDB ordered-aggregate twin (FIRST/LAST ... ORDER BY) hashes
+    bit-identically."""
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d").to_pandas(),
+            # normalize the unit BEFORE the int cast: parquet ships us, but
+            # in-memory pandas sources arrive as ns — a mixed unit would
+            # split one (series, day) group across day_i buckets
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()).to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "e4": round_half_away(
+                t["value"].to_numpy(zero_copy_only=False) * 1e4).astype(np.int64),
+        })
+        df = df.sort_values(["ts_us", "event_id"], kind="stable")
+        g = df.groupby(["event_type", "day"], sort=False)
+        agg = g.agg(o_ts=("ts_us", "first"), o_eid=("event_id", "first"),
+                    o_e4=("e4", "first"), c_ts=("ts_us", "last"),
+                    c_eid=("event_id", "last"), c_e4=("e4", "last"),
+                    hi=("e4", "max"), lo=("e4", "min"),
+                    n=("e4", "size"), s=("e4", "sum")).reset_index()
+        day_i = agg["o_ts"].to_numpy(np.int64) // 86_400_000_000
+        agg["gb"] = day_i % 64
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ["event_type", "day"]
+        opens = (g.sort_values(["o_ts", "o_eid"], kind="stable")
+                 .drop_duplicates(keys)[keys + ["o_e4"]])
+        closes = (g.sort_values(["c_ts", "c_eid"], kind="stable")
+                  .drop_duplicates(keys, keep="last")[keys + ["c_e4"]])
+        rest = (g.groupby(keys, sort=False)
+                .agg(high_e4=("hi", "max"), low_e4=("lo", "min"),
+                     n_trades=("n", "sum"), vol_e4=("s", "sum")).reset_index())
+        out = rest.merge(opens, on=keys).merge(closes, on=keys)
+        out = out.rename(columns={"o_e4": "open_e4", "c_e4": "close_e4"})
+        return out[["event_type", "day", "open_e4", "high_e4", "low_e4",
+                    "close_e4", "n_trades", "vol_e4"]]
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("gb").map_groups(reduce_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in ("open_e4", "high_e4", "low_e4", "close_e4", "n_trades", "vol_e4"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["event_type", "day"], kind="stable")
+            .reset_index(drop=True))
+
+
+SQL_OHLC = (
+    "WITH b AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, "
+    "event_id, CAST(ROUND(value * 10000, 0) AS BIGINT) AS e4 FROM events) "
+    "SELECT event_type, day, "
+    "FIRST(e4 ORDER BY ts, event_id) AS open_e4, "
+    "MAX(e4) AS high_e4, MIN(e4) AS low_e4, "
+    "LAST(e4 ORDER BY ts, event_id) AS close_e4, "
+    "COUNT(*) AS n_trades, CAST(SUM(e4) AS BIGINT) AS vol_e4 "
+    "FROM b GROUP BY 1, 2"
+)

@@ -3295,3 +3295,75 @@ class TestRetention:
         base = q_retention(sf)
         dist = q_retention(sf, driver_user_limit=0)
         pd.testing.assert_frame_equal(base, dist)
+
+
+class TestOhlc:
+    def test_matches_pandas_recompute(self, ray_session):
+        """OHLC candles recomputed independently: one driver-side sort by
+        (ts, event_id) then grouped first/last/min/max/count/sum."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.relational import q_ohlc
+
+        sf = "/root/testdata/sf0.001"
+        out = q_ohlc(sf)
+        assert list(out.columns) == ["event_type", "day", "open_e4",
+                                     "high_e4", "low_e4", "close_e4",
+                                     "n_trades", "vol_e4"]
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+        ev["e4"] = round_half_away(ev["value"].to_numpy() * 1e4).astype("int64")
+        ev = ev.sort_values(["ts", "event_id"], kind="stable")
+        want = (ev.groupby(["event_type", "day"], sort=False)
+                .agg(open_e4=("e4", "first"), high_e4=("e4", "max"),
+                     low_e4=("e4", "min"), close_e4=("e4", "last"),
+                     n_trades=("e4", "size"), vol_e4=("e4", "sum"))
+                .reset_index()
+                .sort_values(["event_type", "day"], kind="stable")
+                .reset_index(drop=True))
+        for c in ("open_e4", "high_e4", "low_e4", "close_e4",
+                  "n_trades", "vol_e4"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_open_close_pick_event_time_order(self, ray_session):
+        """The day's open must be the value of its FIRST event by
+        (ts, event_id) — equal-timestamp ties break on event_id — and the
+        close the LAST, regardless of batch arrival order."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines import relational as R
+
+        rows = pd.DataFrame({
+            "event_id": [5, 3, 9, 1],
+            "ts": pd.to_datetime(["2024-01-02 00:00:00"] * 2
+                                 + ["2024-01-02 23:59:59"] * 2),
+            "event_type": ["t"] * 4,
+            "value": [50.0, 30.0, 90.0, 10.0],
+        })
+        # same-instant open tie -> event_id 3 wins; same-instant close tie
+        # -> event_id 9 wins (1 sorts before 9 at the same ts)
+        import pyarrow as pa
+
+        src = rd.from_arrow(pa.Table.from_pandas(rows)).repartition(4)
+        orig = R._t
+
+        def fake_t(sf_dir, name, columns=None):
+            assert name == "events"
+            return src
+        R._t = fake_t
+        try:
+            out = R.q_ohlc("unused")
+        finally:
+            R._t = orig
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert int(r.open_e4) == 300000
+        assert int(r.close_e4) == 900000
+        assert int(r.high_e4) == 900000 and int(r.low_e4) == 100000
+        assert int(r.n_trades) == 4
