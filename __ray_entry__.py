@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg": R.q_string_agg,
         "drawdown": R.q_drawdown,
         "ohlc": R.q_ohlc,
+        "embed_cov": T.q_embed_cov,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -365,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "string_agg": R.SQL_STRING_AGG,
         "drawdown": R.SQL_DRAWDOWN,
         "ohlc": R.SQL_OHLC,
+        "embed_cov": T.SQL_EMBED_COV,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

@@ -2286,3 +2286,61 @@ SQL_FEATURE_HASH = (
     f"(a, b) -> (a * 31 + b) % {_FH_MOD}) % {FEATURE_DIM} AS bucket FROM w) "
     "SELECT doc_id, bucket, COUNT(*) AS n FROM h GROUP BY 1, 2"
 )
+
+
+def q_embed_cov(sf_dir: str):
+    """EMBEDDING SECOND-MOMENT (GRAM) MATRIX — the one-pass statistic behind
+    PCA / whitening / covariance-conditioned indexes over a vector corpus:
+    upper-triangle G[i,j] = sum_v q_i q_j over e6-quantized embeddings,
+    plus the per-pair row count.
+
+    Scale shape: each batch computes ONE integer matmul (Q^T Q, d x d) and
+    emits d(d+1)/2 partial rows — the shuffle moves O(d^2 x batches) rows,
+    never vectors; (i, j) packs into a single int64 key (multi-column
+    groupby measured 17x slower, see q_copurchase) for one tiny groupby.
+    Integer-exact: e6 products summed as int64 (|q| <= ~2e6, so a 100 TB
+    corpus of ~1e12 rows stays under 4e30 — beyond int64; the documented
+    scale path splits the fold into per-shard partial Grams reduced as
+    float64 or HUGEINT-style two-limb ints).  The DuckDB unnest self-join
+    twin reproduces the triangle bit-identically."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        V = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = round_half_away(V * 1e6).astype(np.int64)
+        d = q.shape[1]
+        G = q.T @ q
+        iu, ju = np.triu_indices(d)
+        return pa.table({"k": pa.array(iu.astype(np.int64) * d + ju),
+                         "g_e12": pa.array(G[iu, ju]),
+                         "n": pa.array(np.full(len(iu), len(q), dtype=np.int64))})
+
+    out = (emb.map_batches(partial, batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(Sum("g_e12", alias_name="g_e12"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    d = int(np.sqrt(out["k"].max())) + 1
+    out["i"] = (out["k"].astype("int64") // d).astype("int64")
+    out["j"] = (out["k"].astype("int64") % d).astype("int64")
+    out["g_e12"] = out["g_e12"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out[["i", "j", "n", "g_e12"]]
+            .sort_values(["i", "j"], kind="stable").reset_index(drop=True))
+
+
+SQL_EMBED_COV = (
+    "WITH q AS (SELECT vec_id, "
+    "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim, "
+    "CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v "
+    "FROM embeddings) "
+    "SELECT a.dim AS i, b.dim AS j, COUNT(*) AS n, "
+    "CAST(SUM(a.v * b.v) AS BIGINT) AS g_e12 "
+    "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim "
+    "GROUP BY 1, 2"
+)

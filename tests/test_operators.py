@@ -3367,3 +3367,63 @@ class TestOhlc:
         assert int(r.close_e4) == 900000
         assert int(r.high_e4) == 900000 and int(r.low_e4) == 100000
         assert int(r.n_trades) == 4
+
+
+class TestEmbedCov:
+    def test_matches_numpy_gram(self, ray_session):
+        """Upper-triangle Gram recomputed with one driver-side numpy matmul
+        over the same e6 quantization."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.text import q_embed_cov
+
+        sf = "/root/testdata/sf0.001"
+        out = q_embed_cov(sf)
+        emb = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["embedding"]).to_pandas()
+        V = np.stack(emb["embedding"].to_numpy())
+        q = round_half_away(V.astype(np.float64) * 1e6).astype(np.int64)
+        G = q.T @ q
+        d = q.shape[1]
+        iu, ju = np.triu_indices(d)
+        want = pd.DataFrame({
+            "i": iu.astype("int64"), "j": ju.astype("int64"),
+            "n": np.full(len(iu), len(q), dtype="int64"),
+            "g_e12": G[iu, ju].astype("int64"),
+        }).sort_values(["i", "j"], kind="stable").reset_index(drop=True)
+        assert len(out) == d * (d + 1) // 2
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_partials_fold_across_batches(self, ray_session):
+        """Many-block input folds to the same Gram as one block (partial
+        aggregation is order/partition independent)."""
+        import numpy as np
+        import pyarrow as pa
+        import pandas as pd
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines import text as T
+
+        rng = np.random.RandomState(7)
+        V = rng.randn(97, 5).astype(np.float32)
+        tbl = pa.table({"vec_id": pa.array(np.arange(97, dtype=np.int64)),
+                        "embedding": pa.array(list(V),
+                                              pa.list_(pa.float32()))})
+        orig = T._emb
+
+        def fake(sf_dir, columns=None):
+            return rd.from_arrow(tbl).repartition(13)
+        T._emb = fake
+        try:
+            out = T.q_embed_cov("unused")
+        finally:
+            T._emb = orig
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        q = round_half_away(V.astype(np.float64) * 1e6).astype(np.int64)
+        G = q.T @ q
+        iu, ju = np.triu_indices(5)
+        assert (out["g_e12"].to_numpy() == G[iu, ju]).all()
+        assert (out["n"] == 97).all()
