@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_mosaic": G.q_cell_mosaic,
         "od_matrix": G.q_od_matrix,
         "morans_i": G.q_morans_i,
+        "zorder_index": G.q_zorder_index,
         "frame_sample": G.q_frame_sample,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
@@ -439,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_mosaic": G.cell_mosaic_sql(),
         "od_matrix": G.od_matrix_sql(),
         "morans_i": G.morans_i_sql(),
+        "zorder_index": G.zorder_index_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

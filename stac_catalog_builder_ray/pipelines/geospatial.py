@@ -2366,3 +2366,104 @@ def morans_i_sql() -> str:
         "(CAST(w.wp AS DOUBLE) * CAST(e.den AS DOUBLE)) AS morans_i "
         "FROM s CROSS JOIN t CROSS JOIN e CROSS JOIN w"
     )
+
+
+# --- Z-order (Morton) locality partitioning ---------------------------------
+
+ZORDER_RES = 8          # 256 x 256 grid -> 16-bit z codes
+ZORDER_PART_SHIFT = 10  # 64 partitions of 1024 consecutive z values
+
+
+def _morton_interleave(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
+    """z = x-bits at odd positions, y-bits at even — vectorized over int64."""
+    z = np.zeros_like(x)
+    for k in range(bits):
+        z |= ((x >> k) & 1) << (2 * k + 1)
+        z |= ((y >> k) & 1) << (2 * k)
+    return z
+
+
+def q_zorder_index(sf_dir: str):
+    """Z-ORDER (Morton-curve) LOCALITY PARTITIONING with per-partition
+    pruning statistics — the lakehouse data-layout operator (Delta/Iceberg
+    Z-ordering): points keyed by the interleaved bits of their grid cell
+    sort NEARBY-IN-SPACE into NEARBY-IN-KEY, so fixed z-ranges make file
+    partitions whose bounding boxes are compact, and a bbox query can skip
+    every partition whose (x, y) min/max envelope misses it.  Output: per
+    z-range partition the row count, distinct-cell count, z span and the
+    integer bbox envelope — exactly the footer stats a 100 TB
+    cell-partitioned catalog write (state/checkpoint.py sinks) would store
+    for partition pruning.
+
+    Scale shape: per-batch value_counts partials over z (bounded by the
+    4^res grid, 65 536 codes) → one grid-bounded groupby → vectorized
+    bit de-interleave → final groupby over 64 partition rows.  The corpus
+    never shuffles; both aggregation legs are grid-bounded."""
+    from ray.data.aggregate import Count as _Count, Max as _Max, Min as _Min, Sum as _Sum
+
+    from ..geo.cell import XY_BITS, XY_MASK
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+
+    def zpart(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        cell = cell_encode(lon, lat, ZORDER_RES)
+        x = (cell >> XY_BITS) & XY_MASK
+        y = cell & XY_MASK
+        z = _morton_interleave(x, y, ZORDER_RES)
+        vc = pd.Series(z).value_counts()
+        return pa.table({"z": pa.array(vc.index.to_numpy(np.int64)),
+                         "c": pa.array(vc.to_numpy(np.int64))})
+
+    perz = (ds.map_batches(zpart, batch_format="pyarrow")
+            .groupby("z").aggregate(_Sum("c", alias_name="n")))
+
+    def decode(t: pa.Table) -> pa.Table:
+        z = t["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.zeros_like(z)
+        y = np.zeros_like(z)
+        for k in range(ZORDER_RES):
+            x |= ((z >> (2 * k + 1)) & 1) << k
+            y |= ((z >> (2 * k)) & 1) << k
+        return pa.table({"p": pa.array(z >> ZORDER_PART_SHIFT),
+                         "z": t["z"], "n": t["n"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    out = (perz.map_batches(decode, batch_format="pyarrow")
+           .groupby("p")
+           .aggregate(_Sum("n", alias_name="n_rows"),
+                      _Count(alias_name="n_cells"),
+                      _Min("z", alias_name="z_min"),
+                      _Max("z", alias_name="z_max"),
+                      _Min("x", alias_name="x_min"),
+                      _Max("x", alias_name="x_max"),
+                      _Min("y", alias_name="y_min"),
+                      _Max("y", alias_name="y_max"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p", kind="stable").reset_index(drop=True)
+
+
+def zorder_index_sql() -> str:
+    from ..geo.cell import XY_BITS, XY_MASK
+
+    lon, lat = lonlat_sql("event_id")
+    cell = cell_encode_sql(lon, lat, ZORDER_RES)
+    zterms = " + ".join(
+        f"(((x >> {k}) & 1) * {1 << (2 * k + 1)}) + "
+        f"(((y >> {k}) & 1) * {1 << (2 * k)})"
+        for k in range(ZORDER_RES))
+    return (
+        f"WITH c AS (SELECT {cell} AS cell FROM events), "
+        f"d AS (SELECT (cell >> {XY_BITS}) & {XY_MASK} AS x, "
+        f"cell & {XY_MASK} AS y FROM c), "
+        f"zz AS (SELECT ({zterms}) AS z, x, y FROM d) "
+        f"SELECT z >> {ZORDER_PART_SHIFT} AS p, COUNT(*) AS n_rows, "
+        "COUNT(DISTINCT z) AS n_cells, MIN(z) AS z_min, MAX(z) AS z_max, "
+        "MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max "
+        "FROM zz GROUP BY 1"
+    )

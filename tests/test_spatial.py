@@ -1136,3 +1136,68 @@ class TestMoransI:
         checker = ((gx + gy) % 2).astype(np.float64)
         assert morans_from_cells(gx, gy, gradient) > 0.5
         assert morans_from_cells(gx, gy, checker) < -0.9
+
+
+class TestZorderIndex:
+    def test_roundtrip_and_locality(self, ray_session):
+        """Morton interleave/de-interleave round-trips, and z-range
+        partitions have compact bboxes: each partition's envelope must be
+        no larger than the worst case for its z span (a 1024-code range
+        spans at most a 64x32 block at res 8... asserted via area bound),
+        far smaller than the full 256x256 grid."""
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            ZORDER_RES, _morton_interleave, q_zorder_index)
+
+        rng = np.random.RandomState(3)
+        x = rng.randint(0, 256, 1000).astype(np.int64)
+        y = rng.randint(0, 256, 1000).astype(np.int64)
+        z = _morton_interleave(x, y, ZORDER_RES)
+        xx = np.zeros_like(z)
+        yy = np.zeros_like(z)
+        for k in range(ZORDER_RES):
+            xx |= ((z >> (2 * k + 1)) & 1) << k
+            yy |= ((z >> (2 * k)) & 1) << k
+        assert (xx == x).all() and (yy == y).all()
+        # distinct inputs -> distinct codes (bijection on the grid)
+        assert len(np.unique(z[:100])) == len(np.unique(x[:100] * 256 + y[:100]))
+
+        out = q_zorder_index("/root/testdata/sf0.001")
+        assert (out["z_min"].to_numpy() >> 10 == out["p"].to_numpy()).all()
+        assert (out["z_max"].to_numpy() >> 10 == out["p"].to_numpy()).all()
+        # locality: a 1024-z-code partition covers a 32x32 block of the
+        # 256x256 grid -> envelope area <= 1024 cells, vs 65536 total
+        area = ((out["x_max"] - out["x_min"] + 1)
+                * (out["y_max"] - out["y_min"] + 1))
+        assert (area <= 1024).all()
+        assert int(out["n_rows"].sum()) == 1000  # sf0.001 events rows
+
+    def test_matches_pandas_recount(self, ray_session):
+        """Partition stats recomputed with a single driver-side pandas
+        groupby over the same derived cells."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.geo.cell import XY_BITS, XY_MASK
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            ZORDER_PART_SHIFT, ZORDER_RES, _morton_interleave, cell_encode,
+            q_zorder_index)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_zorder_index(sf)
+        eid = pq.read_table(f"{sf}/events.parquet", columns=["event_id"]) \
+            .to_pandas()["event_id"].to_numpy(np.int64)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        cell = cell_encode(lon, lat, ZORDER_RES)
+        x = (cell >> XY_BITS) & XY_MASK
+        y = cell & XY_MASK
+        z = _morton_interleave(x, y, ZORDER_RES)
+        df = pd.DataFrame({"p": z >> ZORDER_PART_SHIFT, "z": z,
+                           "x": x, "y": y})
+        want = (df.groupby("p")
+                .agg(n_rows=("z", "size"), n_cells=("z", "nunique"),
+                     z_min=("z", "min"), z_max=("z", "max"),
+                     x_min=("x", "min"), x_max=("x", "max"),
+                     y_min=("y", "min"), y_max=("y", "max"))
+                .reset_index().astype("int64")
+                .sort_values("p").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
