@@ -4639,3 +4639,73 @@ SQL_OHLC = (
     "COUNT(*) AS n_trades, CAST(SUM(e4) AS BIGINT) AS vol_e4 "
     "FROM b GROUP BY 1, 2"
 )
+
+
+def q_target_encode(sf_dir: str):
+    """LEAVE-ONE-OUT TARGET ENCODING (the ML-feature-prep operator for
+    high-signal categoricals: each row's category becomes the mean target
+    of the OTHER rows in its category, the standard leakage guard) —
+    orders encoded by o_orderpriority against the o_totalprice target.
+
+    Scale shape: one tiny per-category aggregate (per-batch (sum_e4, n)
+    partials → groupby bounded by the category domain), the resulting
+    dict BROADCAST into a single stateless map pass — the corpus is
+    touched twice, never shuffled.  Integer-exact numerator (e4 money
+    cents; |sum| < 2^53 so the final double conversion is lossless at
+    any tested sf — the 100 TB path keeps per-category sums as int64 and
+    emits numerator/denominator columns instead of the divide), single
+    IEEE divide mirrored by the SQL twin; singleton categories are
+    excluded in both engines (no 0/0)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        e4 = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 1e4).astype(np.int64)
+        g = (pd.DataFrame({"k": t["o_orderpriority"].to_pandas(), "e4": e4})
+             .groupby("k", sort=False)["e4"].agg(["sum", "size"]).reset_index())
+        return pa.table({"o_orderpriority": pa.array(g["k"], pa.string()),
+                         "s_e4": pa.array(g["sum"].to_numpy(np.int64)),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    stats = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby("o_orderpriority")
+             .aggregate(_Sum("s_e4", alias_name="s_e4"),
+                        _Sum("c", alias_name="c"))
+             .to_pandas())
+    s_lut = {k: int(s) for k, s, c in zip(stats["o_orderpriority"],
+                                          stats["s_e4"], stats["c"]) if c > 1}
+    c_lut = {k: int(c) for k, c in zip(stats["o_orderpriority"], stats["c"])
+             if c > 1}
+
+    def encode(t: pa.Table) -> pa.Table:
+        keys = t["o_orderpriority"].to_pandas()
+        e4 = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 1e4).astype(np.int64)
+        # Series.map with a dict is a C-level lookup — no per-row Python
+        s = keys.map(s_lut).fillna(0).to_numpy(np.int64)
+        c = keys.map(c_lut).fillna(0).to_numpy(np.int64)
+        keep = c > 1
+        loo = (s[keep] - e4[keep]).astype(np.float64) / (c[keep] - 1).astype(np.float64)
+        return pa.table({
+            "o_orderkey": pc.filter(t["o_orderkey"], pa.array(keep)),
+            "o_orderpriority": pc.filter(t["o_orderpriority"], pa.array(keep)),
+            "loo_mean_e4": pa.array(loo)})
+
+    out = ds.map_batches(encode, batch_format="pyarrow").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey", kind="stable").reset_index(drop=True)
+
+
+SQL_TARGET_ENCODE = (
+    "WITH s AS (SELECT o_orderpriority, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT) AS se4, "
+    "COUNT(*) AS c FROM orders GROUP BY 1) "
+    "SELECT o.o_orderkey, o.o_orderpriority, "
+    "CAST(s.se4 - CAST(ROUND(o.o_totalprice * 10000, 0) AS BIGINT) AS DOUBLE) "
+    "/ CAST(s.c - 1 AS DOUBLE) AS loo_mean_e4 "
+    "FROM orders o JOIN s USING (o_orderpriority) WHERE s.c > 1"
+)

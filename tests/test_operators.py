@@ -3427,3 +3427,59 @@ class TestEmbedCov:
         iu, ju = np.triu_indices(5)
         assert (out["g_e12"].to_numpy() == G[iu, ju]).all()
         assert (out["n"] == 97).all()
+
+
+class TestTargetEncode:
+    def test_matches_pandas_loo(self, ray_session):
+        """LOO encoding recomputed with a driver-side pandas transform:
+        (group sum - own value) / (group size - 1)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.relational import q_target_encode
+
+        sf = "/root/testdata/sf0.001"
+        out = q_target_encode(sf)
+        od = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+        od["e4"] = round_half_away(
+            od["o_totalprice"].to_numpy() * 1e4).astype("int64")
+        g = od.groupby("o_orderpriority")["e4"]
+        od["s"] = g.transform("sum")
+        od["c"] = g.transform("size")
+        od = od[od["c"] > 1]
+        want = pd.DataFrame({
+            "o_orderkey": od["o_orderkey"].astype("int64"),
+            "o_orderpriority": od["o_orderpriority"],
+            "loo_mean_e4": (od["s"] - od["e4"]).astype(np.float64)
+            / (od["c"] - 1).astype(np.float64),
+        }).sort_values("o_orderkey", kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_no_leakage(self, ray_session):
+        """The encoded value must NOT depend on the row's own target: in a
+        planted 3-row category, each row's encoding equals the mean of the
+        OTHER two, and a singleton category is dropped."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines import relational as R
+
+        rows = pd.DataFrame({
+            "o_orderkey": [1, 2, 3, 4],
+            "o_orderpriority": ["a", "a", "a", "solo"],
+            "o_totalprice": [10.0, 20.0, 60.0, 99.0],
+        })
+        orig = R._t
+
+        def fake(sf_dir, name, columns=None):
+            return rd.from_arrow(pa.Table.from_pandas(rows)).repartition(2)
+        R._t = fake
+        try:
+            out = R.q_target_encode("unused")
+        finally:
+            R._t = orig
+        assert list(out["o_orderkey"]) == [1, 2, 3]
+        assert list(out["loo_mean_e4"]) == [400000.0, 350000.0, 150000.0]
