@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc": R.q_ohlc,
         "embed_cov": T.q_embed_cov,
         "target_encode": R.q_target_encode,
+        "ntile": R.q_ntile,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -370,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc": R.SQL_OHLC,
         "embed_cov": T.SQL_EMBED_COV,
         "target_encode": R.SQL_TARGET_ENCODE,
+        "ntile": R.SQL_NTILE,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

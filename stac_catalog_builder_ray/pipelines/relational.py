@@ -4709,3 +4709,81 @@ SQL_TARGET_ENCODE = (
     "/ CAST(s.c - 1 AS DOUBLE) AS loo_mean_e4 "
     "FROM orders o JOIN s USING (o_orderpriority) WHERE s.c > 1"
 )
+
+
+def q_ntile(sf_dir: str):
+    """DISTRIBUTED NTILE (equal-frequency quantile binning — the ML
+    discretization / per-decile-reporting operator) over events.value,
+    k = 10, WITHOUT a global sort: the same two-pass value-range-bin +
+    driver-prefix-offset discipline as `q_global_rank`, but the second
+    pass assigns each row its global ROW NUMBER over (v4, event_id) and
+    converts it to a tile with SQL NTILE's exact uneven-split rule (the
+    first n % k tiles get one extra row).  The shuffle is the 256-bin
+    hash; driver state is the 256-row bin-count table."""
+    from ray.data.aggregate import Max, Min, Sum  # noqa: F401
+
+    from ..functions.rounding import round_half_away
+
+    K = 10
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        v4 = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 10000.0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "v4": pa.array(v4)})
+
+    q = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t["v4"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(v.min())], pa.int64()),
+                         "hi": pa.array([int(v.max())], pa.int64())})
+
+    mm = q.map_batches(minmax, batch_format="pyarrow").aggregate(
+        Min("lo"), Max("hi"))
+    lo, hi = int(mm["min(lo)"]), int(mm["max(hi)"])
+    width = max(1, (hi - lo) // 256 + 1)
+
+    def binify(t: pa.Table) -> pa.Table:
+        v = t["v4"].to_numpy(zero_copy_only=False)
+        return t.append_column("bin", pa.array((v - lo) // width))
+
+    binned = q.map_batches(binify, batch_format="pyarrow").materialize()
+    counts = (binned.groupby("bin").aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("bin").reset_index(drop=True))
+    n_total = int(counts["n"].sum())
+    offs = dict(zip(
+        counts["bin"].astype(int),
+        np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])
+        .astype(np.int64)))
+    offs_ref = ray.put(offs)
+    r, small = n_total % K, n_total // K
+    big = small + 1
+
+    def tile_bin(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offs_ref)[int(g["bin"].iloc[0])]
+        v = g["v4"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, v))
+        rn = np.empty(len(v), dtype=np.int64)
+        rn[order] = off + np.arange(len(v), dtype=np.int64) + 1
+        # SQL NTILE split: first r tiles hold `big` rows, the rest `small`
+        cut = r * big
+        tile = np.where(rn <= cut, (rn - 1) // big + 1,
+                        r + (rn - cut - 1) // max(small, 1) + 1)
+        return pd.DataFrame({"event_id": eid, "v4": v,
+                             "tile": tile.astype(np.int64)})
+
+    out = (binned.groupby("bin").map_groups(tile_bin, batch_format="pandas")
+           .to_pandas())
+    out["tile"] = out["tile"].astype("int64")
+    out["v4"] = out["v4"].astype("int64")
+    return (out.sort_values("event_id").reset_index(drop=True)
+            [["event_id", "v4", "tile"]])
+
+
+SQL_NTILE = (
+    "SELECT event_id, CAST(ROUND(value * 10000, 0) AS BIGINT) AS v4, "
+    "CAST(NTILE(10) OVER (ORDER BY CAST(ROUND(value * 10000, 0) AS BIGINT), "
+    "event_id) AS BIGINT) AS tile FROM events"
+)

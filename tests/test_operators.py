@@ -3483,3 +3483,35 @@ class TestTargetEncode:
             R._t = orig
         assert list(out["o_orderkey"]) == [1, 2, 3]
         assert list(out["loo_mean_e4"]) == [400000.0, 350000.0, 150000.0]
+
+
+class TestNtile:
+    def test_matches_pandas_ntile(self, ray_session):
+        """Tiles recomputed from a driver-side full sort + the NTILE uneven
+        split rule; also pins the tile-size invariant (sizes differ by at
+        most 1, larger tiles first)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.relational import q_ntile
+
+        sf = "/root/testdata/sf0.001"
+        out = q_ntile(sf)
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_id", "value"]).to_pandas()
+        ev["v4"] = round_half_away(ev["value"].to_numpy() * 1e4).astype("int64")
+        ev = ev.sort_values(["v4", "event_id"], kind="stable").reset_index(drop=True)
+        n, k = len(ev), 10
+        r, small = n % k, n // k
+        rn = np.arange(n, dtype=np.int64) + 1
+        cut = r * (small + 1)
+        ev["tile"] = np.where(rn <= cut, (rn - 1) // (small + 1) + 1,
+                              r + (rn - cut - 1) // small + 1).astype("int64")
+        want = (ev[["event_id", "v4", "tile"]]
+                .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        sizes = out["tile"].value_counts().sort_index()
+        assert sizes.max() - sizes.min() <= 1
+        assert (sizes.to_numpy() == sorted(sizes.to_numpy(), reverse=True)).all()
