@@ -2467,3 +2467,18 @@ def zorder_index_sql() -> str:
         "MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max "
         "FROM zz GROUP BY 1"
     )
+
+
+def q_blob_count(sf_dir: str):
+    """Per-image BLOB COUNT over the documents-derived images table
+    (rows-only: pixel decode + connected-component labeling are not
+    SQL-expressible) — threshold at the integer pixel mean, 4-connected
+    min-label-propagation components inside the decode actor (the per-image
+    twin of the engine's distributed connected components).  Independent
+    flood-fill oracle: tests/test_operators.py::TestBlobCount."""
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.multimodal import blob_count
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    out = blob_count(rd.read_parquet(images))
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)

@@ -350,3 +350,94 @@ def image_stats(images, concurrency=(1, 8), batch_size: int = 128):
         ImageStatsStage, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+def _cc_label_min(mask: np.ndarray) -> np.ndarray:
+    """4-connected component labels of a boolean mask by MIN-LABEL
+    PROPAGATION with pointer jumping — the same discipline as the engine's
+    distributed connected-components (stages/dedup.py), applied per image:
+    each foreground pixel starts as its own label (its flat index); edge
+    rounds fold the minimum over horizontal/vertical neighbours
+    (np.minimum.at — no Python per-pixel loop), pointer jumps compress
+    paths, and the loop converges in O(log diameter) rounds.  Returns the
+    flat label array (-1 = background)."""
+    h, w = mask.shape
+    lab = np.full(h * w, -1, dtype=np.int64)
+    ids = np.flatnonzero(mask.ravel())
+    if len(ids) == 0:
+        return lab
+    lab[ids] = ids
+    rr = np.flatnonzero((mask[:, :-1] & mask[:, 1:]).ravel())
+    # ravel of the (h, w-1) window -> source index in the (h, w) grid
+    a_r = (rr // (w - 1)) * w + (rr % (w - 1)) if w > 1 else np.empty(0, np.int64)
+    dd = np.flatnonzero((mask[:-1, :] & mask[1:, :]).ravel())
+    a = np.concatenate([a_r, dd])
+    b = np.concatenate([a_r + 1, dd + w])
+    if len(a) == 0:
+        return lab
+    while True:
+        m = np.minimum(lab[a], lab[b])
+        before = lab[ids].copy()
+        np.minimum.at(lab, a, m)
+        np.minimum.at(lab, b, m)
+        lab[ids] = lab[lab[ids]]          # pointer jump
+        if np.array_equal(lab[ids], before):
+            break
+    # full path compression
+    while True:
+        nxt = lab[lab[ids]]
+        if np.array_equal(nxt, lab[ids]):
+            break
+        lab[ids] = nxt
+    return lab
+
+
+class BlobCountStage:
+    """Per-image BLOB DETECTION (foreground connected-component count —
+    the raster object-counting / segmentation-sanity operator): decode,
+    threshold at the integer pixel mean (px > floor(sum/n)), label
+    4-connected components, emit integer stats.  Pixels never leave the
+    task; one small row per image crosses the object store.
+
+    Emitted per image (all int64, block-layout independent):
+    ``n_fg`` foreground pixels · ``n_blobs`` component count ·
+    ``max_blob`` largest component size."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        self._decode = DecodeStage(strict=strict)._decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bts = batch["bytes"]
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        n = batch.num_rows
+        n_fg = np.zeros(n, np.int64)
+        n_blobs = np.zeros(n, np.int64)
+        max_blob = np.zeros(n, np.int64)
+        for i in range(n):
+            px = self._decode(bts[i].as_py(), fmts[i], ws[i], hs[i])
+            px = np.asarray(px)
+            thr = int(px.sum(dtype=np.int64)) // px.size
+            mask = px > thr
+            n_fg[i] = int(mask.sum())
+            if n_fg[i]:
+                lab = _cc_label_min(mask)
+                roots = lab[lab >= 0]
+                _, counts = np.unique(roots, return_counts=True)
+                n_blobs[i] = len(counts)
+                max_blob[i] = int(counts.max())
+        return pa.table({
+            "image_id": batch["image_id"],
+            "n_fg": pa.array(n_fg), "n_blobs": pa.array(n_blobs),
+            "max_blob": pa.array(max_blob),
+        })
+
+
+def blob_count(images, concurrency=(1, 8), batch_size: int = 128):
+    """images Dataset -> per-image blob-count Dataset."""
+    return images.map_batches(
+        BlobCountStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -3515,3 +3515,103 @@ class TestNtile:
         sizes = out["tile"].value_counts().sort_index()
         assert sizes.max() - sizes.min() <= 1
         assert (sizes.to_numpy() == sorted(sizes.to_numpy(), reverse=True)).all()
+
+
+class TestBlobCount:
+    def _flood_count(self, mask):
+        """Independent oracle: plain BFS flood fill, 4-connectivity."""
+        import numpy as np
+        h, w = mask.shape
+        seen = np.zeros_like(mask, dtype=bool)
+        sizes = []
+        for r in range(h):
+            for c in range(w):
+                if mask[r, c] and not seen[r, c]:
+                    stack, size = [(r, c)], 0
+                    seen[r, c] = True
+                    while stack:
+                        y, x = stack.pop()
+                        size += 1
+                        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            yy, xx = y + dy, x + dx
+                            if (0 <= yy < h and 0 <= xx < w
+                                    and mask[yy, xx] and not seen[yy, xx]):
+                                seen[yy, xx] = True
+                                stack.append((yy, xx))
+                    sizes.append(size)
+        return sizes
+
+    def test_kernel_planted_shapes(self):
+        """Two separated squares -> 2 blobs; a diagonal chain is NOT
+        connected under 4-connectivity; a ring is one blob."""
+        import numpy as np
+        from stac_catalog_builder_ray.stages.multimodal import _cc_label_min
+
+        def count(mask):
+            lab = _cc_label_min(mask)
+            roots = lab[lab >= 0]
+            u, c = np.unique(roots, return_counts=True)
+            return len(u), (c.max() if len(c) else 0)
+
+        m = np.zeros((12, 12), bool)
+        m[1:4, 1:4] = True
+        m[7:10, 7:11] = True
+        assert count(m) == (2, 12)
+        diag = np.zeros((6, 6), bool)
+        diag[np.arange(6), np.arange(6)] = True
+        assert count(diag) == (6, 1)
+        ring = np.zeros((8, 8), bool)
+        ring[2, 2:6] = True; ring[5, 2:6] = True
+        ring[2:6, 2] = True; ring[2:6, 5] = True
+        assert count(ring) == (1, 12)
+        empty = np.zeros((4, 4), bool)
+        assert count(empty) == (0, 0)
+
+    def test_kernel_fuzz_vs_flood_fill(self):
+        """Random masks: min-label propagation must agree with the BFS
+        oracle on component count and largest size."""
+        import numpy as np
+        from stac_catalog_builder_ray.stages.multimodal import _cc_label_min
+
+        rng = np.random.RandomState(11)
+        for trial in range(20):
+            mask = rng.rand(17, 23) < rng.uniform(0.2, 0.7)
+            lab = _cc_label_min(mask)
+            roots = lab[lab >= 0]
+            u, c = np.unique(roots, return_counts=True)
+            sizes = self._flood_count(mask)
+            assert len(u) == len(sizes), trial
+            assert (c.max() if len(c) else 0) == (max(sizes) if sizes else 0)
+            assert c.sum() == mask.sum()
+
+    def test_query_matches_local_decode(self, ray_session):
+        """q_blob_count recomputed by decoding every image locally and
+        running the BFS oracle on the same threshold rule."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.pipelines.geospatial import q_blob_count
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+            images_from_documents)
+
+        sf = "/root/testdata/sf0.001"
+        # the fixture table plants duplicate image_ids (with differing
+        # bytes, for the dedup operators) — compare only unambiguous ids
+        imgs = pq.read_table(images_from_documents(sf, "/tmp/scbr-query-cache")) \
+            .to_pandas()
+        imgs = imgs[~imgs.duplicated("image_id", keep=False)]
+        out = q_blob_count(sf).set_index("image_id")
+        checked = 0
+        for _, row in imgs.head(12).iterrows():
+            px = decode_image(bytes(row["bytes"]))
+            px = px[0] if isinstance(px, tuple) else np.asarray(px)
+            thr = int(px.sum(dtype=np.int64)) // px.size
+            mask = px > thr
+            sizes = self._flood_count(mask)
+            got = out.loc[row["image_id"]]
+            assert int(got["n_fg"]) == int(mask.sum())
+            assert int(got["n_blobs"]) == len(sizes)
+            assert int(got["max_blob"]) == (max(sizes) if sizes else 0)
+            checked += 1
+        assert checked == 12
