@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i": G.q_morans_i,
         "zorder_index": G.q_zorder_index,
         "blob_count": G.q_blob_count,
+        "lof": G.q_lof,
         "frame_sample": G.q_frame_sample,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,

@@ -2482,3 +2482,173 @@ def q_blob_count(sf_dir: str):
     images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
     out = blob_count(rd.read_parquet(images))
     return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+# --- Local Outlier Factor ----------------------------------------------------
+
+LOF_K = 5
+LOF_RES = 5
+
+
+def lof_scores(pts, k: int = LOF_K, res: int = LOF_RES,
+               driver_state_limit: int = 20_000_000) -> pd.DataFrame:
+    """LOCAL OUTLIER FACTOR (Breunig et al. 2000) — the density-ratio
+    anomaly detector of the classic ML toolkit — over a (event_id, lon,
+    lat) point Dataset, exact kNN from the cell-ring ``knn_join`` with its
+    widening backstop.
+
+    Determinism discipline: distances quantize to e6 integers BEFORE any
+    distributed Sum (float sums are combine-order dependent; integer sums
+    are not), lrd is an exact integer ratio (n·10^15 // sum_reach_e6), so
+    both routes and every rerun produce BIT-IDENTICAL rows.  The three
+    passes over the O(N·k) pair table need the per-point k-dist / lrd as a
+    side lookup; that lookup AUTO-ROUTES — <= ``driver_state_limit``
+    points ships as sorted arrays (vectorized searchsorted, the dbscan
+    pattern), above it partitioned ``Dataset.join``s keyed on neighbor_id
+    (no driver state) — both routes equality-tested.
+
+    A zero reach-sum (>= k coincident points) gets the documented sentinel
+    lrd of 10^18 instead of a division error."""
+    from ray.data.aggregate import Count as _Count, Max as _Max, Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages.spatial import knn_join
+
+    nn = knn_join(pts, k=k, res=res, id_col="event_id", exact=True)
+
+    def quant(t: pa.Table) -> pa.Table:
+        d6 = round_half_away(
+            t["dist"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "neighbor_id": t["neighbor_id"],
+                         "d_e6": pa.array(d6)})
+
+    nn = nn.map_batches(quant, batch_format="pyarrow").materialize()
+    kd = (nn.groupby("event_id")
+          .aggregate(_Max("d_e6", alias_name="k_dist_e6")).materialize())
+    n_pts = kd.count()
+
+    def _lrd_from(sdf: pd.DataFrame) -> np.ndarray:
+        sr = sdf["sum_reach_e6"].to_numpy(np.int64)
+        nb = sdf["n_nb"].to_numpy(np.int64)
+        out = np.full(len(sr), 10 ** 18, dtype=np.int64)
+        nz = sr > 0
+        out[nz] = nb[nz] * 10 ** 15 // sr[nz]
+        return out
+
+    if n_pts <= driver_state_limit:
+        kdf = kd.to_pandas().sort_values("event_id").reset_index(drop=True)
+        ids = np.ascontiguousarray(kdf["event_id"].to_numpy(np.int64))
+        kda = np.ascontiguousarray(kdf["k_dist_e6"].to_numpy(np.int64))
+        ids_ref, kd_ref = ray.put(ids), ray.put(kda)
+
+        def reach_part(t: pa.Table) -> pa.Table:
+            ia, ka = ray.get(ids_ref), ray.get(kd_ref)
+            nb = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            reach = np.maximum(
+                t["d_e6"].to_numpy(zero_copy_only=False),
+                ka[np.searchsorted(ia, nb)])
+            return pa.table({"event_id": t["event_id"],
+                             "reach_e6": pa.array(reach)})
+
+        sdf = (nn.map_batches(reach_part, batch_format="pyarrow")
+               .groupby("event_id")
+               .aggregate(_Sum("reach_e6", alias_name="sum_reach_e6"),
+                          _Count(alias_name="n_nb"))
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        lrd = _lrd_from(sdf)
+        lrd_ref = ray.put(lrd)
+
+        def lrdnb_part(t: pa.Table) -> pa.Table:
+            ia, la = ray.get(ids_ref), ray.get(lrd_ref)
+            nb = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"event_id": t["event_id"],
+                             "lrd_nb_e9": pa.array(la[np.searchsorted(ia, nb)])})
+
+        ln = (nn.map_batches(lrdnb_part, batch_format="pyarrow")
+              .groupby("event_id")
+              .aggregate(_Sum("lrd_nb_e9", alias_name="sum_lrd_nb_e9"),
+                         _Count(alias_name="n_nb"))
+              .to_pandas().sort_values("event_id").reset_index(drop=True))
+        pos = np.searchsorted(ids, ln["event_id"].to_numpy(np.int64))
+        lof = (ln["sum_lrd_nb_e9"].to_numpy(np.float64)
+               / (ln["n_nb"].to_numpy(np.float64) * lrd[pos].astype(np.float64)))
+        return pd.DataFrame({"event_id": ln["event_id"].astype("int64"),
+                             "k_dist_e6": kda[pos],
+                             "lrd_e9": lrd[pos],
+                             "lof": lof}).sort_values("event_id") \
+            .reset_index(drop=True)
+
+    # distributed route: partitioned joins keyed on neighbor_id
+    from .relational import cluster_partitions
+
+    nparts = cluster_partitions(per_cpu=0.5, floor=8)
+    kd_nb = kd.map_batches(
+        lambda t: pa.table({"nbid": t["event_id"],
+                            "nb_kdist_e6": t["k_dist_e6"]}),
+        batch_format="pyarrow")
+    p1 = nn.join(kd_nb, join_type="inner", num_partitions=nparts,
+                 on=("neighbor_id",), right_on=("nbid",))
+
+    def reach_j(t: pa.Table) -> pa.Table:
+        reach = np.maximum(t["d_e6"].to_numpy(zero_copy_only=False),
+                           t["nb_kdist_e6"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_id": t["event_id"],
+                         "reach_e6": pa.array(reach)})
+
+    sr = (p1.map_batches(reach_j, batch_format="pyarrow")
+          .groupby("event_id")
+          .aggregate(_Sum("reach_e6", alias_name="sum_reach_e6"),
+                     _Count(alias_name="n_nb")))
+
+    def lrd_j(t: pa.Table) -> pa.Table:
+        sdf = pd.DataFrame({
+            "sum_reach_e6": t["sum_reach_e6"].to_numpy(zero_copy_only=False),
+            "n_nb": t["n_nb"].to_numpy(zero_copy_only=False)})
+        return pa.table({"event_id": t["event_id"],
+                         "n_nb": t["n_nb"],
+                         "lrd_e9": pa.array(_lrd_from(sdf))})
+
+    lrd_ds = sr.map_batches(lrd_j, batch_format="pyarrow").materialize()
+    lrd_nb = lrd_ds.map_batches(
+        lambda t: pa.table({"nbid": t["event_id"], "nb_lrd_e9": t["lrd_e9"]}),
+        batch_format="pyarrow")
+    p2 = nn.join(lrd_nb, join_type="inner", num_partitions=nparts,
+                 on=("neighbor_id",), right_on=("nbid",))
+    agg2 = (p2.groupby("event_id")
+            .aggregate(_Sum("nb_lrd_e9", alias_name="sum_lrd_nb_e9"),
+                       _Count(alias_name="n_nb")))
+    final = agg2.join(lrd_ds.select_columns(["event_id", "lrd_e9"]),
+                      join_type="inner", num_partitions=nparts,
+                      on=("event_id",), right_on=("event_id",))
+    fin = final.to_pandas().sort_values("event_id").reset_index(drop=True)
+    kpd = kd.to_pandas().sort_values("event_id").reset_index(drop=True)
+    lof = (fin["sum_lrd_nb_e9"].to_numpy(np.float64)
+           / (fin["n_nb"].to_numpy(np.float64)
+              * fin["lrd_e9"].to_numpy(np.int64).astype(np.float64)))
+    return pd.DataFrame({"event_id": fin["event_id"].astype("int64"),
+                         "k_dist_e6": kpd["k_dist_e6"].astype("int64"),
+                         "lrd_e9": fin["lrd_e9"].astype("int64"),
+                         "lof": lof}).sort_values("event_id") \
+        .reset_index(drop=True)
+
+
+def q_lof(sf_dir: str):
+    """LOF anomaly scores over the lattice-free hash-derived points (the
+    kcore-family derivation — collision-free in practice, so reach sums
+    are positive).  Rows-only: the reach/lrd recursion has no bounded SQL
+    expression; independent O(n^2) numpy oracle + planted-outlier test in
+    tests/test_spatial.py::TestLof."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+    from .relational import _kmv_hash
+
+    def pts_fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _sqmod61(_kmv_hash(eid))
+        lon = (g % 36000) / 100.0 - 180.0
+        lat = ((g // 36000) % 18000) / 100.0 - 90.0
+        return pa.table({"event_id": pa.array(eid),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    return lof_scores(ds.map_batches(pts_fn, batch_format="pyarrow"))

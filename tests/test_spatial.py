@@ -1201,3 +1201,93 @@ class TestZorderIndex:
                 .reset_index().astype("int64")
                 .sort_values("p").reset_index(drop=True))
         pd.testing.assert_frame_equal(out, want)
+
+
+class TestLof:
+    @staticmethod
+    def _lof_numpy(ids, lon, lat, k):
+        """Independent O(n^2) LOF with the engine's integer discipline."""
+        n = len(ids)
+        d = np.sqrt((lon[:, None] - lon[None, :]) ** 2
+                    + (lat[:, None] - lat[None, :]) ** 2)
+        np.fill_diagonal(d, np.inf)
+        nbrs = np.empty((n, k), dtype=np.int64)
+        d6 = np.empty((n, k), dtype=np.int64)
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        for i in range(n):
+            order = np.lexsort((ids, d[i]))[:k]
+            nbrs[i] = order
+            d6[i] = round_half_away(d[i][order] * 1e6).astype(np.int64)
+        kdist = d6.max(axis=1)
+        reach = np.maximum(d6, kdist[nbrs])
+        sum_reach = reach.sum(axis=1)
+        lrd = np.full(n, 10 ** 18, dtype=np.int64)
+        nz = sum_reach > 0
+        lrd[nz] = (k * 10 ** 15) // sum_reach[nz]
+        lof = lrd[nbrs].sum(axis=1).astype(np.float64) \
+            / (float(k) * lrd.astype(np.float64))
+        return kdist, lrd, lof
+
+    def test_matches_numpy_bruteforce(self, ray_session):
+        """Full LOF recompute (exact integers, float ratio) at sf0.001."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            LOF_K, _sqmod61, q_lof)
+        from stac_catalog_builder_ray.pipelines.relational import _kmv_hash
+
+        sf = "/root/testdata/sf0.001"
+        out = q_lof(sf)
+        eid = pq.read_table(f"{sf}/events.parquet", columns=["event_id"]) \
+            .to_pandas()["event_id"].to_numpy(np.int64)
+        eid = np.sort(eid)
+        g = _sqmod61(_kmv_hash(eid))
+        lon = (g % 36000) / 100.0 - 180.0
+        lat = ((g // 36000) % 18000) / 100.0 - 90.0
+        kdist, lrd, lof = self._lof_numpy(eid, lon, lat, LOF_K)
+        assert (out["event_id"].to_numpy(np.int64) == eid).all()
+        assert (out["k_dist_e6"].to_numpy(np.int64) == kdist).all()
+        assert (out["lrd_e9"].to_numpy(np.int64) == lrd).all()
+        assert np.allclose(out["lof"].to_numpy(), lof, rtol=0, atol=1e-12)
+
+    def test_routes_agree(self, ray_session):
+        """Broadcast-lookup and partitioned-join routes are bit-identical."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd_
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            _sqmod61, lof_scores)
+        from stac_catalog_builder_ray.pipelines.relational import _kmv_hash
+
+        eid = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                            columns=["event_id"]) \
+            .to_pandas()["event_id"].to_numpy(np.int64)
+        g = _sqmod61(_kmv_hash(eid))
+        tbl = pa.table({"event_id": pa.array(eid),
+                        "lon": pa.array((g % 36000) / 100.0 - 180.0),
+                        "lat": pa.array(((g // 36000) % 18000) / 100.0 - 90.0)})
+        a = lof_scores(rd_.from_arrow(tbl))
+        b = lof_scores(rd_.from_arrow(tbl), driver_state_limit=0)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_planted_outlier(self, ray_session):
+        """A lone far point next to a dense blob scores LOF >> 1; blob
+        members score ~1."""
+        import pyarrow as pa
+        import ray.data as rd_
+
+        from stac_catalog_builder_ray.pipelines.geospatial import lof_scores
+
+        rng = np.random.RandomState(5)
+        blob_lon = rng.uniform(10.0, 11.0, 60)
+        blob_lat = rng.uniform(10.0, 11.0, 60)
+        lon = np.concatenate([blob_lon, [40.0]])
+        lat = np.concatenate([blob_lat, [40.0]])
+        tbl = pa.table({"event_id": pa.array(np.arange(61, dtype=np.int64)),
+                        "lon": pa.array(lon), "lat": pa.array(lat)})
+        out = lof_scores(rd_.from_arrow(tbl), k=5, res=3)
+        out = out.set_index("event_id")
+        assert float(out.loc[60, "lof"]) > 2.0
+        inliers = out.drop(60)["lof"]
+        assert float(inliers.median()) < 1.3
