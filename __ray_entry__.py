@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_index": G.q_zorder_index,
         "blob_count": G.q_blob_count,
         "lof": G.q_lof,
+        "distinctive_terms": T.q_distinctive_terms,
         "frame_sample": G.q_frame_sample,
         # text analysis / dedup / similarity (training-data ops)
         "token_count": T.q_token_count,
@@ -374,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cov": T.SQL_EMBED_COV,
         "target_encode": R.SQL_TARGET_ENCODE,
         "ntile": R.SQL_NTILE,
+        "distinctive_terms": T.distinctive_terms_sql(),
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

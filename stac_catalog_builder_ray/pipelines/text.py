@@ -2344,3 +2344,82 @@ SQL_EMBED_COV = (
     "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim "
     "GROUP BY 1, 2"
 )
+
+
+DISTINCTIVE_SLICE_LANG = "en"
+DISTINCTIVE_MIN_TF = 10
+
+
+def q_distinctive_terms(sf_dir: str):
+    """CORPUS KEYNESS (distinctive-terms mining — the slice-vs-rest
+    "what characterises this subcorpus?" report of corpus linguistics and
+    data-curation audits): per term, its frequency in the ``en`` slice vs
+    the rest of the corpus and an INTEGER relative-risk score
+
+        rr_e6 = tf_a * n_b * 10^6 // ((tf_b + 1) * n_a)
+
+    (+1 smoothing on the contrast slice; n_a / n_b are slice token
+    totals).  Integer-pure, so the DuckDB twin hashes bit-identically —
+    no log-likelihood floats.
+
+    Scale shape: ONE tokenize pass emits per-batch (word, slice) count
+    partials (value_counts — vocabulary-bounded, Heaps' law), one
+    word-keyed groupby folds both slices simultaneously (conditional
+    sums, no second pass), slice token totals ride the same partials as
+    two scalar aggregates.  The corpus never shuffles."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["text", "lang"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"text": t["text"].to_pandas().fillna(""),
+                           "is_a": (t["lang"].to_pandas()
+                                    == DISTINCTIVE_SLICE_LANG)})
+        words = df["text"].str.lower().str.split()
+        ex = df.assign(word=words).explode("word").dropna(subset=["word"])
+        g = (ex.groupby(["word", "is_a"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.table({"word": pa.array(g["word"], pa.string()),
+                         "tf_a": pa.array(np.where(g["is_a"], g["c"], 0)
+                                          .astype(np.int64)),
+                         "tf_b": pa.array(np.where(g["is_a"], 0, g["c"])
+                                          .astype(np.int64))})
+
+    folded = (docs.map_batches(part, batch_format="pyarrow")
+              .groupby("word")
+              .aggregate(Sum("tf_a", alias_name="tf_a"),
+                         Sum("tf_b", alias_name="tf_b"))
+              .to_pandas())
+    folded["tf_a"] = folded["tf_a"].astype("int64")
+    folded["tf_b"] = folded["tf_b"].astype("int64")
+    n_a = int(folded["tf_a"].sum())
+    n_b = int(folded["tf_b"].sum())
+    keep = folded[folded["tf_a"] >= DISTINCTIVE_MIN_TF].copy()
+    # python-int folds: tf * n products exceed neither HUGEINT nor bignum
+    keep["rr_e6"] = [
+        (int(ta) * n_b * 10 ** 6) // ((int(tb) + 1) * n_a)
+        for ta, tb in zip(keep["tf_a"], keep["tf_b"])]
+    keep["rr_e6"] = keep["rr_e6"].astype("int64")
+    return (keep[["word", "tf_a", "tf_b", "rr_e6"]]
+            .sort_values("word", kind="stable").reset_index(drop=True))
+
+
+def distinctive_terms_sql() -> str:
+    return (
+        "WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), "
+        "'\\s+')) AS word, "
+        f"(lang = '{DISTINCTIVE_SLICE_LANG}') AS is_a "
+        "FROM documents WHERE trim(text) <> ''), "
+        "f AS (SELECT word, "
+        "CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS tf_a, "
+        "CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS tf_b "
+        "FROM w GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(tf_a) AS BIGINT) AS n_a, "
+        "CAST(SUM(tf_b) AS BIGINT) AS n_b FROM f) "
+        "SELECT f.word, f.tf_a, f.tf_b, "
+        "CAST((CAST(f.tf_a AS HUGEINT) * tot.n_b * 1000000) "
+        "// ((f.tf_b + 1) * CAST(tot.n_a AS HUGEINT)) AS BIGINT) AS rr_e6 "
+        "FROM f CROSS JOIN tot "
+        f"WHERE f.tf_a >= {DISTINCTIVE_MIN_TF}"
+    )

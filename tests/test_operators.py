@@ -3615,3 +3615,35 @@ class TestBlobCount:
             assert int(got["max_blob"]) == (max(sizes) if sizes else 0)
             checked += 1
         assert checked == 12
+
+
+class TestDistinctiveTerms:
+    def test_matches_pandas_recompute(self, ray_session):
+        """Keyness recomputed with one driver-side explode + conditional
+        counts + the same integer relative-risk rule."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import (
+            DISTINCTIVE_MIN_TF, DISTINCTIVE_SLICE_LANG, q_distinctive_terms)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_distinctive_terms(sf)
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["text", "lang"]).to_pandas()
+        docs["is_a"] = docs["lang"] == DISTINCTIVE_SLICE_LANG
+        ex = docs.assign(word=docs["text"].fillna("").str.lower().str.split())
+        ex = ex.explode("word").dropna(subset=["word"])
+        f = (ex.groupby("word")
+             .agg(tf_a=("is_a", "sum"),
+                  tf_b=("is_a", lambda s: int((~s).sum())))
+             .reset_index())
+        n_a, n_b = int(f["tf_a"].sum()), int(f["tf_b"].sum())
+        f = f[f["tf_a"] >= DISTINCTIVE_MIN_TF].copy()
+        f["rr_e6"] = [(int(a) * n_b * 10 ** 6) // ((int(b) + 1) * n_a)
+                      for a, b in zip(f["tf_a"], f["tf_b"])]
+        want = (f.astype({"tf_a": "int64", "tf_b": "int64", "rr_e6": "int64"})
+                .sort_values("word", kind="stable").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        # the statistic separates: at least one term must be slice-skewed
+        assert (out["rr_e6"] > 1_000_000).any()
