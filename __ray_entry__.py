@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_cov": T.q_embed_cov,
         "target_encode": R.q_target_encode,
         "ntile": R.q_ntile,
+        "wmedian": R.q_wmedian,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -376,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": R.SQL_TARGET_ENCODE,
         "ntile": R.SQL_NTILE,
         "distinctive_terms": T.distinctive_terms_sql(),
+        "wmedian": R.SQL_WMEDIAN,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

@@ -4787,3 +4787,110 @@ SQL_NTILE = (
     "CAST(NTILE(10) OVER (ORDER BY CAST(ROUND(value * 10000, 0) AS BIGINT), "
     "event_id) AS BIGINT) AS tile FROM events"
 )
+
+
+def q_wmedian(sf_dir: str):
+    """WEIGHTED MEDIAN per group (the robust weighted-aggregation primitive
+    of metering / importance-weighted reporting): smallest value whose
+    cumulative weight reaches half the group total, weights derived
+    deterministically as (event_id % 10) + 1.
+
+    Same two-phase exact-quantile discipline as `q_outlier_trim` — but
+    over WEIGHTS, which rules out rank arithmetic on counts alone:
+    1. per-(group, 256-range-bin) WEIGHT sums (one corpus pass, partials
+       bounded by groups x bins);
+    2. the driver cumulates bin weights per group, finds the bin where
+       2*cum first reaches the total and the weight mass below it
+       (O(groups x 256) state);
+    3. one more pass gathers only rows in target bins (~n/256 per group)
+       -> exact weighted median inside the bin.
+    Everything integer, so the SQL window twin hashes bit-identically."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.rounding import round_half_away
+
+    B = 256
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_e4(t: pa.Table) -> pa.Table:
+        e4 = round_half_away(t["value"].to_numpy(zero_copy_only=False) * 1e4
+                             ).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "e4": pa.array(e4),
+                         "w": pa.array(eid % 10 + 1)})
+
+    v = ds.map_batches(to_e4, batch_format="pyarrow").materialize()
+    mm = (v.groupby("event_type")
+          .aggregate(Min("e4", alias_name="mn"), Max("e4", alias_name="mx"))
+          .to_pandas())
+    lim = {r.event_type: (int(r.mn), int(r.mx)) for r in mm.itertuples()}
+
+    def bin_of(et_arr, e4_arr):
+        mn = np.array([lim[e][0] for e in et_arr], dtype=np.int64)
+        mx = np.array([lim[e][1] for e in et_arr], dtype=np.int64)
+        return (e4_arr - mn) * B // (mx - mn + 1)
+
+    def binned(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        e4 = t["e4"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        p = (pd.DataFrame({"event_type": et, "bin": bin_of(et, e4), "w": w})
+             .groupby(["event_type", "bin"], sort=False)["w"].sum()
+             .reset_index())
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    wb = (v.map_batches(binned, batch_format="pyarrow")
+          .groupby(["event_type", "bin"]).aggregate(Sum("w", alias_name="w"))
+          .to_pandas())
+
+    target: dict = {}
+    totals: dict = {}
+    for et, g in wb.groupby("event_type"):
+        g = g.sort_values("bin")
+        ws = g["w"].astype(np.int64).to_numpy()
+        cum = ws.cumsum()
+        tot = int(cum[-1])
+        totals[et] = tot
+        hit = int(np.argmax(2 * cum >= tot))
+        target[et] = (int(g["bin"].to_numpy()[hit]),
+                      int(cum[hit - 1]) if hit else 0)
+
+    def gather(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        e4 = t["e4"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        b = bin_of(et, e4)
+        tb = np.array([target[e][0] for e in et], dtype=np.int64)
+        keep = b == tb
+        return pa.table({"event_type": pa.array(
+            np.array(et, dtype=object)[keep], pa.string()),
+            "e4": pa.array(e4[keep]), "w": pa.array(w[keep])})
+
+    inbin = v.map_batches(gather, batch_format="pyarrow").to_pandas()
+    rows = []
+    for et, g in inbin.groupby("event_type"):
+        g = g.sort_values("e4", kind="stable")
+        per_v = g.groupby("e4", sort=True)["w"].sum()
+        cum = target[et][1] + per_v.cumsum().to_numpy()
+        tot = totals[et]
+        pos = int(np.argmax(2 * cum >= tot))
+        rows.append((et, int(per_v.index[pos]), tot))
+    out = pd.DataFrame(rows, columns=["event_type", "wmedian_v4", "w_total"])
+    out["wmedian_v4"] = out["wmedian_v4"].astype("int64")
+    out["w_total"] = out["w_total"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_WMEDIAN = (
+    "WITH b AS (SELECT event_type, "
+    "CAST(ROUND(value * 10000, 0) AS BIGINT) AS v4, "
+    "(event_id % 10) + 1 AS w FROM events), "
+    "g AS (SELECT event_type, v4, CAST(SUM(w) AS BIGINT) AS cw "
+    "FROM b GROUP BY 1, 2), "
+    "c AS (SELECT event_type, v4, "
+    "SUM(cw) OVER (PARTITION BY event_type ORDER BY v4) AS cum, "
+    "SUM(cw) OVER (PARTITION BY event_type) AS tot FROM g) "
+    "SELECT event_type, CAST(MIN(CASE WHEN 2 * cum >= tot THEN v4 END) "
+    "AS BIGINT) AS wmedian_v4, CAST(MAX(tot) AS BIGINT) AS w_total "
+    "FROM c GROUP BY 1"
+)

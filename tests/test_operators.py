@@ -3647,3 +3647,61 @@ class TestDistinctiveTerms:
         pd.testing.assert_frame_equal(out, want)
         # the statistic separates: at least one term must be slice-skewed
         assert (out["rr_e6"] > 1_000_000).any()
+
+
+class TestWmedian:
+    def test_matches_pandas_recompute(self, ray_session):
+        """Weighted median recomputed by a driver-side sort + cumulative
+        weight rule per group."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.relational import q_wmedian
+
+        sf = "/root/testdata/sf0.001"
+        out = q_wmedian(sf)
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        ev["v4"] = round_half_away(ev["value"].to_numpy() * 1e4).astype("int64")
+        ev["w"] = (ev["event_id"] % 10 + 1).astype("int64")
+        rows = []
+        for et, g in ev.groupby("event_type"):
+            g = g.sort_values(["v4"], kind="stable")
+            cum = g["w"].cumsum().to_numpy()
+            tot = int(cum[-1])
+            v = int(g["v4"].to_numpy()[np.argmax(2 * cum >= tot)])
+            rows.append((et, v, tot))
+        want = (pd.DataFrame(rows, columns=["event_type", "wmedian_v4",
+                                            "w_total"])
+                .astype({"wmedian_v4": "int64", "w_total": "int64"})
+                .sort_values("event_type").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_weights_shift_the_median(self, ray_session):
+        """Planted: a huge weight on a high value must pull the weighted
+        median there even though the unweighted median is low."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines import relational as R
+
+        # weights = event_id % 10 + 1: id 9 -> weight 10 dominates
+        rows = pd.DataFrame({
+            "event_id": [0, 1, 2, 9],
+            "event_type": ["t"] * 4,
+            "value": [1.0, 2.0, 3.0, 100.0],
+        })
+        orig = R._t
+
+        def fake(sf_dir, name, columns=None):
+            return rd.from_arrow(pa.Table.from_pandas(rows)).repartition(2)
+        R._t = fake
+        try:
+            out = R.q_wmedian("unused")
+        finally:
+            R._t = orig
+        # weights 1,2,3,10 (total 16); cum at v=100 reaches 16 >= 8 first
+        # at v=3: cum=6 < 8 -> median v4 = 1000000
+        assert int(out["wmedian_v4"].iloc[0]) == 1000000
+        assert int(out["w_total"].iloc[0]) == 16
