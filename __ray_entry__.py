@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": R.q_target_encode,
         "ntile": R.q_ntile,
         "wmedian": R.q_wmedian,
+        "scd2": R.q_scd2,
+        "dod_growth": R.q_dod_growth,
+        "interarrival_hist": R.q_interarrival_hist,
+        "rfm": R.q_rfm,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -378,6 +382,10 @@ def oracle_sql() -> dict[str, str]:
         "ntile": R.SQL_NTILE,
         "distinctive_terms": T.distinctive_terms_sql(),
         "wmedian": R.SQL_WMEDIAN,
+        "scd2": R.SQL_SCD2,
+        "dod_growth": R.SQL_DOD_GROWTH,
+        "interarrival_hist": R.SQL_INTERARRIVAL_HIST,
+        "rfm": R.SQL_RFM,
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

@@ -4757,8 +4757,6 @@ def q_ntile(sf_dir: str):
         np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])
         .astype(np.int64)))
     offs_ref = ray.put(offs)
-    r, small = n_total % K, n_total // K
-    big = small + 1
 
     def tile_bin(g: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(offs_ref)[int(g["bin"].iloc[0])]
@@ -4767,12 +4765,8 @@ def q_ntile(sf_dir: str):
         order = np.lexsort((eid, v))
         rn = np.empty(len(v), dtype=np.int64)
         rn[order] = off + np.arange(len(v), dtype=np.int64) + 1
-        # SQL NTILE split: first r tiles hold `big` rows, the rest `small`
-        cut = r * big
-        tile = np.where(rn <= cut, (rn - 1) // big + 1,
-                        r + (rn - cut - 1) // max(small, 1) + 1)
         return pd.DataFrame({"event_id": eid, "v4": v,
-                             "tile": tile.astype(np.int64)})
+                             "tile": _ntile_of(rn, n_total, K)})
 
     out = (binned.groupby("bin").map_groups(tile_bin, batch_format="pandas")
            .to_pandas())
@@ -4893,4 +4887,276 @@ SQL_WMEDIAN = (
     "SELECT event_type, CAST(MIN(CASE WHEN 2 * cum >= tot THEN v4 END) "
     "AS BIGINT) AS wmedian_v4, CAST(MAX(tot) AS BIGINT) AS w_total "
     "FROM c GROUP BY 1"
+)
+
+
+def q_scd2(sf_dir: str):
+    """SCD TYPE-2 INTERVAL BUILD (the warehouse dimension-versioning
+    operator: a keyed changelog becomes validity intervals
+    [valid_from, valid_to) with an is_current flag — reference analog: the
+    catalog's item-version snapshots).  Per user, each event opens a
+    version closed by the user's next event; the open tail gets the -1
+    sentinel (SQL COALESCE twin).
+
+    Scale shape: ONE user-bucketed shuffle (`user_id % 64`), per-bucket
+    vectorized groupby-shift (the od_matrix LEAD discipline) — no row
+    loops, no window over the corpus.  All int64 (epoch-us), hash-exact
+    vs the LEAD twin."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts_us": pa.array(ts_us),
+                         "ub": pa.array(uid % 64)})
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        nxt = g.groupby("user_id", sort=False)["ts_us"].shift(-1)
+        out = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "valid_from_us": g["ts_us"].to_numpy(np.int64),
+            "valid_to_us": nxt.fillna(-1).to_numpy(np.int64),
+        })
+        out["is_current"] = (out["valid_to_us"] == -1).astype(np.int64)
+        return out
+
+    out = (ds.map_batches(add_cols, batch_format="pyarrow")
+           .groupby("ub").map_groups(intervals, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("event_id", kind="stable")
+            .reset_index(drop=True)
+            [["user_id", "event_id", "valid_from_us", "valid_to_us",
+              "is_current"]])
+
+
+SQL_SCD2 = (
+    "SELECT user_id, event_id, "
+    "CAST(epoch_us(ts) AS BIGINT) AS valid_from_us, "
+    "COALESCE(LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS valid_to_us, "
+    "CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "IS NULL THEN 1 ELSE 0 END AS is_current "
+    "FROM events"
+)
+
+
+def q_dod_growth(sf_dir: str):
+    """DAY-OVER-DAY GROWTH per series (the reporting rollup every events
+    warehouse ships: daily count + e4 value sum per type, with
+    previous-day deltas and the growth ratio): only days with a
+    predecessor emit (no NULL semantics to mirror).
+
+    Scale shape: the corpus reduces in ONE pass to a (type x day)
+    aggregate — date-domain-bounded like `new_users_daily` — and the LAG
+    runs as a vectorized shift over that tiny frame on the driver.
+    Counts/sums integer; the growth ratio is a single matched IEEE
+    divide."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        e4 = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 1e4).astype(np.int64)
+        g = (pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "day": pc.strftime(t["ts"], format="%Y-%m-%d")
+                           .to_pandas(), "e4": e4})
+             .groupby(["event_type", "day"], sort=False)["e4"]
+             .agg(["size", "sum"]).reset_index())
+        return pa.table({"event_type": pa.array(g["event_type"], pa.string()),
+                         "day": pa.array(g["day"], pa.string()),
+                         "n": pa.array(g["size"].to_numpy(np.int64)),
+                         "s_e4": pa.array(g["sum"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(_Sum("n", alias_name="n"),
+                      _Sum("s_e4", alias_name="s_e4"))
+           .to_pandas())         # (types x days) rows — date-domain bounded
+    agg = agg.sort_values(["event_type", "day"]).reset_index(drop=True)
+    for c in ("n", "s_e4"):
+        agg[c] = agg[c].astype("int64")
+    by = agg.groupby("event_type", sort=False)
+    agg["n_prev"] = by["n"].shift(1)
+    agg["s_prev"] = by["s_e4"].shift(1)
+    agg = agg[agg["n_prev"].notna()].copy()
+    agg["n_prev"] = agg["n_prev"].astype("int64")
+    agg["d_n"] = (agg["n"] - agg["n_prev"]).astype("int64")
+    agg["d_s_e4"] = (agg["s_e4"] - agg["s_prev"].astype("int64")).astype("int64")
+    agg["growth"] = agg["n"].to_numpy(np.float64) \
+        / agg["n_prev"].to_numpy(np.float64)
+    return (agg[["event_type", "day", "n", "n_prev", "d_n", "d_s_e4",
+                 "growth"]].reset_index(drop=True))
+
+
+SQL_DOD_GROWTH = (
+    "WITH m AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS BIGINT) AS s_e4 "
+    "FROM events GROUP BY 1, 2), "
+    "w AS (SELECT event_type, day, n, s_e4, "
+    "LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS n_prev, "
+    "LAG(s_e4) OVER (PARTITION BY event_type ORDER BY day) AS s_prev "
+    "FROM m) "
+    "SELECT event_type, day, n, n_prev, n - n_prev AS d_n, "
+    "s_e4 - s_prev AS d_s_e4, "
+    "CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE) AS growth "
+    "FROM w WHERE n_prev IS NOT NULL"
+)
+
+
+def q_interarrival_hist(sf_dir: str):
+    """INTER-ARRIVAL-TIME HISTOGRAM per series (the traffic-modeling /
+    burstiness profile of an event stream): gaps between a user's
+    consecutive events of the same type, bucketed in 10-minute steps
+    capped at 24 h (integer-pure — no float log buckets), counted per
+    (event_type, bucket).
+
+    Scale shape: ONE user-bucketed shuffle colocates each (user, type)
+    series; gaps come from a vectorized two-level groupby-shift; each
+    reducer emits value_counts PARTIALS bounded by types x 145 buckets,
+    and the final groupby folds those tiny rows.  Hash-exact vs the LAG
+    twin."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts_us": pa.array(ts_us),
+                         "ub": pa.array(uid % 64)})
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                          kind="stable")
+        prev = g.groupby(["user_id", "event_type"], sort=False)["ts_us"].shift(1)
+        m = prev.notna()
+        if not m.any():
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        gap_s = ((g.loc[m, "ts_us"].to_numpy(np.int64)
+                  - prev[m].to_numpy(np.int64)) // 1_000_000)
+        bucket = np.minimum(gap_s // 600, 144)
+        p = (pd.DataFrame({"event_type": g.loc[m, "event_type"].to_numpy(),
+                           "bucket": bucket})
+             .value_counts(["event_type", "bucket"]).reset_index(name="n"))
+        return p.astype({"bucket": "int64", "n": "int64"})
+
+    out = (ds.map_batches(add_cols, batch_format="pyarrow")
+           .groupby("ub").map_groups(gaps, batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby(["event_type", "bucket"])
+           .aggregate(_Sum("n", alias_name="n"))
+           .to_pandas())
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["event_type", "bucket"], kind="stable")
+            .reset_index(drop=True))
+
+
+SQL_INTERARRIVAL_HIST = (
+    "WITH w AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+    "LAG(CAST(epoch_us(ts) AS BIGINT)) OVER "
+    "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us "
+    "FROM events) "
+    "SELECT event_type, "
+    "LEAST((ts_us - prev_us) // 1000000 // 600, 144) AS bucket, "
+    "COUNT(*) AS n FROM w WHERE prev_us IS NOT NULL GROUP BY 1, 2"
+)
+
+
+def _ntile_of(rn: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE bucket from 1-based row numbers (first n % k tiles get one
+    extra row) — shared by `q_ntile` (distributed) and `q_rfm` (driver fold
+    over the customer dimension)."""
+    r, small = n % k, n // k
+    big = small + 1
+    cut = r * big
+    return np.where(rn <= cut, (rn - 1) // big + 1,
+                    r + (rn - cut - 1) // max(small, 1) + 1).astype(np.int64)
+
+
+def q_rfm(sf_dir: str):
+    """RFM SEGMENTATION (the classic customer-value model: Recency /
+    Frequency / Monetary quintiles combined into a 3-digit segment code)
+    over orders.
+
+    Scale shape: the corpus reduces in ONE pass to a per-customer
+    (last_order_day, n_orders, cents) aggregate — the only corpus-sized
+    shuffle; the three quintile assignments then run as vectorized
+    NTILE folds over the customer DIMENSION on the driver (bounded by
+    customers, not orders; above driver scale the same assignment runs
+    through `q_ntile`'s distributed bin+offset discipline, same rule via
+    the shared `_ntile_of`).  All keys integer; ties break exactly like
+    the SQL twin's ORDER BY (metric, customer)."""
+    from ray.data.aggregate import Count as _Count, Max as _Max, Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        day = (pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "day_i": pa.array(day),
+                         "cents": pa.array(cents)})
+
+    cust = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(_Max("day_i", alias_name="last_day"),
+                       _Count(alias_name="n_orders"),
+                       _Sum("cents", alias_name="cents"))
+            .to_pandas())        # customer DIMENSION — driver-bounded
+    for c in cust.columns:
+        cust[c] = cust[c].astype("int64")
+    n, k = len(cust), 5
+    ck = cust["o_custkey"].to_numpy(np.int64)
+
+    def tile(metric: np.ndarray, desc: bool) -> np.ndarray:
+        order = np.lexsort((ck, -metric if desc else metric))
+        rn = np.empty(n, dtype=np.int64)
+        rn[order] = np.arange(n, dtype=np.int64) + 1
+        return _ntile_of(rn, n, k)
+
+    # R: more recent (larger last_day) = better = tile 1 -> rank DESC
+    cust["r"] = tile(cust["last_day"].to_numpy(np.int64), desc=True)
+    cust["f"] = tile(cust["n_orders"].to_numpy(np.int64), desc=True)
+    cust["m"] = tile(cust["cents"].to_numpy(np.int64), desc=True)
+    cust["segment"] = (cust["r"] * 100 + cust["f"] * 10 + cust["m"]).astype("int64")
+    out = cust[["o_custkey", "last_day", "n_orders", "cents", "r", "f", "m",
+                "segment"]]
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_RFM = (
+    "WITH c AS (SELECT o_custkey, "
+    "MAX(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000) AS last_day, "
+    "COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
+    "AS cents FROM orders GROUP BY 1), "
+    "t AS (SELECT o_custkey, last_day, n_orders, cents, "
+    "CAST(NTILE(5) OVER (ORDER BY last_day DESC, o_custkey) AS BIGINT) AS r, "
+    "CAST(NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS f, "
+    "CAST(NTILE(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS m "
+    "FROM c) "
+    "SELECT o_custkey, last_day, n_orders, cents, r, f, m, "
+    "r * 100 + f * 10 + m AS segment FROM t"
 )

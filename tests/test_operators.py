@@ -3705,3 +3705,146 @@ class TestWmedian:
         # at v=3: cum=6 < 8 -> median v4 = 1000000
         assert int(out["wmedian_v4"].iloc[0]) == 1000000
         assert int(out["w_total"].iloc[0]) == 16
+
+
+class TestScd2:
+    def test_matches_pandas_lead(self, ray_session):
+        """Intervals recomputed with a driver-side per-user shift."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_scd2
+
+        sf = "/root/testdata/sf0.001"
+        out = q_scd2(sf)
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_id", "user_id", "ts"]).to_pandas()
+        ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        nxt = ev.groupby("user_id")["ts_us"].shift(-1)
+        want = pd.DataFrame({
+            "user_id": ev["user_id"].astype("int64"),
+            "event_id": ev["event_id"].astype("int64"),
+            "valid_from_us": ev["ts_us"].astype("int64"),
+            "valid_to_us": nxt.fillna(-1).astype("int64"),
+        })
+        want["is_current"] = (want["valid_to_us"] == -1).astype("int64")
+        want = want.sort_values("event_id", kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, want)
+        # interval invariants: per user exactly one open interval, and
+        # closed intervals chain contiguously
+        cur = out.groupby("user_id")["is_current"].sum()
+        assert (cur == 1).all()
+        for _, g in list(out.groupby("user_id"))[:20]:
+            g = g.sort_values("valid_from_us")
+            closed = g[g["valid_to_us"] != -1]
+            nxt_from = g["valid_from_us"].shift(-1).dropna()
+            assert (closed["valid_to_us"].to_numpy()
+                    == nxt_from.to_numpy()).all()
+
+
+class TestDodGrowth:
+    def test_matches_pandas_lag(self, ray_session):
+        """Daily rollup + LAG recomputed driver-side; nonvacuous (the
+        fixture spans 30 days)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.relational import q_dod_growth
+
+        sf = "/root/testdata/sf0.001"
+        out = q_dod_growth(sf)
+        assert len(out) > 0
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+        ev["e4"] = round_half_away(ev["value"].to_numpy() * 1e4).astype("int64")
+        m = (ev.groupby(["event_type", "day"])["e4"]
+             .agg(n="size", s_e4="sum").reset_index()
+             .sort_values(["event_type", "day"]).reset_index(drop=True))
+        by = m.groupby("event_type")
+        m["n_prev"] = by["n"].shift(1)
+        m["s_prev"] = by["s_e4"].shift(1)
+        m = m[m["n_prev"].notna()].copy()
+        m["n_prev"] = m["n_prev"].astype("int64")
+        m["d_n"] = (m["n"] - m["n_prev"]).astype("int64")
+        m["d_s_e4"] = (m["s_e4"] - m["s_prev"].astype("int64")).astype("int64")
+        m["growth"] = m["n"].to_numpy(np.float64) / m["n_prev"].to_numpy(np.float64)
+        want = (m[["event_type", "day", "n", "n_prev", "d_n", "d_s_e4",
+                   "growth"]].reset_index(drop=True)
+                .astype({"n": "int64"}))
+        pd.testing.assert_frame_equal(out, want)
+
+
+class TestInterarrivalHist:
+    def test_matches_pandas_lag(self, ray_session):
+        """Gap histogram recomputed with a driver-side two-level shift."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_interarrival_hist)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_interarrival_hist(sf)
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        ev = ev.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                            kind="stable")
+        prev = ev.groupby(["user_id", "event_type"])["ts_us"].shift(1)
+        m = prev.notna()
+        gap_s = (ev.loc[m, "ts_us"].to_numpy("int64")
+                 - prev[m].to_numpy("int64")) // 1_000_000
+        want = (pd.DataFrame({
+            "event_type": ev.loc[m, "event_type"].to_numpy(),
+            "bucket": np.minimum(gap_s // 600, 144)})
+            .value_counts(["event_type", "bucket"]).reset_index(name="n")
+            .astype({"bucket": "int64", "n": "int64"})
+            .sort_values(["event_type", "bucket"], kind="stable")
+            .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        assert int(out["n"].sum()) == int(m.sum())
+
+
+class TestRfm:
+    def test_matches_pandas_ntile(self, ray_session):
+        """RFM quintiles recomputed with driver-side sorts + the shared
+        NTILE rule; segment-code invariants pinned."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.relational import (
+            _ntile_of, q_rfm)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_rfm(sf)
+        od = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+        od["day_i"] = (od["o_orderdate"].astype("datetime64[us]")
+                       .astype("int64") // 86_400_000_000)
+        od["cents"] = round_half_away(
+            od["o_totalprice"].to_numpy() * 100.0).astype("int64")
+        c = (od.groupby("o_custkey")
+             .agg(last_day=("day_i", "max"), n_orders=("day_i", "size"),
+                  cents=("cents", "sum")).reset_index())
+        n = len(c)
+        ck = c["o_custkey"].to_numpy(np.int64)
+
+        def tile(metric):
+            order = np.lexsort((ck, -metric))
+            rn = np.empty(n, dtype=np.int64)
+            rn[order] = np.arange(n, dtype=np.int64) + 1
+            return _ntile_of(rn, n, 5)
+
+        c["r"] = tile(c["last_day"].to_numpy(np.int64))
+        c["f"] = tile(c["n_orders"].to_numpy(np.int64))
+        c["m"] = tile(c["cents"].to_numpy(np.int64))
+        c["segment"] = c["r"] * 100 + c["f"] * 10 + c["m"]
+        want = (c.astype({col: "int64" for col in c.columns})
+                .sort_values("o_custkey").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        assert out["r"].between(1, 5).all()
+        assert out["segment"].between(111, 555).all()
