@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dod_growth": R.q_dod_growth,
         "interarrival_hist": R.q_interarrival_hist,
         "rfm": R.q_rfm,
+        "kmv_setops": R.q_kmv_setops,
+        "bigram_pmi": T.q_bigram_pmi,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -386,6 +388,8 @@ def oracle_sql() -> dict[str, str]:
         "dod_growth": R.SQL_DOD_GROWTH,
         "interarrival_hist": R.SQL_INTERARRIVAL_HIST,
         "rfm": R.SQL_RFM,
+        "kmv_setops": R.kmv_setops_sql(),
+        "bigram_pmi": T.bigram_pmi_sql(),
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,
         "cell_index": f"WITH pts AS ({_PTS}) SELECT event_id, {_CELL6} AS cell FROM pts",

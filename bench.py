@@ -86,6 +86,11 @@ QUERY_NAMES = [
     "cell_mosaic",
     "retention",
     "od_matrix",
+    # round-5 second-wave operators (lof = exact self-kNN + 3 passes over
+    # the pair table, the heaviest; ohlc/morans_i = partial-agg shapes)
+    "lof",
+    "ohlc",
+    "morans_i",
 ]
 
 

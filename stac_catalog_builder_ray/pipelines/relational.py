@@ -5160,3 +5160,109 @@ SQL_RFM = (
     "SELECT o_custkey, last_day, n_orders, cents, r, f, m, "
     "r * 100 + f * 10 + m AS segment FROM t"
 )
+
+
+def q_kmv_setops(sf_dir: str):
+    """KMV SKETCH SET OPERATIONS (the theta-sketch workflow of audience
+    analytics: distinct users of slice A, slice B, their UNION and their
+    INTERSECTION — all from mergeable bounded sketches, never the id
+    universe).  Slices: users active in the first half of the month (day
+    <= 15) vs the second half.
+
+    Scale shape: one corpus pass emits per-batch per-slice KMV partials
+    (<= K int64s each); one tiny groupby merges per slice; the driver
+    folds two 256-int sketches — union sketch = K smallest of the merged
+    sketches (the KMV closure property), intersection via the standard
+    rho * est_union estimator with the exact-below-K branch.  Everything
+    integer and DETERMINISTIC (same two-round Mersenne hash as
+    `q_distinct_sketch`), so the DuckDB twin reproduces the sketches —
+    and therefore every estimate — bit-for-bit."""
+    from ray.data.aggregate import Min as _Min  # noqa: F401
+
+    K = 256
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.day(t["ts"]).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_s, out_h = [], []
+        for sl, mask in (("a", day <= 15), ("b", day > 15)):
+            if mask.any():
+                hv = kmv_partial(uid[mask], K)
+                out_s.extend([sl] * len(hv))
+                out_h.append(hv)
+        if not out_h:
+            return pa.table({"slice": pa.array([], pa.string()),
+                             "hv": pa.array([], pa.int64())})
+        return pa.table({"slice": pa.array(out_s, pa.string()),
+                         "hv": pa.array(np.concatenate(out_h))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        mins = np.unique(g["hv"].to_numpy())[:K]
+        return pd.DataFrame({"slice": [g["slice"].iloc[0]] * len(mins),
+                             "hv": mins})
+
+    sk = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("slice").map_groups(merge, batch_format="pandas")
+          .to_pandas())          # <= 2K rows by construction
+    sa = np.sort(sk.loc[sk["slice"] == "a", "hv"].to_numpy(np.int64))
+    sb = np.sort(sk.loc[sk["slice"] == "b", "hv"].to_numpy(np.int64))
+    est_a = kmv_estimate(sa, K)
+    est_b = kmv_estimate(sb, K)
+    un = np.unique(np.concatenate([sa, sb]))[:K]
+    est_u = kmv_estimate(un, K)
+    both = np.intersect1d(sa, sb)
+    n_common = int(np.isin(un, both).sum())
+    est_i = n_common if len(un) < K else n_common * est_u // K
+    return pd.DataFrame({
+        "est_a": pd.Series([est_a], dtype="int64"),
+        "est_b": pd.Series([est_b], dtype="int64"),
+        "est_union": pd.Series([est_u], dtype="int64"),
+        "est_inter": pd.Series([int(est_i)], dtype="int64"),
+        "n_common_sketch": pd.Series([n_common], dtype="int64")})
+
+
+def _kmv_user_sketch_sql(name: str, pred: str, k: int) -> str:
+    """CTE chain computing the top-k KMV sketch of DISTINCT user hashes
+    over ``events WHERE pred`` — mirrors kmv_partial(_kmv_hash(uid), k)."""
+    return (
+        f"{name}0 AS (SELECT DISTINCT (user_id * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h "
+        f"FROM events WHERE {pred}), "
+        f"{name}1 AS (SELECT ((h % 1073741824) * {_KMV_A2}) % {_KMV_P} AS t1, "
+        f"((h // 1073741824) * {_KMV_A2}) % {_KMV_P} AS tt FROM {name}0), "
+        f"{name}2 AS (SELECT DISTINCT (t1 + ((tt % 2147483648) * 1073741824 "
+        f"+ tt // 2147483648) % {_KMV_P}) % {_KMV_P} AS hv FROM {name}1), "
+        f"{name}r AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM {name}2), "
+        f"{name} AS (SELECT hv, rn FROM {name}r WHERE rn <= {k})"
+    )
+
+
+def kmv_setops_sql() -> str:
+    K = 256
+
+    def est(name: str) -> str:
+        return (
+            f"CASE WHEN (SELECT COUNT(*) FROM {name}) < {K} "
+            f"THEN (SELECT COUNT(*) FROM {name}) "
+            f"ELSE ({K - 1} * CAST({_KMV_P} AS HUGEINT)) "
+            f"// (SELECT hv FROM {name} WHERE rn = {K}) END"
+        )
+
+    return (
+        "WITH "
+        + _kmv_user_sketch_sql("sa", "day(ts) <= 15", K) + ", "
+        + _kmv_user_sketch_sql("sb", "day(ts) > 15", K) + ", "
+        "u0 AS (SELECT hv FROM sa UNION SELECT hv FROM sb), "
+        "ru AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM u0), "
+        f"su AS (SELECT hv, rn FROM ru WHERE rn <= {K}), "
+        "nc AS (SELECT COUNT(*) AS n_common FROM su "
+        "WHERE hv IN (SELECT hv FROM sa) AND hv IN (SELECT hv FROM sb)) "
+        f"SELECT CAST({est('sa')} AS BIGINT) AS est_a, "
+        f"CAST({est('sb')} AS BIGINT) AS est_b, "
+        f"CAST({est('su')} AS BIGINT) AS est_union, "
+        f"CAST(CASE WHEN (SELECT COUNT(*) FROM su) < {K} "
+        f"THEN (SELECT n_common FROM nc) "
+        f"ELSE ((SELECT n_common FROM nc) * {est('su')}) // {K} END AS BIGINT) "
+        "AS est_inter, "
+        "(SELECT n_common FROM nc) AS n_common_sketch"
+    )

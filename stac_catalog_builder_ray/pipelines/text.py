@@ -2423,3 +2423,112 @@ def distinctive_terms_sql() -> str:
         "FROM f CROSS JOIN tot "
         f"WHERE f.tf_a >= {DISTINCTIVE_MIN_TF}"
     )
+
+
+BIGRAM_PMI_MIN_N = 5
+
+
+def q_bigram_pmi(sf_dir: str):
+    """BIGRAM ASSOCIATION SCORING (collocation mining — the PMI-style
+    lift statistic that finds multi-word expressions for tokenizer /
+    phrase-table construction): for every bigram seen >= 5 times,
+
+        lift_e6 = n_ab * N_uni^2 * 10^6 // (N_bi * n_a * n_b)
+
+    i.e. P(ab) / (P(a)P(b)) as an EXACT integer ratio (log-free, so the
+    DuckDB twin hashes bit-identically).
+
+    Scale shape: one pass builds bigram partials (the `bigram_topk`
+    combiner), one builds unigram partials (`word_freq`); both reduce to
+    vocabulary-bounded tables (Heaps' law).  Unigram counts BROADCAST
+    (ray.put) into the scoring map over the bigram table — the corpus
+    never shuffles, and the python-bignum lift fold only touches the
+    >= 5-count tail of each batch (the product exceeds int64 by design;
+    HUGEINT twin)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        ex = s.str.split().explode().dropna()
+        vc = ex.value_counts()
+        return pa.table({"word": pa.array(vc.index.to_numpy(dtype=object),
+                                          pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        ex = s.str.split().explode().dropna()
+        nxt = ex.groupby(level=0).shift(-1)
+        bg = (ex + " " + nxt).dropna()
+        vc = bg.value_counts()
+        return pa.table({"bigram": pa.array(vc.index.to_numpy(dtype=object),
+                                            pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    uni = (docs.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())          # vocabulary-bounded
+    n_uni = int(uni["n"].sum())
+    lut_ref = ray.put(dict(zip(uni["word"], uni["n"].astype("int64"))))
+
+    bc = (docs.map_batches(bigram_partial, batch_format="pyarrow")
+          .groupby("bigram").aggregate(Sum("n", alias_name="n_ab"))
+          .materialize())
+    n_bi = int(bc.sum("n_ab"))
+
+    def score(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        df = pd.DataFrame({"bigram": t["bigram"].to_pandas(),
+                           "n_ab": t["n_ab"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64)})
+        df = df[df["n_ab"] >= BIGRAM_PMI_MIN_N]
+        if not len(df):
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64()),
+                             "lift_e6": pa.array([], pa.int64())})
+        parts = df["bigram"].str.split(" ", n=1, expand=True)
+        na = parts[0].map(lut).to_numpy(np.int64)
+        nb = parts[1].map(lut).to_numpy(np.int64)
+        # >= 5-count tail only: the N_uni^2 product exceeds int64, so this
+        # small fold runs in python bignum (HUGEINT in the twin)
+        lift = np.fromiter(
+            ((int(ab) * n_uni * n_uni * 10 ** 6) // (n_bi * int(a) * int(b))
+             for ab, a, b in zip(df["n_ab"], na, nb)),
+            dtype=np.int64, count=len(df))
+        return pa.table({"bigram": pa.array(df["bigram"], pa.string()),
+                         "n_ab": pa.array(df["n_ab"].to_numpy(np.int64)),
+                         "n_a": pa.array(na), "n_b": pa.array(nb),
+                         "lift_e6": pa.array(lift)})
+
+    out = bc.map_batches(score, batch_format="pyarrow").to_pandas()
+    for c in ("n_ab", "n_a", "n_b", "lift_e6"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bigram", kind="stable").reset_index(drop=True)
+
+
+def bigram_pmi_sql() -> str:
+    return (
+        "WITH t AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w "
+        "FROM documents WHERE trim(text) <> ''), "
+        "uni AS (SELECT unnest(w) AS word FROM t), "
+        "uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY 1), "
+        "nu AS (SELECT CAST(SUM(n) AS BIGINT) AS n_uni FROM uc), "
+        "b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1), "
+        "i -> w[i] || ' ' || w[i + 1])) AS bigram FROM t), "
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM b), "
+        "bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab FROM b "
+        f"GROUP BY 1 HAVING COUNT(*) >= {BIGRAM_PMI_MIN_N}), "
+        "s AS (SELECT bigram, n_ab, split_part(bigram, ' ', 1) AS wa, "
+        "split_part(bigram, ' ', 2) AS wb FROM bc) "
+        "SELECT s.bigram, s.n_ab, ua.n AS n_a, ub.n AS n_b, "
+        "CAST((CAST(s.n_ab AS HUGEINT) * nu.n_uni * nu.n_uni * 1000000) "
+        "// (CAST(nb.n_bi AS HUGEINT) * ua.n * ub.n) AS BIGINT) AS lift_e6 "
+        "FROM s JOIN uc ua ON ua.word = s.wa JOIN uc ub ON ub.word = s.wb "
+        "CROSS JOIN nu CROSS JOIN nb"
+    )

@@ -3848,3 +3848,108 @@ class TestRfm:
         pd.testing.assert_frame_equal(out, want)
         assert out["r"].between(1, 5).all()
         assert out["segment"].between(111, 555).all()
+
+
+class TestKmvSetops:
+    def test_saturated_branch_matches_duckdb(self, ray_session, tmp_path):
+        """The testdata slices hold < 256 users (exact branch); plant a
+        5000-user month so BOTH slices saturate, then check engine vs the
+        SQL twin bit-for-bit AND the estimate against the true counts."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            kmv_setops_sql, q_kmv_setops)
+
+        rng = np.random.RandomState(17)
+        n = 20000
+        users = rng.randint(0, 5000, n).astype(np.int64)
+        days = rng.randint(1, 31, n)
+        ts = (pd.Timestamp("2024-01-01").value // 1000
+              + (days - 1) * 86_400_000_000
+              + rng.randint(0, 86_400_000_000, n))
+        ev = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users),
+            "event_type": pa.array(["t"] * n),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(ev, str(d / "events.parquet"))
+        out = q_kmv_setops(str(d))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{d}/events.parquet')")
+        want = con.execute(kmv_setops_sql()).df()
+        for c in out.columns:
+            assert int(out[c].iloc[0]) == int(want[c].iloc[0]), c
+        # saturated: both slices exceed K
+        df = ev.to_pandas()
+        df["day"] = df["ts"].dt.day
+        true_a = df.loc[df["day"] <= 15, "user_id"].nunique()
+        true_u = df["user_id"].nunique()
+        assert true_a > 256
+        assert abs(int(out["est_a"].iloc[0]) - true_a) / true_a < 0.2
+        assert abs(int(out["est_union"].iloc[0]) - true_u) / true_u < 0.2
+
+    def test_exact_below_k(self, ray_session):
+        """Unsaturated slices (the sf0.001 fixture) return EXACT distinct
+        counts and exact intersection."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import q_kmv_setops
+
+        sf = "/root/testdata/sf0.001"
+        out = q_kmv_setops(sf)
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["day"] = ev["ts"].dt.day
+        a = set(ev.loc[ev["day"] <= 15, "user_id"])
+        b = set(ev.loc[ev["day"] > 15, "user_id"])
+        assert int(out["est_a"].iloc[0]) == len(a)
+        assert int(out["est_b"].iloc[0]) == len(b)
+        assert int(out["est_union"].iloc[0]) == len(a | b)
+        assert int(out["est_inter"].iloc[0]) == len(a & b)
+
+
+class TestBigramPmi:
+    def test_matches_pandas_recompute(self, ray_session):
+        """Lift recomputed with a driver-side explode + bignum ratio."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import (
+            BIGRAM_PMI_MIN_N, q_bigram_pmi)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_bigram_pmi(sf)
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["text"]).to_pandas()
+        s = docs["text"].fillna("").str.lower().str.strip()
+        ex = s.str.split().explode().dropna()
+        uni = ex.value_counts()
+        n_uni = int(uni.sum())
+        nxt = ex.groupby(level=0).shift(-1)
+        bg = (ex + " " + nxt).dropna()
+        bc = bg.value_counts()
+        n_bi = int(bc.sum())
+        bc = bc[bc >= BIGRAM_PMI_MIN_N]
+        rows = []
+        for bgm, nab in bc.items():
+            wa, wb = bgm.split(" ", 1)
+            na, nb = int(uni[wa]), int(uni[wb])
+            lift = (int(nab) * n_uni * n_uni * 10 ** 6) // (n_bi * na * nb)
+            rows.append((bgm, int(nab), na, nb, lift))
+        want = (pd.DataFrame(rows, columns=["bigram", "n_ab", "n_a", "n_b",
+                                            "lift_e6"])
+                .astype({c: "int64" for c in ("n_ab", "n_a", "n_b", "lift_e6")})
+                .sort_values("bigram", kind="stable").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        # collocations exist: some bigram must be over-represented
+        assert (out["lift_e6"] > 1_000_000).any()
