@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm": R.q_rfm,
         "kmv_setops": R.q_kmv_setops,
         "bigram_pmi": T.q_bigram_pmi,
+        "embed_pca": T.q_embed_pca,
         # geospatial (north rule)
         "cell_index": G.q_cell_index,
         "pip_join": G.q_pip_join,
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": G.q_od_matrix,
         "morans_i": G.q_morans_i,
         "zorder_index": G.q_zorder_index,
+        "zrange_query": G.q_zrange_query,
         "blob_count": G.q_blob_count,
         "lof": G.q_lof,
         "distinctive_terms": T.q_distinctive_terms,
@@ -463,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix": G.od_matrix_sql(),
         "morans_i": G.morans_i_sql(),
         "zorder_index": G.zorder_index_sql(),
+        "zrange_query": G.zrange_query_sql(),
         "token_count": T.SQL_TOKEN_COUNT,
         "quality_score": T.SQL_QUALITY_SCORE,
         "dedup_exact_text": T.SQL_DEDUP_EXACT,

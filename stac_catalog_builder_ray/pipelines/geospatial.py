@@ -2652,3 +2652,113 @@ def q_lof(sf_dir: str):
                          "lon": pa.array(lon), "lat": pa.array(lat)})
 
     return lof_scores(ds.map_batches(pts_fn, batch_format="pyarrow"))
+
+
+# cell-aligned query box for the z-range scan (res-8 cell units, half-open)
+ZQ_X0, ZQ_X1 = 37, 201
+ZQ_Y0, ZQ_Y1 = 93, 160
+
+
+def zrange_decompose(x0: int, x1: int, y0: int, y1: int,
+                     bits: int) -> list:
+    """Quadtree decomposition of a half-open cell-aligned box into DISJOINT
+    SORTED z-code intervals [lo, hi) — the query-planning half of Z-order
+    indexing (the zorder_index operator is the layout half): a quadrant
+    fully inside the box emits one interval covering its whole subtree;
+    partial overlaps recurse; leaf cells emit unit intervals.  Adjacent
+    intervals merge, so range count stays O(perimeter)."""
+
+    out = []
+
+
+    def rec(qx: int, qy: int, level: int, prefix: int):
+        size = 1 << (bits - level)
+        cx0, cy0 = qx * size, qy * size
+        cx1, cy1 = cx0 + size, cy0 + size
+        if cx1 <= x0 or cx0 >= x1 or cy1 <= y0 or cy0 >= y1:
+            return
+        if x0 <= cx0 and cx1 <= x1 and y0 <= cy0 and cy1 <= y1:
+            span = 1 << (2 * (bits - level))
+            out.append((prefix * span, (prefix + 1) * span))
+            return
+        for code in range(4):
+            dx, dy = code >> 1, code & 1
+            rec(qx * 2 + dx, qy * 2 + dy, level + 1, prefix * 4 + code)
+
+    rec(0, 0, 0, 0)
+    out.sort()
+    merged = []
+    for lo, hi in out:
+        if merged and merged[-1][1] == lo:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
+
+
+def q_zrange_query(sf_dir: str):
+    """Z-ORDER RANGE-SCAN QUERY (the read path of the Morton index: answer
+    a spatial bbox query by scanning ONLY covering z-code intervals —
+    never comparing lon/lat): events whose res-8 cell falls in the
+    cell-aligned box x in [37, 201), y in [93, 160).
+
+    The driver decomposes the box into disjoint z-intervals (quadtree,
+    O(perimeter) ranges); each batch then answers membership with ONE
+    vectorized searchsorted against the broadcast interval starts — this
+    is exactly how a 100 TB z-partitioned table would prune row groups by
+    footer z-ranges and scan the survivors.  The DuckDB twin answers the
+    same query geometrically (half-open lon/lat BETWEEN on the aligned
+    edges), so a hash match PROVES the decomposition + scan equal the
+    geometric truth."""
+    from ..geo.cell import XY_BITS, XY_MASK
+
+    ranges = zrange_decompose(ZQ_X0, ZQ_X1, ZQ_Y0, ZQ_Y1, ZORDER_RES)
+    los = np.array([r[0] for r in ranges], dtype=np.int64)
+    his = np.array([r[1] for r in ranges], dtype=np.int64)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        cell = cell_encode(lon, lat, ZORDER_RES)
+        x = (cell >> XY_BITS) & XY_MASK
+        y = cell & XY_MASK
+        z = _morton_interleave(x, y, ZORDER_RES)
+        # interval membership: one searchsorted over the range starts
+        pos = np.searchsorted(los, z, side="right") - 1
+        ok = (pos >= 0) & (z < his[np.clip(pos, 0, len(his) - 1)])
+        return pa.table({"event_id": pa.array(eid[ok]),
+                         "z": pa.array(z[ok])})
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["z"] = out["z"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def zrange_query_sql() -> str:
+    from ..geo.cell import XY_BITS, XY_MASK
+
+    lon, lat = lonlat_sql("event_id")
+    cell = cell_encode_sql(lon, lat, ZORDER_RES)
+    zterms = " + ".join(
+        f"(((x >> {k}) & 1) * {1 << (2 * k + 1)}) + "
+        f"(((y >> {k}) & 1) * {1 << (2 * k)})"
+        for k in range(ZORDER_RES))
+    w = -180.0 + ZQ_X0 * (360.0 / 256.0)
+    e = -180.0 + ZQ_X1 * (360.0 / 256.0)
+    s = -90.0 + ZQ_Y0 * (180.0 / 256.0)
+    n = -90.0 + ZQ_Y1 * (180.0 / 256.0)
+    return (
+        f"WITH p AS (SELECT event_id, {lon} AS plon, {lat} AS plat "
+        "FROM events), "
+        f"q AS (SELECT event_id FROM p WHERE plon >= {w} AND plon < {e} "
+        f"AND plat >= {s} AND plat < {n}), "
+        f"c AS (SELECT event_id, {cell} AS cell FROM events), "
+        f"d AS (SELECT event_id, (cell >> {XY_BITS}) & {XY_MASK} AS x, "
+        f"cell & {XY_MASK} AS y FROM c) "
+        f"SELECT q.event_id, ({zterms}) AS z FROM q JOIN d USING (event_id)"
+    )

@@ -2532,3 +2532,81 @@ def bigram_pmi_sql() -> str:
         "FROM s JOIN uc ua ON ua.word = s.wa JOIN uc ub ON ub.word = s.wb "
         "CROSS JOIN nu CROSS JOIN nb"
     )
+
+
+def q_embed_pca(sf_dir: str):
+    """EMBEDDING PCA PROJECTION (the dimensionality-reduction prep of
+    vector-corpus curation: project every embedding onto the top-2
+    principal axes of the corpus) — rows-only (eigendecomposition is not
+    SQL-expressible); independent numpy oracle in
+    tests/test_operators.py::TestEmbedPca.
+
+    Scale shape: the covariance comes EXACTLY from the `q_embed_cov`
+    integer Gram pass (one matmul per batch, d^2 partial rows — vectors
+    never shuffle); the d x d eigenproblem solves on the DRIVER (constant
+    work); the projection is one more stateless map pass with the
+    centered eigenbasis BROADCAST.  Deterministic sign convention: each
+    axis is flipped so its largest-|coefficient| component is positive
+    (eigh is sign-ambiguous; retries/cluster sizes must agree)."""
+    import numpy as np
+    import ray
+
+    gram = q_embed_cov(sf_dir)           # exact integer upper triangle
+    d = int(gram["i"].max()) + 1
+    n = int(gram["n"].iloc[0])
+    G = np.zeros((d, d), dtype=np.float64)
+    G[gram["i"], gram["j"]] = gram["g_e12"].to_numpy(np.int64)
+    G = G + np.triu(G, 1).T              # symmetrize
+    # dim sums for centering: Gram of q minus n * mean mean^T
+    s = _emb_dim_sums(sf_dir, d)
+    mean = s / float(n)
+    cov = G / float(n) - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    axes = v[:, ::-1][:, :2]             # top-2 by eigenvalue
+    for j in range(axes.shape[1]):       # deterministic sign
+        k = int(np.argmax(np.abs(axes[:, j])))
+        if axes[k, j] < 0:
+            axes[:, j] = -axes[:, j]
+    axes_ref = ray.put(axes)
+    mean_ref = ray.put(mean)
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        A = ray.get(axes_ref)
+        m = ray.get(mean_ref)
+        V = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = round_half_away(V * 1e6)
+        P = (q - m[None, :]) @ A         # (rows, 2), e6-scaled coords
+        return pa.table({"vec_id": t["vec_id"],
+                         "pc1_e6": pa.array(P[:, 0]),
+                         "pc2_e6": pa.array(P[:, 1])})
+
+    out = emb.map_batches(project, batch_format="pyarrow").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _emb_dim_sums(sf_dir: str, d: int) -> "np.ndarray":
+    """Per-dimension e6 sums (one partial-agg pass, D rows per batch)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        V = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = round_half_away(V * 1e6).astype(np.int64)
+        return pa.table({"dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+                         "s": pa.array(q.sum(axis=0))})
+
+    pdf = (emb.map_batches(partial, batch_format="pyarrow")
+           .groupby("dim").aggregate(Sum("s", alias_name="s")).to_pandas())
+    pdf = pdf.sort_values("dim")
+    out = np.zeros(d, dtype=np.float64)
+    out[pdf["dim"].astype(int)] = pdf["s"].astype("int64").to_numpy()
+    return out

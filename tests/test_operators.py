@@ -3953,3 +3953,42 @@ class TestBigramPmi:
         pd.testing.assert_frame_equal(out, want)
         # collocations exist: some bigram must be over-represented
         assert (out["lift_e6"] > 1_000_000).any()
+
+
+class TestEmbedPca:
+    def test_matches_numpy_pca(self, ray_session):
+        """Projection recomputed with one driver-side numpy PCA over the
+        identical e6 quantization, centering and sign convention."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.text import q_embed_pca
+
+        sf = "/root/testdata/sf0.001"
+        out = q_embed_pca(sf)
+        emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+        V = np.stack(emb["embedding"].to_numpy())
+        q = round_half_away(V.astype(np.float64) * 1e6)
+        n = len(q)
+        mean = q.sum(axis=0) / n
+        G = (q.astype(np.int64).T @ q.astype(np.int64)).astype(np.float64)
+        cov = G / n - np.outer(mean, mean)
+        w, v = np.linalg.eigh(cov)
+        axes = v[:, ::-1][:, :2]
+        for j in range(2):
+            k = int(np.argmax(np.abs(axes[:, j])))
+            if axes[k, j] < 0:
+                axes[:, j] = -axes[:, j]
+        P = (q - mean[None, :]) @ axes
+        want = (pd.DataFrame({"vec_id": emb["vec_id"].astype("int64"),
+                              "pc1_e6": P[:, 0], "pc2_e6": P[:, 1]})
+                .sort_values("vec_id").reset_index(drop=True))
+        got = out.sort_values("vec_id").reset_index(drop=True)
+        assert (got["vec_id"] == want["vec_id"]).all()
+        # same quantization/centering/eig path -> tight tolerance; the
+        # variance captured by pc1 must dominate pc2
+        assert np.allclose(got["pc1_e6"], want["pc1_e6"], rtol=1e-8, atol=1e-3)
+        assert np.allclose(got["pc2_e6"], want["pc2_e6"], rtol=1e-8, atol=1e-3)
+        assert got["pc1_e6"].var() >= got["pc2_e6"].var()

@@ -1291,3 +1291,53 @@ class TestLof:
         assert float(out.loc[60, "lof"]) > 2.0
         inliers = out.drop(60)["lof"]
         assert float(inliers.median()) < 1.3
+
+
+class TestZrangeQuery:
+    def test_decomposition_exact_vs_bruteforce(self):
+        """Quadtree z-interval cover == brute-force cell enumeration on
+        random boxes at three resolutions; intervals disjoint + sorted."""
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            _morton_interleave, zrange_decompose)
+
+        for bits in (4, 6, 8):
+            rng = np.random.RandomState(bits)
+            for _ in range(15):
+                n = 1 << bits
+                x0, x1 = sorted(rng.randint(0, n + 1, 2))
+                y0, y1 = sorted(rng.randint(0, n + 1, 2))
+                if x0 == x1 or y0 == y1:
+                    continue
+                ranges = zrange_decompose(int(x0), int(x1), int(y0),
+                                          int(y1), bits)
+                xs, ys = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+                want = set(_morton_interleave(
+                    xs.ravel().astype(np.int64),
+                    ys.ravel().astype(np.int64), bits).tolist())
+                got = set()
+                for lo, hi in ranges:
+                    got.update(range(lo, hi))
+                assert got == want
+                assert all(ranges[i - 1][1] < ranges[i][0]
+                           for i in range(1, len(ranges)))
+
+    def test_scan_equals_geometric_filter(self, ray_session):
+        """The z-interval scan must select exactly the points a plain
+        lon/lat box filter selects."""
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.geospatial import (
+            ZQ_X0, ZQ_X1, ZQ_Y0, ZQ_Y1, q_zrange_query)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_zrange_query(sf)
+        eid = pq.read_table(f"{sf}/events.parquet", columns=["event_id"]) \
+            .to_pandas()["event_id"].to_numpy(np.int64)
+        lon = (eid % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((eid * 7) % 1800) / 10.0 - 90.0 + 0.05
+        w = -180.0 + ZQ_X0 * (360.0 / 256.0)
+        e = -180.0 + ZQ_X1 * (360.0 / 256.0)
+        s = -90.0 + ZQ_Y0 * (180.0 / 256.0)
+        n = -90.0 + ZQ_Y1 * (180.0 / 256.0)
+        want = np.sort(eid[(lon >= w) & (lon < e) & (lat >= s) & (lat < n)])
+        assert (out["event_id"].to_numpy(np.int64) == want).all()
