@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_hist": R.q_interarrival_hist,
         "rfm": R.q_rfm,
         "kmv_setops": R.q_kmv_setops,
+        "late_arrivals": R.q_late_arrivals,
+        "vocab_growth": T.q_vocab_growth,
         "bigram_pmi": T.q_bigram_pmi,
         "embed_pca": T.q_embed_pca,
         # geospatial (north rule)
@@ -391,6 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "interarrival_hist": R.SQL_INTERARRIVAL_HIST,
         "rfm": R.SQL_RFM,
         "kmv_setops": R.kmv_setops_sql(),
+        "late_arrivals": R.SQL_LATE_ARRIVALS,
+        "vocab_growth": T.vocab_growth_sql(),
         "bigram_pmi": T.bigram_pmi_sql(),
         "run_lengths": R.SQL_RUN_LENGTHS,
         "source_overlap": R.SQL_SOURCE_OVERLAP,

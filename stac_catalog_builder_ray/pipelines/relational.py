@@ -5266,3 +5266,95 @@ def kmv_setops_sql() -> str:
         "AS est_inter, "
         "(SELECT n_common FROM nc) AS n_common_sketch"
     )
+
+
+def q_late_arrivals(sf_dir: str):
+    """LATE-DATA ACCOUNTING (the watermark audit of a streaming ingest:
+    how many rows arrived more than 1 h behind the stream's high-water
+    mark?) — ingest order is event_id order (the deterministic arrival
+    log); the high-water mark is the RUNNING MAX event time over that
+    order, and a row is late when it lags the watermark of the rows
+    before it by over an hour.
+
+    Scale shape: the `q_seq_pack` global-prefix discipline applied to MAX
+    instead of SUM — contiguous event_id ranges partition the log, a tiny
+    per-range (range, max_ts) table prefix-folds on the driver
+    (O(#ranges)), and one more pass combines the broadcast range-prefix
+    watermark with a vectorized within-range running max.  No global
+    sort, no window over the corpus.  Output: per (event_type) the late
+    and on-time counts plus the max lateness — hash-exact vs the window
+    twin."""
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    RANGE = 4096          # event_id span per log segment
+    US_H = 3_600_000_000
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def seg(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": pa.array(eid),
+                         "event_type": t["event_type"],
+                         "ts_us": pa.array(ts_us),
+                         "rng": pa.array(eid // RANGE)})
+
+    segged = ds.map_batches(seg, batch_format="pyarrow").materialize()
+    rmax = (segged.groupby("rng").aggregate(_Max("ts_us", alias_name="mx"))
+            .to_pandas().sort_values("rng").reset_index(drop=True))
+    # driver prefix fold over O(#ranges) rows: watermark BEFORE each range
+    mx = rmax["mx"].astype("int64").to_numpy()
+    # -1 = "no watermark yet" (epoch-us timestamps are positive): the
+    # lateness subtraction stays tiny-negative and clips to 0 — an
+    # int64-min sentinel would UNDERFLOW wm - ts into a huge positive
+    prefix = np.concatenate([[-1], np.maximum.accumulate(mx)[:-1]])
+    pre = dict(zip(rmax["rng"].astype(int), prefix.astype(np.int64)))
+    pre_ref = ray.put(pre)
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")
+        wm_in = np.maximum.accumulate(g["ts_us"].to_numpy(np.int64))
+        # watermark seen BEFORE each row = max(range prefix, running max of
+        # prior rows in this range)
+        base = ray.get(pre_ref)[int(g["rng"].iloc[0])]
+        wm_before = np.concatenate([[base],
+                                    np.maximum(wm_in[:-1], base)])
+        late_us = wm_before - g["ts_us"].to_numpy(np.int64)
+        late = late_us > US_H
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "late": late.astype(np.int64),
+                            "late_us": np.maximum(late_us, 0)})
+        p = (out.groupby("event_type", sort=False)
+             .agg(n_late=("late", "sum"),
+                  n_ontime=("late", lambda s: int((1 - s).sum())),
+                  max_late_us=("late_us", "max")).reset_index())
+        return p.astype({"n_late": "int64", "n_ontime": "int64",
+                         "max_late_us": "int64"})
+
+    out = (segged.groupby("rng").map_groups(flag, batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(_Sum("n_late", alias_name="n_late"),
+                      _Sum("n_ontime", alias_name="n_ontime"),
+                      _Max("max_late_us", alias_name="max_late_us"))
+           .to_pandas())
+    for c in ("n_late", "n_ontime", "max_late_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LATE_ARRIVALS = (
+    "WITH o AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+    "MAX(CAST(epoch_us(ts) AS BIGINT)) OVER (ORDER BY event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM events), "
+    "f AS (SELECT event_type, "
+    "CASE WHEN wm IS NOT NULL AND wm - ts_us > 3600000000 THEN 1 ELSE 0 END "
+    "AS late, "
+    "CASE WHEN wm IS NULL THEN 0 ELSE GREATEST(wm - ts_us, 0) END AS late_us "
+    "FROM o) "
+    "SELECT event_type, CAST(SUM(late) AS BIGINT) AS n_late, "
+    "CAST(SUM(1 - late) AS BIGINT) AS n_ontime, "
+    "CAST(MAX(late_us) AS BIGINT) AS max_late_us "
+    "FROM f GROUP BY 1"
+)

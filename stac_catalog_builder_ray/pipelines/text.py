@@ -2610,3 +2610,69 @@ def _emb_dim_sums(sf_dir: str, d: int) -> "np.ndarray":
     out = np.zeros(d, dtype=np.float64)
     out[pdf["dim"].astype(int)] = pdf["s"].astype("int64").to_numpy()
     return out
+
+
+def q_vocab_growth(sf_dir: str):
+    """VOCABULARY GROWTH CURVE (the Heaps'-law audit of corpus curation:
+    distinct vocabulary as a function of corpus prefix — flattening means
+    diminishing data value, spikes mean a domain shift): new-word counts
+    and the running vocabulary at 256 doc-prefix checkpoints.
+
+    Scale shape: one tokenize pass emits distinct (word, min doc_id)
+    partials; a vocabulary-bounded groupby-MIN finds each word's FIRST
+    document; first-docs bucket into <= 256 prefix checkpoints (width
+    derived from max doc_id, so driver state is 256 rows at any corpus
+    size); the cumulative curve is a driver cumsum over those rows.
+    Hash-exact vs the window twin."""
+    import numpy as np
+    from ray.data.aggregate import Min as _Min
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64),
+                           "word": s.str.split()})
+        ex = df.explode("word").dropna(subset=["word"])
+        g = ex.groupby("word", sort=False)["doc_id"].min().reset_index()
+        return pa.table({"word": pa.array(g["word"], pa.string()),
+                         "fd": pa.array(g["doc_id"].to_numpy(np.int64))})
+
+    firsts = (docs.map_batches(first_partial, batch_format="pyarrow")
+              .groupby("word").aggregate(_Min("fd", alias_name="fd"))
+              .materialize())
+    max_id = int(firsts.max("fd"))
+    width = max_id // 256 + 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        fd = t["fd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = pd.Series(fd // width).value_counts()
+        return pa.table({"bucket": pa.array(vc.index.to_numpy(np.int64)),
+                         "new_words": pa.array(vc.to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    curve = (firsts.map_batches(bucketize, batch_format="pyarrow")
+             .groupby("bucket").aggregate(_Sum("new_words",
+                                               alias_name="new_words"))
+             .to_pandas().sort_values("bucket").reset_index(drop=True))
+    curve["bucket"] = curve["bucket"].astype("int64")
+    curve["new_words"] = curve["new_words"].astype("int64")
+    curve["vocab"] = curve["new_words"].cumsum().astype("int64")
+    return curve
+
+
+def vocab_growth_sql() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(trim(text)), '\\s+')) AS word FROM documents "
+        "WHERE trim(text) <> ''), "
+        "f AS (SELECT word, MIN(doc_id) AS fd FROM w GROUP BY 1), "
+        "mx AS (SELECT MAX(fd) AS m FROM f), "
+        "c AS (SELECT fd // ((SELECT m FROM mx) // 256 + 1) AS bucket, "
+        "COUNT(*) AS new_words FROM f GROUP BY 1) "
+        "SELECT bucket, new_words, "
+        "CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT) AS vocab "
+        "FROM c"
+    )

@@ -3992,3 +3992,91 @@ class TestEmbedPca:
         assert np.allclose(got["pc1_e6"], want["pc1_e6"], rtol=1e-8, atol=1e-3)
         assert np.allclose(got["pc2_e6"], want["pc2_e6"], rtol=1e-8, atol=1e-3)
         assert got["pc1_e6"].var() >= got["pc2_e6"].var()
+
+
+class TestLateArrivals:
+    def test_matches_pandas_running_max(self, ray_session):
+        """Late counts recomputed with a driver-side cummax watermark."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_late_arrivals)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_late_arrivals(sf)
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        ev = ev.sort_values("event_id").reset_index(drop=True)
+        wm = ev["ts_us"].cummax().shift(1)
+        late_us = (wm - ev["ts_us"]).fillna(0).clip(lower=0).astype("int64")
+        ev["late"] = (late_us > 3_600_000_000).astype("int64")
+        ev["late_us"] = late_us
+        want = (ev.groupby("event_type")
+                .agg(n_late=("late", "sum"),
+                     n_ontime=("late", lambda s: int(len(s) - s.sum())),
+                     max_late_us=("late_us", "max"))
+                .reset_index()
+                .astype({"n_late": "int64", "n_ontime": "int64",
+                         "max_late_us": "int64"})
+                .sort_values("event_type").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        assert int(out["n_late"].sum() + out["n_ontime"].sum()) == len(ev)
+
+    def test_planted_late_row(self, ray_session):
+        """A row whose ts sits 2 h behind the preceding watermark is late;
+        the stream head (no watermark) never is."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines import relational as R
+
+        base = pd.Timestamp("2024-01-05")
+        rows = pd.DataFrame({
+            "event_id": [1, 2, 3, 4],
+            "event_type": ["t"] * 4,
+            "ts": [base, base + pd.Timedelta(hours=5),
+                   base + pd.Timedelta(hours=3),   # 2h behind wm -> late
+                   base + pd.Timedelta(hours=6)],
+        })
+        orig = R._t
+
+        def fake(sf_dir, name, columns=None):
+            return rd.from_arrow(pa.Table.from_pandas(rows)).repartition(2)
+        R._t = fake
+        try:
+            out = R.q_late_arrivals("unused")
+        finally:
+            R._t = orig
+        assert int(out["n_late"].iloc[0]) == 1
+        assert int(out["n_ontime"].iloc[0]) == 3
+        assert int(out["max_late_us"].iloc[0]) == 2 * 3_600_000_000
+
+
+class TestVocabGrowth:
+    def test_matches_pandas_first_occurrence(self, ray_session):
+        """Curve recomputed driver-side from word first-occurrence docs."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import q_vocab_growth
+
+        sf = "/root/testdata/sf0.001"
+        out = q_vocab_growth(sf)
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        ex = docs.assign(
+            word=docs["text"].fillna("").str.lower().str.split()) \
+            .explode("word").dropna(subset=["word"])
+        f = ex.groupby("word")["doc_id"].min()
+        m = int(f.max())
+        width = m // 256 + 1
+        c = (f // width).value_counts().sort_index()
+        want = pd.DataFrame({"bucket": c.index.astype("int64"),
+                             "new_words": c.to_numpy().astype("int64")})
+        want["vocab"] = want["new_words"].cumsum().astype("int64")
+        pd.testing.assert_frame_equal(out, want.reset_index(drop=True))
+        # curve invariant: vocab is the running sum and ends at |V|
+        assert int(out["vocab"].iloc[-1]) == ex["word"].nunique()
