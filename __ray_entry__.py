@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm": R.q_rfm,
         "kmv_setops": R.q_kmv_setops,
         "late_arrivals": R.q_late_arrivals,
+        "seasonal_residuals": R.q_seasonal_residuals,
+        "winnow_pairs": T.q_winnow_pairs,
         "vocab_growth": T.q_vocab_growth,
         "bigram_pmi": T.q_bigram_pmi,
         "embed_pca": T.q_embed_pca,
@@ -394,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm": R.SQL_RFM,
         "kmv_setops": R.kmv_setops_sql(),
         "late_arrivals": R.SQL_LATE_ARRIVALS,
+        "seasonal_residuals": R.SQL_SEASONAL_RESIDUALS,
+        "winnow_pairs": T.winnow_pairs_sql(),
         "vocab_growth": T.vocab_growth_sql(),
         "bigram_pmi": T.bigram_pmi_sql(),
         "run_lengths": R.SQL_RUN_LENGTHS,

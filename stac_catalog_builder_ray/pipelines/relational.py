@@ -5358,3 +5358,94 @@ SQL_LATE_ARRIVALS = (
     "CAST(MAX(late_us) AS BIGINT) AS max_late_us "
     "FROM f GROUP BY 1"
 )
+
+
+def q_seasonal_residuals(sf_dir: str):
+    """SEASONAL-BASELINE ANOMALY FLAGS (the ops-analytics seasonal-naive
+    detector: a row is anomalous when its value deviates > 3 sigma from
+    its series' hour-of-day baseline) over (event_type, hour-of-day)
+    cells.
+
+    Integer-pure z-test WITHOUT square roots in the hot path: z^2 > 9
+    rewrites as (n*v - s)^2 > 9*(n*sxx - s^2); the engine precomputes per
+    cell the integer threshold r = isqrt(9*(n*sxx - s^2)) in python
+    bignum (cells are domain-bounded: types x 24) and each row then
+    needs only the int64 comparison |n*v - s| > r — exactly equivalent
+    to the HUGEINT square the SQL twin evaluates per row, since for
+    integers |d| > isqrt(T) iff d^2 > T.
+
+    Scale shape: one pass of per-cell (n, s, sxx) partials -> tiny
+    groupby -> broadcast thresholds -> one stateless flag pass.  Output:
+    the flagged rows only."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        e4 = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 1e4).astype(np.int64)
+        hod = pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "hod": hod, "e4": e4, "sq": e4 * e4})
+             .groupby(["event_type", "hod"], sort=False)
+             .agg(n=("e4", "size"), s=("e4", "sum"), sxx=("sq", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (ds.map_batches(moments, batch_format="pyarrow")
+             .groupby(["event_type", "hod"])
+             .aggregate(_Sum("n", alias_name="n"), _Sum("s", alias_name="s"),
+                        _Sum("sxx", alias_name="sxx"))
+             .to_pandas())
+    thr = cells[["event_type", "hod"]].copy()
+    thr["n"] = cells["n"].astype("int64")
+    thr["s"] = cells["s"].astype("int64")
+    thr["r"] = [math.isqrt(9 * (int(n) * int(sxx) - int(s) * int(s)))
+                for n, s, sxx in zip(cells["n"], cells["s"], cells["sxx"])]
+    thr["hod"] = thr["hod"].astype("int64")
+    thr_ref = ray.put(thr)
+
+    def flag(t: pa.Table) -> pa.Table:
+        tf = ray.get(thr_ref)
+        e4 = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 1e4).astype(np.int64)
+        hod = pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "hod": hod, "e4": e4,
+                           "i": np.arange(len(e4))})
+        # C-level merge against the broadcast (types x 24) threshold frame
+        j = df.merge(tf, on=["event_type", "hod"], how="left", sort=False)
+        j = j.sort_values("i", kind="stable")
+        n = j["n"].to_numpy(np.int64)
+        s = j["s"].to_numpy(np.int64)
+        r = j["r"].to_numpy(np.int64)
+        d = n * e4 - s
+        keep = np.abs(d) > r
+        return pa.table({
+            "event_id": pc.filter(t["event_id"], pa.array(keep)),
+            "event_type": pc.filter(t["event_type"], pa.array(keep)),
+            "hod": pa.array(hod[keep]),
+            "v_e4": pa.array(e4[keep]),
+            "d": pa.array(d[keep])})
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    for c in ("event_id", "hod", "v_e4", "d"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_SEASONAL_RESIDUALS = (
+    "WITH b AS (SELECT event_id, event_type, hour(ts) AS hod, "
+    "CAST(ROUND(value * 10000, 0) AS BIGINT) AS v FROM events), "
+    "c AS (SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS sxx "
+    "FROM b GROUP BY 1, 2) "
+    "SELECT b.event_id, b.event_type, b.hod, b.v AS v_e4, "
+    "c.n * b.v - c.s AS d FROM b JOIN c USING (event_type, hod) "
+    "WHERE CAST(c.n * b.v - c.s AS HUGEINT) * (c.n * b.v - c.s) "
+    "> 9 * (CAST(c.n AS HUGEINT) * c.sxx - CAST(c.s AS HUGEINT) * c.s)"
+)

@@ -2676,3 +2676,135 @@ def vocab_growth_sql() -> str:
         "CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT) AS vocab "
         "FROM c"
     )
+
+
+WINNOW_K = 3      # words per shingle
+WINNOW_W = 4      # winnowing window (hashes per selection window)
+WINNOW_MAX_DF = 20
+WINNOW_MIN_SHARED = 3
+
+
+def _horner_hash_raw(strs: "np.ndarray") -> "np.ndarray":
+    """Raw codepoint Horner hash (base 31 mod 1e6+3) per string — the
+    `_word_buckets` kernel WITHOUT the FEATURE_DIM reduction, vectorized
+    by length group; matches DuckDB list_reduce over ascii() exactly."""
+    import numpy as np
+
+    out = np.zeros(len(strs), dtype=np.int64)
+    lens = np.array([len(w) for w in strs])
+    for ln in np.unique(lens):
+        sel = lens == ln
+        if ln == 0:
+            continue
+        arr = np.frombuffer("".join(strs[sel]).encode("utf-32-le"),
+                            dtype=np.uint32).reshape(-1, int(ln)).astype(np.int64)
+        h = np.zeros(arr.shape[0], dtype=np.int64)
+        for j in range(int(ln)):
+            h = (h * 31 + arr[:, j]) % _FH_MOD
+        out[sel] = h
+    return out
+
+
+def q_winnow_pairs(sf_dir: str):
+    """WINNOWING DOCUMENT FINGERPRINTS + plagiarism-candidate pairs (the
+    MOSS local-fingerprinting algorithm, Schleimer et al. 2003, in its
+    value-winnowing form): per document, hash every 3-word shingle
+    (codepoint Horner — the engine's SQL-parity string hash), slide a
+    4-hash window and keep the DISTINCT window minima as the document's
+    fingerprints; documents sharing >= 3 fingerprints (df-capped at 20 to
+    exclude boilerplate grams) become candidate pairs with their shared
+    count.
+
+    Scale shape: one tokenize pass per batch builds shingle hashes with a
+    pandas shift-chain (no row loops) and window minima with a 4-way
+    np.minimum fold guarded at doc boundaries; distinct (fingerprint,
+    doc) rows shuffle ONCE keyed by fingerprint; each fingerprint group
+    explodes to <= df^2/2 pairs only below the df cap (the dup_ngrams /
+    copurchase triangle discipline); pair counts fold on a packed int64
+    key.  Hash-exact vs the window-MIN SQL twin."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp_partial(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ex = s.str.split().explode().dropna()
+        if ex.empty:
+            return pa.table({"fp": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        w1 = ex
+        w2 = ex.groupby(level=0).shift(-1)
+        w3 = ex.groupby(level=0).shift(-2)
+        gram = (w1 + " " + w2 + " " + w3).dropna()
+        uniq, inv = np.unique(gram.to_numpy(dtype=object), return_inverse=True)
+        h = _horner_hash_raw(uniq)[inv]
+        doc_of = gram.index.to_numpy()
+        # window minima over 4 consecutive hashes WITHIN a doc: 4-way
+        # minimum of shifts, rows 0..2 of each doc excluded
+        hs = pd.Series(h, index=doc_of)
+        m = hs.copy()
+        for k in (1, 2, 3):
+            sh = hs.groupby(level=0).shift(k)
+            m = np.minimum(m, sh.fillna(np.inf))
+        valid = hs.groupby(level=0).cumcount() >= (WINNOW_W - 1)
+        sel = pd.DataFrame({"doc_idx": doc_of[valid.to_numpy()],
+                            "fp": m[valid.to_numpy()].astype(np.int64)})
+        sel = sel.drop_duplicates()
+        return pa.table({"fp": pa.array(sel["fp"].to_numpy(np.int64)),
+                         "doc_id": pa.array(ids[sel["doc_idx"].to_numpy()])})
+
+    from ray.data.aggregate import Count as _Count
+
+    fps = (docs.map_batches(fp_partial, batch_format="pyarrow")
+           .groupby(["fp", "doc_id"])  # cross-batch distinct
+           .aggregate(_Count(alias_name="_n"))
+           .select_columns(["fp", "doc_id"])
+           .materialize())
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].unique())
+        if len(d) < 2 or len(d) > WINNOW_MAX_DF:
+            return pd.DataFrame({"key": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        iu, ju = np.triu_indices(len(d), k=1)
+        key = (d[iu].astype(np.int64) << 32) | d[ju].astype(np.int64)
+        return pd.DataFrame({"key": key, "n": np.ones(len(key), np.int64)})
+
+    pc_ = (fps.groupby("fp").map_groups(pairs, batch_format="pandas")
+           .map_batches(lambda t: t, batch_format="pyarrow")
+           .groupby("key").aggregate(Sum("n", alias_name="n_shared"))
+           .to_pandas())
+    pc_ = pc_[pc_["n_shared"] >= WINNOW_MIN_SHARED].copy()
+    key_np = pc_["key"].to_numpy(np.int64)
+    pc_["doc_a"] = key_np >> 32
+    pc_["doc_b"] = key_np & 0xFFFFFFFF
+    pc_["n_shared"] = pc_["n_shared"].astype("int64")
+    return (pc_[["doc_a", "doc_b", "n_shared"]]
+            .sort_values(["doc_a", "doc_b"], kind="stable")
+            .reset_index(drop=True))
+
+
+def winnow_pairs_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), "
+        "'\\s+') AS w FROM documents WHERE trim(text) <> ''), "
+        "g AS (SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram "
+        "FROM t, unnest(generate_series(1, len(w) - 2)) AS u(i)), "
+        "h AS (SELECT doc_id, pos, list_reduce(list_prepend(0, "
+        "list_transform(string_split(gram, ''), c -> ascii(c))), "
+        f"(a, b) -> (a * 31 + b) % {_FH_MOD}) AS hv FROM g), "
+        "wm AS (SELECT doc_id, pos, MIN(hv) OVER (PARTITION BY doc_id "
+        f"ORDER BY pos ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) "
+        "AS fp, COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k FROM h), "
+        f"f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE k >= {WINNOW_W}), "
+        "df AS (SELECT fp, COUNT(*) AS d FROM f GROUP BY 1), "
+        f"ok AS (SELECT fp FROM df WHERE d BETWEEN 2 AND {WINNOW_MAX_DF}), "
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM f a "
+        "JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        "WHERE a.fp IN (SELECT fp FROM ok)) "
+        "SELECT doc_a, doc_b, COUNT(*) AS n_shared FROM p GROUP BY 1, 2 "
+        f"HAVING COUNT(*) >= {WINNOW_MIN_SHARED}"
+    )

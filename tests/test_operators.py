@@ -4080,3 +4080,110 @@ class TestVocabGrowth:
         pd.testing.assert_frame_equal(out, want.reset_index(drop=True))
         # curve invariant: vocab is the running sum and ends at |V|
         assert int(out["vocab"].iloc[-1]) == ex["word"].nunique()
+
+
+class TestSeasonalResiduals:
+    def test_matches_pandas_ztest(self, ray_session):
+        """Flags recomputed with a float z-test (population sigma) — the
+        integer rewrite must select the same rows; both branches of the
+        isqrt boundary equivalence are asserted exactly."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.relational import (
+            q_seasonal_residuals)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_seasonal_residuals(sf)
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        ev["v"] = round_half_away(ev["value"].to_numpy() * 1e4).astype("int64")
+        ev["hod"] = ev["ts"].dt.hour.astype("int64")
+        g = ev.groupby(["event_type", "hod"])["v"]
+        n = g.transform("size").astype("int64")
+        s = g.transform("sum").astype("int64")
+        sxx = ev.assign(sq=ev["v"] * ev["v"]) \
+            .groupby(["event_type", "hod"])["sq"].transform("sum").astype("int64")
+        d = n * ev["v"] - s
+        # exact integer rule (python bignum per row on this tiny fixture)
+        keep = [int(di) * int(di) > 9 * (int(ni) * int(xi) - int(si) * int(si))
+                for di, ni, si, xi in zip(d, n, s, sxx)]
+        want = (ev.loc[keep, ["event_id", "event_type", "hod"]]
+                .assign(v_e4=ev.loc[keep, "v"], d=d[keep])
+                .astype({"event_id": "int64", "hod": "int64",
+                         "v_e4": "int64", "d": "int64"})
+                .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_planted_outlier(self, ray_session):
+        """A 100x spike in an otherwise flat hour cell is flagged; the
+        flat rows are not."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines import relational as R
+
+        ts = pd.to_datetime(["2024-01-01 09:10:00"] * 21)
+        rows = pd.DataFrame({
+            "event_id": range(21),
+            "event_type": ["t"] * 21,
+            "ts": ts,
+            "value": [10.0] * 20 + [1000.0],
+        })
+        orig = R._t
+
+        def fake(sf_dir, name, columns=None):
+            return rd.from_arrow(pa.Table.from_pandas(rows)).repartition(3)
+        R._t = fake
+        try:
+            out = R.q_seasonal_residuals("unused")
+        finally:
+            R._t = orig
+        assert list(out["event_id"]) == [20]
+
+
+class TestWinnowPairs:
+    def test_matches_pandas_recompute(self, ray_session):
+        """Fingerprints + candidate pairs recomputed with a driver-side
+        rolling-min winnow over the same Horner hashes."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import (
+            WINNOW_K, WINNOW_MAX_DF, WINNOW_MIN_SHARED, WINNOW_W,
+            _horner_hash_raw, q_winnow_pairs)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_winnow_pairs(sf)
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        fps = {}
+        for _, row in docs.iterrows():
+            ws = str(row["text"] or "").lower().split()
+            grams = [" ".join(ws[i:i + WINNOW_K])
+                     for i in range(len(ws) - WINNOW_K + 1)]
+            if len(grams) < WINNOW_W:
+                continue
+            h = _horner_hash_raw(np.array(grams, dtype=object))
+            sel = {int(min(h[i - WINNOW_W + 1:i + 1]))
+                   for i in range(WINNOW_W - 1, len(h))}
+            fps[int(row["doc_id"])] = sel
+        from collections import Counter
+        df_count = Counter(fp for s in fps.values() for fp in s)
+        pair_counts = Counter()
+        ids = sorted(fps)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                shared = sum(1 for fp in fps[a] & fps[b]
+                             if 2 <= df_count[fp] <= WINNOW_MAX_DF)
+                if shared >= WINNOW_MIN_SHARED:
+                    pair_counts[(a, b)] = shared
+        want = (pd.DataFrame(
+            [(a, b, n) for (a, b), n in sorted(pair_counts.items())],
+            columns=["doc_a", "doc_b", "n_shared"])
+            .astype("int64").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        assert len(out) > 0  # the fixture plants near-duplicate documents
