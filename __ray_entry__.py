@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_setops": R.q_kmv_setops,
         "late_arrivals": R.q_late_arrivals,
         "seasonal_residuals": R.q_seasonal_residuals,
+        "peak_concurrency": R.q_peak_concurrency,
         "winnow_pairs": T.q_winnow_pairs,
         "vocab_growth": T.q_vocab_growth,
         "bigram_pmi": T.q_bigram_pmi,
@@ -397,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_setops": R.kmv_setops_sql(),
         "late_arrivals": R.SQL_LATE_ARRIVALS,
         "seasonal_residuals": R.SQL_SEASONAL_RESIDUALS,
+        "peak_concurrency": R.SQL_PEAK_CONCURRENCY,
         "winnow_pairs": T.winnow_pairs_sql(),
         "vocab_growth": T.vocab_growth_sql(),
         "bigram_pmi": T.bigram_pmi_sql(),

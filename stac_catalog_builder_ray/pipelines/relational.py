@@ -5449,3 +5449,81 @@ SQL_SEASONAL_RESIDUALS = (
     "WHERE CAST(c.n * b.v - c.s AS HUGEINT) * (c.n * b.v - c.s) "
     "> 9 * (CAST(c.n AS HUGEINT) * c.sxx - CAST(c.s AS HUGEINT) * c.s)"
 )
+
+
+PEAK_SPAN_US = 600_000_000       # each event holds a 10-min session open
+PEAK_BUCKET_US = 3_600_000_000   # sweep buckets: 1 h of boundary stream
+
+
+def q_peak_concurrency(sf_dir: str):
+    """PEAK CONCURRENCY (the interval-stabbing / sweep-line classic of
+    capacity planning: the maximum number of simultaneously-open 10-min
+    sessions per series, and the FIRST instant it is reached).
+
+    Scale shape: each event emits two boundary rows (+1 at ts, -1 at
+    ts+10min, vectorized); the boundary stream shuffles ONCE into
+    (series, hour-bucket) groups; each group runs a vectorized local
+    sweep (sort + cumsum, with SQL RANGE-frame tie semantics: equal
+    (t, d) rows all take their group's closing sum) and emits ONE partial
+    row (net delta, local max, first t at max); the driver prefix-folds
+    the O(series x hours) partial table — the `q_seq_pack` offset
+    discipline applied per group.  No global sort, no window over the
+    corpus.  Hash-exact vs the window twin (ties included)."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_pandas().to_numpy()
+        tt = np.concatenate([ts_us, ts_us + PEAK_SPAN_US])
+        dd = np.concatenate([np.ones(len(ts_us), np.int64),
+                             -np.ones(len(ts_us), np.int64)])
+        ee = np.concatenate([et, et])
+        return pa.table({"event_type": pa.array(ee, pa.string()),
+                         "t": pa.array(tt), "d": pa.array(dd),
+                         "tb": pa.array(tt // PEAK_BUCKET_US)})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, gg in g.groupby("event_type", sort=False):
+            gg = gg.sort_values(["t", "d"], kind="stable")
+            cum = gg["d"].to_numpy(np.int64).cumsum()
+            # SQL RANGE frame: equal (t, d) peers all take the tie group's
+            # CLOSING cumsum ("last", not "max" — they differ on -1 runs)
+            key = gg["t"].to_numpy(np.int64) * 2 + (gg["d"].to_numpy() > 0)
+            last = pd.Series(cum).groupby(key, sort=False).transform("last") \
+                .to_numpy(np.int64)
+            mx = int(last.max())
+            t_at = int(gg["t"].to_numpy(np.int64)[last == mx].min())
+            out.append((et, int(g["tb"].iloc[0]), int(cum[-1]), mx, t_at))
+        return pd.DataFrame(out, columns=["event_type", "tb", "net",
+                                          "local_max", "t_at_max"])
+
+    parts = (ds.map_batches(boundaries, batch_format="pyarrow")
+             .groupby("tb").map_groups(sweep, batch_format="pandas")
+             .to_pandas())       # O(series x hour-buckets) rows
+    rows = []
+    for et, g in parts.groupby("event_type"):
+        g = g.sort_values("tb").reset_index(drop=True)
+        offs = np.concatenate([[0], g["net"].to_numpy(np.int64).cumsum()[:-1]])
+        cand = offs + g["local_max"].to_numpy(np.int64)
+        peak = int(cand.max())
+        t_peak = int(g["t_at_max"].to_numpy(np.int64)[cand == peak].min())
+        rows.append((et, peak, t_peak))
+    out = pd.DataFrame(rows, columns=["event_type", "peak", "peak_ts_us"])
+    out["peak"] = out["peak"].astype("int64")
+    out["peak_ts_us"] = out["peak_ts_us"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PEAK_CONCURRENCY = (
+    f"WITH b AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t, "
+    "1 AS d FROM events UNION ALL SELECT event_type, "
+    f"CAST(epoch_us(ts) AS BIGINT) + {PEAK_SPAN_US}, -1 FROM events), "
+    "c AS (SELECT event_type, t, "
+    "CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY t, d) AS BIGINT) "
+    "AS cum FROM b), "
+    "m AS (SELECT event_type, MAX(cum) AS peak FROM c GROUP BY 1) "
+    "SELECT c.event_type, m.peak, CAST(MIN(c.t) AS BIGINT) AS peak_ts_us "
+    "FROM c JOIN m USING (event_type) WHERE c.cum = m.peak GROUP BY 1, 2"
+)

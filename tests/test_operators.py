@@ -4187,3 +4187,70 @@ class TestWinnowPairs:
             .astype("int64").reset_index(drop=True))
         pd.testing.assert_frame_equal(out, want)
         assert len(out) > 0  # the fixture plants near-duplicate documents
+
+
+class TestPeakConcurrency:
+    def test_matches_pandas_sweep(self, ray_session):
+        """Peak + first-attainment recomputed with one driver-side global
+        sweep per series (RANGE tie semantics included)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            PEAK_SPAN_US, q_peak_concurrency)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_peak_concurrency(sf)
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_type", "ts"]).to_pandas()
+        ev["t"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        rows = []
+        for et, g in ev.groupby("event_type"):
+            t = g["t"].to_numpy(np.int64)
+            b = pd.DataFrame({
+                "t": np.concatenate([t, t + PEAK_SPAN_US]),
+                "d": np.concatenate([np.ones(len(t), np.int64),
+                                     -np.ones(len(t), np.int64)])})
+            b = b.sort_values(["t", "d"], kind="stable").reset_index(drop=True)
+            cum = b["d"].cumsum().to_numpy(np.int64)
+            key = b["t"].to_numpy(np.int64) * 2 + (b["d"].to_numpy() > 0)
+            rng = pd.Series(cum).groupby(key, sort=False).transform("last") \
+                .to_numpy(np.int64)
+            peak = int(rng.max())
+            t_peak = int(b["t"].to_numpy(np.int64)[rng == peak].min())
+            rows.append((et, peak, t_peak))
+        want = (pd.DataFrame(rows, columns=["event_type", "peak",
+                                            "peak_ts_us"])
+                .astype({"peak": "int64", "peak_ts_us": "int64"})
+                .sort_values("event_type").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_planted_overlap(self, ray_session):
+        """Three overlapping sessions peak at 3 exactly when the third
+        opens; a separated fourth does not raise the peak."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines import relational as R
+
+        base = pd.Timestamp("2024-01-07 12:00:00")
+        rows = pd.DataFrame({
+            "event_type": ["t"] * 4,
+            "ts": [base, base + pd.Timedelta(minutes=2),
+                   base + pd.Timedelta(minutes=4),
+                   base + pd.Timedelta(hours=3)],
+        })
+        orig = R._t
+
+        def fake(sf_dir, name, columns=None):
+            return rd.from_arrow(pa.Table.from_pandas(rows)).repartition(2)
+        R._t = fake
+        try:
+            out = R.q_peak_concurrency("unused")
+        finally:
+            R._t = orig
+        assert int(out["peak"].iloc[0]) == 3
+        want_t = int((base + pd.Timedelta(minutes=4)).value // 1000)
+        assert int(out["peak_ts_us"].iloc[0]) == want_t
