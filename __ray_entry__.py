@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_arrivals": R.q_late_arrivals,
         "seasonal_residuals": R.q_seasonal_residuals,
         "peak_concurrency": R.q_peak_concurrency,
+        "grouped_sample_n": R.q_grouped_sample_n,
         "winnow_pairs": T.q_winnow_pairs,
         "vocab_growth": T.q_vocab_growth,
         "bigram_pmi": T.q_bigram_pmi,
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "late_arrivals": R.SQL_LATE_ARRIVALS,
         "seasonal_residuals": R.SQL_SEASONAL_RESIDUALS,
         "peak_concurrency": R.SQL_PEAK_CONCURRENCY,
+        "grouped_sample_n": R.grouped_sample_n_sql(),
         "winnow_pairs": T.winnow_pairs_sql(),
         "vocab_growth": T.vocab_growth_sql(),
         "bigram_pmi": T.bigram_pmi_sql(),

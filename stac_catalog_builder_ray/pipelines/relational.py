@@ -5527,3 +5527,63 @@ SQL_PEAK_CONCURRENCY = (
     "SELECT c.event_type, m.peak, CAST(MIN(c.t) AS BIGINT) AS peak_ts_us "
     "FROM c JOIN m USING (event_type) WHERE c.cum = m.peak GROUP BY 1, 2"
 )
+
+
+SAMPLE_N_PER_GROUP = 20
+
+
+def q_grouped_sample_n(sf_dir: str):
+    """EXACT-n PER-STRATUM SAMPLING (the eval-set construction primitive:
+    exactly n rows per group, uniform, DETERMINISTIC and cluster-size
+    invariant — `stratified_sample` is rate-based and cannot promise
+    exact counts): the n=20 events per type with the smallest
+    (kmv_hash(event_id), event_id) — a uniform draw because the hash is
+    uniform, reproducible because it is a pure function of the row.
+
+    Scale shape: the `grouped_topk` combiner discipline on the hash
+    order — every batch prunes to its local n per group, so the shuffle
+    moves O(groups x n x batches) candidate rows, never the corpus.
+    Hash-exact vs the ROW_NUMBER twin."""
+    from ray.data.aggregate import Count as _Count  # noqa: F401
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        h = _kmv_hash(t["event_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "event_id": t["event_id"].to_numpy(
+                               zero_copy_only=False).astype(np.int64),
+                           "h": h})
+        df = (df.sort_values(["h", "event_id"], kind="stable")
+              .groupby("event_type", sort=False).head(SAMPLE_N_PER_GROUP))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["h", "event_id"], kind="stable")
+             .head(SAMPLE_N_PER_GROUP))
+        return g[["event_type", "event_id", "h"]]
+
+    out = (ds.map_batches(prune, batch_format="pyarrow")
+           .groupby("event_type").map_groups(final, batch_format="pandas")
+           .to_pandas())
+    out["event_id"] = out["event_id"].astype("int64")
+    out["h"] = out["h"].astype("int64")
+    return (out.sort_values(["event_type", "h", "event_id"], kind="stable")
+            .reset_index(drop=True))
+
+
+def grouped_sample_n_sql() -> str:
+    return (
+        f"WITH h1 AS (SELECT event_type, event_id, "
+        f"(event_id * {_KMV_A} + {_KMV_B}) % {_KMV_P} AS h0 FROM events), "
+        f"t AS (SELECT event_type, event_id, "
+        f"((h0 % 1073741824) * {_KMV_A2}) % {_KMV_P} AS t1, "
+        f"((h0 // 1073741824) * {_KMV_A2}) % {_KMV_P} AS tt FROM h1), "
+        f"hh AS (SELECT event_type, event_id, (t1 + ((tt % 2147483648) * "
+        f"1073741824 + tt // 2147483648) % {_KMV_P}) % {_KMV_P} AS h FROM t), "
+        "r AS (SELECT event_type, event_id, h, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY h, event_id) AS rn FROM hh) "
+        "SELECT event_type, event_id, h FROM r "
+        f"WHERE rn <= {SAMPLE_N_PER_GROUP}"
+    )

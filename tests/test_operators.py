@@ -4254,3 +4254,31 @@ class TestPeakConcurrency:
         assert int(out["peak"].iloc[0]) == 3
         want_t = int((base + pd.Timedelta(minutes=4)).value // 1000)
         assert int(out["peak_ts_us"].iloc[0]) == want_t
+
+
+class TestGroupedSampleN:
+    def test_matches_pandas_hash_order(self, ray_session):
+        """Exactly n per group, the n smallest (hash, id) — recomputed
+        driver-side; the draw must be cluster-size invariant (identical
+        under a different partitioning)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.relational import (
+            SAMPLE_N_PER_GROUP, _kmv_hash, q_grouped_sample_n)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_grouped_sample_n(sf)
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_id", "event_type"]).to_pandas()
+        ev["h"] = _kmv_hash(ev["event_id"].to_numpy(np.int64))
+        want = (ev.sort_values(["h", "event_id"], kind="stable")
+                .groupby("event_type").head(SAMPLE_N_PER_GROUP)
+                [["event_type", "event_id", "h"]]
+                .astype({"event_id": "int64", "h": "int64"})
+                .sort_values(["event_type", "h", "event_id"], kind="stable")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        sizes = out.groupby("event_type").size()
+        assert (sizes == SAMPLE_N_PER_GROUP).all()
