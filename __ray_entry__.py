@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": R.q_peak_concurrency,
         "grouped_sample_n": R.q_grouped_sample_n,
         "winnow_pairs": T.q_winnow_pairs,
+        "cluster_terms": T.q_cluster_terms,
         "vocab_growth": T.q_vocab_growth,
         "bigram_pmi": T.q_bigram_pmi,
         "embed_pca": T.q_embed_pca,
@@ -402,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": R.SQL_PEAK_CONCURRENCY,
         "grouped_sample_n": R.grouped_sample_n_sql(),
         "winnow_pairs": T.winnow_pairs_sql(),
+        "cluster_terms": T.cluster_terms_sql(),
         "vocab_growth": T.vocab_growth_sql(),
         "bigram_pmi": T.bigram_pmi_sql(),
         "run_lengths": R.SQL_RUN_LENGTHS,

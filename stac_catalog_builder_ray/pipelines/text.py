@@ -2808,3 +2808,106 @@ def winnow_pairs_sql() -> str:
         "SELECT doc_a, doc_b, COUNT(*) AS n_shared FROM p GROUP BY 1, 2 "
         f"HAVING COUNT(*) >= {WINNOW_MIN_SHARED}"
     )
+
+
+CLUSTER_TERMS_MIN_TF = 5
+CLUSTER_TERMS_TOPK = 5
+
+
+def q_cluster_terms(sf_dir: str):
+    """CLUSTER LABELING (the "what is actually in my clusters?" curation
+    report: for every embedding-cluster label, the terms most
+    over-represented in its documents vs the rest of the corpus) — the
+    cross-modal composition of the vector table (labels) with the text
+    table (tokens), scored by the integer relative-risk rule of
+    `q_distinctive_terms` and cut to the top-5 per cluster.
+
+    Scale shape: the doc -> label side ships as two sorted int64 arrays
+    (`ray.put` + searchsorted — the dbscan lookup pattern; a partitioned
+    join on doc_id is the documented swap beyond driver scale); one
+    tokenize pass emits (label, word) count partials; one
+    vocabulary-x-labels-bounded groupby; scoring + ranking fold on the
+    driver over that bounded table in python bignum.  Hash-exact vs the
+    HUGEINT window twin."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    lab = (_emb(sf_dir, ["vec_id", "label"]).to_pandas()
+           .sort_values("vec_id"))
+    ids = np.ascontiguousarray(lab["vec_id"].to_numpy(np.int64))
+    lbl = np.ascontiguousarray(lab["label"].to_numpy(np.int64))
+    ids_ref, lbl_ref = ray.put(ids), ray.put(lbl)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        ia, la = ray.get(ids_ref), ray.get(lbl_ref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ia, did)
+        ok = (pos < len(ia)) & (ia[np.clip(pos, 0, len(ia) - 1)] == did)
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        df = pd.DataFrame({"label": np.where(ok, la[np.clip(pos, 0,
+                                                            len(ia) - 1)], -1),
+                           "word": s.str.split()})
+        df = df[df["label"] >= 0]
+        ex = df.explode("word").dropna(subset=["word"])
+        g = (ex.groupby(["label", "word"], sort=False)
+             .size().reset_index(name="tf"))
+        return pa.table({"label": pa.array(g["label"].to_numpy(np.int64)),
+                         "word": pa.array(g["word"], pa.string()),
+                         "tf": pa.array(g["tf"].to_numpy(np.int64))})
+
+    c = (docs.map_batches(part, batch_format="pyarrow")
+         .groupby(["label", "word"])
+         .aggregate(Sum("tf", alias_name="tf"))
+         .to_pandas())            # labels x vocabulary — bounded
+    c["label"] = c["label"].astype("int64")
+    c["tf"] = c["tf"].astype("int64")
+    tf_all = c.groupby("word")["tf"].transform("sum").astype("int64")
+    n_l = c.groupby("label")["tf"].transform("sum").astype("int64")
+    n_total = int(c["tf"].sum())
+    c["tf_rest"] = (tf_all - c["tf"]).astype("int64")
+    n_rest = n_total - n_l
+    keep = c[c["tf"] >= CLUSTER_TERMS_MIN_TF].copy()
+    keep["score_e6"] = [
+        (int(tl) * int(nr) * 10 ** 6) // ((int(tr) + 1) * int(nl))
+        for tl, tr, nl, nr in zip(keep["tf"], keep["tf_rest"],
+                                  n_l[keep.index], n_rest[keep.index])]
+    keep["score_e6"] = keep["score_e6"].astype("int64")
+    keep = (keep.sort_values(["label", "score_e6", "word"],
+                             ascending=[True, False, True], kind="stable")
+            .groupby("label").head(CLUSTER_TERMS_TOPK))
+    out = keep.rename(columns={"tf": "tf_l"})[
+        ["label", "word", "tf_l", "tf_rest", "score_e6"]]
+    return out.sort_values(["label", "word"], kind="stable") \
+        .reset_index(drop=True)
+
+
+def cluster_terms_sql() -> str:
+    return (
+        "WITH dl AS (SELECT CAST(e.label AS BIGINT) AS label, d.text "
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id), "
+        "w AS (SELECT label, unnest(regexp_split_to_array(lower(trim(text)), "
+        "'\\s+')) AS word FROM dl WHERE trim(text) <> ''), "
+        "c AS (SELECT label, word, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM w GROUP BY 1, 2), "
+        "tot AS (SELECT label, CAST(SUM(tf) AS BIGINT) AS nl "
+        "FROM c GROUP BY 1), "
+        "g AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS tf_all "
+        "FROM c GROUP BY 1), "
+        "at AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM c), "
+        "s AS (SELECT c.label, c.word, c.tf AS tf_l, "
+        "g.tf_all - c.tf AS tf_rest, tot.nl, at.n - tot.nl AS n_rest "
+        "FROM c JOIN g USING (word) JOIN tot USING (label) CROSS JOIN at "
+        f"WHERE c.tf >= {CLUSTER_TERMS_MIN_TF}), "
+        "r AS (SELECT label, word, tf_l, tf_rest, "
+        "CAST((CAST(tf_l AS HUGEINT) * n_rest * 1000000) "
+        "// ((tf_rest + 1) * CAST(nl AS HUGEINT)) AS BIGINT) AS score_e6 "
+        "FROM s), "
+        "k AS (SELECT label, word, tf_l, tf_rest, score_e6, "
+        "ROW_NUMBER() OVER (PARTITION BY label "
+        "ORDER BY score_e6 DESC, word) AS rn FROM r) "
+        f"SELECT label, word, tf_l, tf_rest, score_e6 FROM k "
+        f"WHERE rn <= {CLUSTER_TERMS_TOPK}"
+    )

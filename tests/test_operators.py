@@ -4282,3 +4282,47 @@ class TestGroupedSampleN:
         pd.testing.assert_frame_equal(out, want)
         sizes = out.groupby("event_type").size()
         assert (sizes == SAMPLE_N_PER_GROUP).all()
+
+
+class TestClusterTerms:
+    def test_matches_pandas_recompute(self, ray_session):
+        """Per-cluster distinctive terms recomputed with a driver-side
+        join + explode + bignum scoring + top-5 cut."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import (
+            CLUSTER_TERMS_MIN_TF, CLUSTER_TERMS_TOPK, q_cluster_terms)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_cluster_terms(sf)
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        emb = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "label"]).to_pandas()
+        j = docs.merge(emb, left_on="doc_id", right_on="vec_id")
+        ex = j.assign(word=j["text"].fillna("").str.lower().str.split()) \
+            .explode("word").dropna(subset=["word"])
+        c = (ex.groupby(["label", "word"]).size().reset_index(name="tf"))
+        c["label"] = c["label"].astype("int64")
+        tf_all = c.groupby("word")["tf"].transform("sum")
+        n_l = c.groupby("label")["tf"].transform("sum")
+        n_tot = int(c["tf"].sum())
+        c["tf_rest"] = tf_all - c["tf"]
+        c = c[c["tf"] >= CLUSTER_TERMS_MIN_TF].copy()
+        c["score_e6"] = [
+            (int(tl) * (n_tot - int(nl)) * 10 ** 6)
+            // ((int(tr) + 1) * int(nl))
+            for tl, tr, nl in zip(c["tf"], c["tf_rest"], n_l[c.index])]
+        want = (c.sort_values(["label", "score_e6", "word"],
+                              ascending=[True, False, True], kind="stable")
+                .groupby("label").head(CLUSTER_TERMS_TOPK)
+                .rename(columns={"tf": "tf_l"})
+                [["label", "word", "tf_l", "tf_rest", "score_e6"]]
+                .astype({"tf_l": "int64", "tf_rest": "int64",
+                         "score_e6": "int64"})
+                .sort_values(["label", "word"], kind="stable")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        # every cluster gets a label set
+        assert out["label"].nunique() == emb["label"].nunique()
