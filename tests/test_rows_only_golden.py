@@ -82,6 +82,17 @@ GOLDEN = {
     # video-style frame sampling (independent local recompute:
     # test_operators::TestFrameSampleQuery)
     "frame_sample": ("53d048285d7a6b24", 1000),
+    # Local Outlier Factor (integer-quantized reach sums -> bit-identical
+    # across reruns/routes; O(n^2) numpy oracle + forced-route equality:
+    # test_spatial::TestLof)
+    "lof": ("4eef12b7eb6214ae", 1000),
+    # per-image connected-component blob stats (BFS flood-fill fuzz +
+    # local-decode recompute: test_operators::TestBlobCount)
+    "blob_count": ("9f8c7c8891373856", 500),
+    # embedding PCA projection (deterministic sign rule; numpy PCA
+    # recompute: test_operators::TestEmbedPca — %.6g pin is stable because
+    # the whole path is one deterministic eigh + matmul)
+    "embed_pca": ("f21b128b2c0906e4", 500),
 }
 
 # quantile_sketch is rows-only but NOT pinned here: its compaction history
