@@ -91,6 +91,14 @@ QUERY_NAMES = [
     "lof",
     "ohlc",
     "morans_i",
+    # round-5 third-wave (all partial-agg / bounded-shuffle shapes except
+    # winnow_pairs, which moves the distinct fingerprint table once)
+    "wmedian",
+    "ntile",
+    "peak_concurrency",
+    "winnow_pairs",
+    "kmv_setops",
+    "cluster_terms",
 ]
 
 

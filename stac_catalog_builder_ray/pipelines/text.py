@@ -2763,16 +2763,36 @@ def q_winnow_pairs(sf_dir: str):
            .select_columns(["fp", "doc_id"])
            .materialize())
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["doc_id"].unique())
-        if len(d) < 2 or len(d) > WINNOW_MAX_DF:
+    def add_fb(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("fb", pa.array(fp % 256))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per BUCKET of fingerprints (never one Python call per
+        # fp — the copurchase size-class triangle discipline): sort by
+        # (fp, doc), segment, expand each df size class in one fancy-index
+        g = g.sort_values(["fp", "doc_id"], kind="stable")
+        fp = g["fp"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], fp[1:] != fp[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [len(fp)]]))
+        keys = []
+        for m in np.unique(sizes):
+            if m < 2 or m > WINNOW_MAX_DF:
+                continue
+            seg = starts[sizes == m]
+            mat = did[(seg[:, None] + np.arange(m)[None, :])]
+            iu, ju = np.triu_indices(int(m), k=1)
+            keys.append(((mat[:, iu].astype(np.int64) << 32)
+                         | mat[:, ju].astype(np.int64)).ravel())
+        if not keys:
             return pd.DataFrame({"key": pd.Series(dtype="int64"),
                                  "n": pd.Series(dtype="int64")})
-        iu, ju = np.triu_indices(len(d), k=1)
-        key = (d[iu].astype(np.int64) << 32) | d[ju].astype(np.int64)
-        return pd.DataFrame({"key": key, "n": np.ones(len(key), np.int64)})
+        k = np.concatenate(keys)
+        return pd.DataFrame({"key": k, "n": np.ones(len(k), np.int64)})
 
-    pc_ = (fps.groupby("fp").map_groups(pairs, batch_format="pandas")
+    pc_ = (fps.map_batches(add_fb, batch_format="pyarrow")
+           .groupby("fb").map_groups(bucket_pairs, batch_format="pandas")
            .map_batches(lambda t: t, batch_format="pyarrow")
            .groupby("key").aggregate(Sum("n", alias_name="n_shared"))
            .to_pandas())
