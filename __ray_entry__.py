@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_residuals": R.q_seasonal_residuals,
         "peak_concurrency": R.q_peak_concurrency,
         "grouped_sample_n": R.q_grouped_sample_n,
+        "gini": R.q_gini,
         "winnow_pairs": T.q_winnow_pairs,
         "cluster_terms": T.q_cluster_terms,
         "vocab_growth": T.q_vocab_growth,
@@ -402,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_residuals": R.SQL_SEASONAL_RESIDUALS,
         "peak_concurrency": R.SQL_PEAK_CONCURRENCY,
         "grouped_sample_n": R.grouped_sample_n_sql(),
+        "gini": R.SQL_GINI,
         "winnow_pairs": T.winnow_pairs_sql(),
         "cluster_terms": T.cluster_terms_sql(),
         "vocab_growth": T.vocab_growth_sql(),

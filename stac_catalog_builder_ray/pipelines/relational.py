@@ -5587,3 +5587,106 @@ def grouped_sample_n_sql() -> str:
         "SELECT event_type, event_id, h FROM r "
         f"WHERE rn <= {SAMPLE_N_PER_GROUP}"
     )
+
+
+def q_gini(sf_dir: str):
+    """GINI COEFFICIENT per segment (the inequality statistic of revenue
+    concentration reporting: 0 = all orders equal, ->1 = one order holds
+    all value) over order totals, grouped by o_orderpriority:
+
+        G = sum_rn (2*rn - n - 1) * x_(rn)  /  (n * sum x)
+
+    with rn the ROW_NUMBER in (cents, orderkey) order within the group —
+    computed WITHOUT a global sort by the `q_global_rank` / `q_ntile`
+    two-pass discipline applied PER GROUP: per-(group, 256-value-bin)
+    counts -> driver prefix offsets (O(groups x 256) state) -> each bin
+    sorts locally and emits ONE integer partial of the rank-weighted sum
+    (int64 at tested scales; the HUGEINT twin and a bignum driver fold
+    are the documented swap).  One float divide at the end, mirrored by
+    the twin."""
+    from ray.data.aggregate import Count as _Count, Max as _Max, \
+        Min as _Min, Sum as _Sum
+
+    from ..functions.rounding import round_half_away
+
+    B = 256
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                               "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "grp": t["o_orderpriority"], "x": pa.array(c)})
+
+    v = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    stats = (v.groupby("grp")
+             .aggregate(_Count(alias_name="n"), _Sum("x", alias_name="sx"),
+                        _Min("x", alias_name="mn"), _Max("x", alias_name="mx"))
+             .to_pandas())
+    srow = {r.grp: (int(r.n), int(r.sx), int(r.mn), int(r.mx))
+            for r in stats.itertuples()}
+
+    def bin_of(grps, x):
+        mn = np.array([srow[g][2] for g in grps], dtype=np.int64)
+        mx = np.array([srow[g][3] for g in grps], dtype=np.int64)
+        return (x - mn) * B // (mx - mn + 1)
+
+    def binify(t: pa.Table) -> pa.Table:
+        grps = t["grp"].to_pylist()
+        x = t["x"].to_numpy(zero_copy_only=False)
+        return t.append_column("bin", pa.array(bin_of(grps, x)))
+
+    binned = v.map_batches(binify, batch_format="pyarrow").materialize()
+    counts = (binned.groupby(["grp", "bin"])
+              .aggregate(_Count(alias_name="c")).to_pandas())
+    offs = {}
+    for g, gg in counts.groupby("grp"):
+        gg = gg.sort_values("bin")
+        cum = np.concatenate([[0], gg["c"].to_numpy(np.int64).cumsum()[:-1]])
+        for b, o in zip(gg["bin"].astype(int), cum):
+            offs[(g, int(b))] = int(o)
+    offs_ref = ray.put(offs)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        # one partial per (grp, bin): local (x, id) sort + offset ranks
+        out = []
+        for (grp, b), gg in g.groupby(["grp", "bin"], sort=False):
+            off = ray.get(offs_ref)[(grp, int(b))]
+            gg = gg.sort_values(["x", "o_orderkey"], kind="stable")
+            x = gg["x"].to_numpy(np.int64)
+            rn = off + np.arange(len(x), dtype=np.int64) + 1
+            out.append((grp, int((2 * rn * x).sum()), int(x.sum()),
+                        len(x)))
+        return pd.DataFrame(out, columns=["grp", "s2rx", "sxl", "cl"])
+
+    parts = (binned.groupby(["grp", "bin"])
+             .map_groups(partial, batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for g, gg in parts.groupby("grp"):
+        n, sx, _, _ = srow[g]
+        num = int(gg["s2rx"].sum()) - (n + 1) * sx
+        gini = float(num) / float(n * sx)
+        rows.append((g, n, sx, gini))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n", "sum_cents",
+                                      "gini"])
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_GINI = (
+    "WITH b AS (SELECT o_orderpriority, o_orderkey, "
+    "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x FROM orders), "
+    "r AS (SELECT o_orderpriority, x, CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY o_orderpriority ORDER BY x, o_orderkey) AS BIGINT) "
+    "AS rn FROM b), "
+    "a AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(x) AS BIGINT) AS sx, "
+    "SUM(CAST(2 * rn AS HUGEINT) * x) AS s2rx FROM r GROUP BY 1) "
+    "SELECT o_orderpriority, n, sx AS sum_cents, "
+    "CAST(s2rx - CAST(n + 1 AS HUGEINT) * sx AS DOUBLE) "
+    "/ CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) AS gini FROM a"
+)

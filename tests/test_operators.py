@@ -4326,3 +4326,63 @@ class TestClusterTerms:
         pd.testing.assert_frame_equal(out, want)
         # every cluster gets a label set
         assert out["label"].nunique() == emb["label"].nunique()
+
+
+class TestGini:
+    def test_matches_pandas_sorted_formula(self, ray_session):
+        """Gini recomputed with one driver-side sort per group and the
+        textbook rank formula; perfect-equality and max-inequality sanity
+        on planted groups."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.functions.rounding import round_half_away
+        from stac_catalog_builder_ray.pipelines.relational import q_gini
+
+        sf = "/root/testdata/sf0.001"
+        out = q_gini(sf)
+        od = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+        od["x"] = round_half_away(
+            od["o_totalprice"].to_numpy() * 100.0).astype("int64")
+        rows = []
+        for g, gg in od.groupby("o_orderpriority"):
+            gg = gg.sort_values(["x", "o_orderkey"], kind="stable")
+            x = gg["x"].to_numpy(np.int64)
+            n = len(x)
+            rn = np.arange(n, dtype=np.int64) + 1
+            num = int((2 * rn * x).sum()) - (n + 1) * int(x.sum())
+            rows.append((g, n, int(x.sum()),
+                         float(num) / float(n * int(x.sum()))))
+        want = (pd.DataFrame(rows, columns=["o_orderpriority", "n",
+                                            "sum_cents", "gini"])
+                .astype({"n": "int64", "sum_cents": "int64"})
+                .sort_values("o_orderpriority").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        assert out["gini"].between(0.0, 1.0).all()
+
+    def test_planted_extremes(self, ray_session):
+        """All-equal group -> G = 0; one order holding nearly all value ->
+        G near (n-1)/n."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from stac_catalog_builder_ray.pipelines import relational as R
+
+        rows = pd.DataFrame({
+            "o_orderkey": list(range(10)) + list(range(10, 20)),
+            "o_orderpriority": ["eq"] * 10 + ["skew"] * 10,
+            "o_totalprice": [50.0] * 10 + [0.01] * 9 + [10000.0],
+        })
+        orig = R._t
+
+        def fake(sf_dir, name, columns=None):
+            return rd.from_arrow(pa.Table.from_pandas(rows)).repartition(3)
+        R._t = fake
+        try:
+            out = R.q_gini("unused").set_index("o_orderpriority")
+        finally:
+            R._t = orig
+        assert abs(float(out.loc["eq", "gini"])) < 1e-12
+        assert float(out.loc["skew", "gini"]) > 0.88
