@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini": R.q_gini,
         "winnow_pairs": T.q_winnow_pairs,
         "cluster_terms": T.q_cluster_terms,
+        "trending_terms": T.q_trending_terms,
         "vocab_growth": T.q_vocab_growth,
         "bigram_pmi": T.q_bigram_pmi,
         "embed_pca": T.q_embed_pca,
@@ -406,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "gini": R.SQL_GINI,
         "winnow_pairs": T.winnow_pairs_sql(),
         "cluster_terms": T.cluster_terms_sql(),
+        "trending_terms": T.trending_terms_sql(),
         "vocab_growth": T.vocab_growth_sql(),
         "bigram_pmi": T.bigram_pmi_sql(),
         "run_lengths": R.SQL_RUN_LENGTHS,

@@ -2931,3 +2931,60 @@ def cluster_terms_sql() -> str:
         f"SELECT label, word, tf_l, tf_rest, score_e6 FROM k "
         f"WHERE rn <= {CLUSTER_TERMS_TOPK}"
     )
+
+
+TRENDING_TOPK = 5
+
+
+def q_trending_terms(sf_dir: str):
+    """TRENDING TERMS (the per-window top-k report of monitoring / feed
+    pipelines): for every event DAY, the 5 most frequent words across the
+    day's documents — documents assigned to days deterministically by
+    ``doc_id`` mapped onto the events date domain (the corpus has no
+    timestamp column; the mapping rule is mirrored in SQL).
+
+    Scale shape: one tokenize pass emits (day, word) count partials; one
+    days x vocabulary-bounded groupby; the top-k cut folds on the driver
+    over that bounded table with the (count desc, word asc) tie-break of
+    the ROW_NUMBER twin."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["text"].to_pandas().fillna("").str.lower().str.strip()
+        df = pd.DataFrame({"day": did % 30, "word": s.str.split()})
+        ex = df.explode("word").dropna(subset=["word"])
+        g = (ex.groupby(["day", "word"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({"day": pa.array(g["day"].to_numpy(np.int64)),
+                         "word": pa.array(g["word"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    c = (docs.map_batches(part, batch_format="pyarrow")
+         .groupby(["day", "word"])
+         .aggregate(Sum("n", alias_name="n"))
+         .to_pandas())            # days x vocabulary — bounded
+    c["day"] = c["day"].astype("int64")
+    c["n"] = c["n"].astype("int64")
+    out = (c.sort_values(["day", "n", "word"],
+                         ascending=[True, False, True], kind="stable")
+           .groupby("day").head(TRENDING_TOPK))
+    return (out[["day", "word", "n"]]
+            .sort_values(["day", "word"], kind="stable")
+            .reset_index(drop=True))
+
+
+def trending_terms_sql() -> str:
+    return (
+        "WITH w AS (SELECT doc_id % 30 AS day, "
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
+        "FROM documents WHERE trim(text) <> ''), "
+        "c AS (SELECT day, word, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM w GROUP BY 1, 2), "
+        "r AS (SELECT day, word, n, ROW_NUMBER() OVER (PARTITION BY day "
+        "ORDER BY n DESC, word) AS rn FROM c) "
+        f"SELECT day, word, n FROM r WHERE rn <= {TRENDING_TOPK}"
+    )

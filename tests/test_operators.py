@@ -4386,3 +4386,32 @@ class TestGini:
             R._t = orig
         assert abs(float(out.loc["eq", "gini"])) < 1e-12
         assert float(out.loc["skew", "gini"]) > 0.88
+
+
+class TestTrendingTerms:
+    def test_matches_pandas_recompute(self, ray_session):
+        """Per-day top-5 recomputed driver-side with the same tie-break."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.pipelines.text import (
+            TRENDING_TOPK, q_trending_terms)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_trending_terms(sf)
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        ex = docs.assign(
+            day=docs["doc_id"] % 30,
+            word=docs["text"].fillna("").str.lower().str.split()) \
+            .explode("word").dropna(subset=["word"])
+        c = ex.groupby(["day", "word"]).size().reset_index(name="n")
+        want = (c.sort_values(["day", "n", "word"],
+                              ascending=[True, False, True], kind="stable")
+                .groupby("day").head(TRENDING_TOPK)
+                .astype({"day": "int64", "n": "int64"})
+                [["day", "word", "n"]]
+                .sort_values(["day", "word"], kind="stable")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, want)
+        assert (out.groupby("day").size() <= TRENDING_TOPK).all()
