@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_index": G.q_zorder_index,
         "zrange_query": G.q_zrange_query,
         "blob_count": G.q_blob_count,
+        "otsu": G.q_otsu,
         "lof": G.q_lof,
         "distinctive_terms": T.q_distinctive_terms,
         "frame_sample": G.q_frame_sample,

@@ -2762,3 +2762,18 @@ def zrange_query_sql() -> str:
         f"cell & {XY_MASK} AS y FROM c) "
         f"SELECT q.event_id, ({zterms}) AS z FROM q JOIN d USING (event_id)"
     )
+
+
+def q_otsu(sf_dir: str):
+    """Per-image OTSU THRESHOLD stats over the documents-derived images
+    table (rows-only: pixel decode + the histogram argmax are not
+    SQL-expressible) — exact-integer between-class-variance maximization
+    inside the decode actor.  Independent oracle:
+    tests/test_operators.py::TestOtsu (bignum recompute + planted bimodal
+    image with a known split)."""
+    from ..pipelines.spatial_catalog import images_from_documents
+    from ..stages.multimodal import otsu_threshold
+
+    images = images_from_documents(sf_dir, "/tmp/scbr-query-cache")
+    out = otsu_threshold(rd.read_parquet(images))
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)

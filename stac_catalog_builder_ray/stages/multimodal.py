@@ -441,3 +441,71 @@ def blob_count(images, concurrency=(1, 8), batch_size: int = 128):
         BlobCountStage, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+def _otsu_bin(px: np.ndarray) -> int:
+    """Exact Otsu threshold over the 256-level histogram of a uint16 image
+    (bin = px >> 8): maximize the between-class variance
+    sigma_b^2(t) = (s0*w1 - s1*w0)^2 / (w0*w1) over split points t
+    (class 0 = bins < t).  The argmax compares EXACT integer cross
+    products (python bignum — the squared term exceeds int64), smallest t
+    on ties, so the result is bit-stable on any platform."""
+    hist = np.bincount((np.asarray(px).ravel().astype(np.int64) >> 8)
+                       .clip(0, 255), minlength=256)
+    w = hist.cumsum()
+    s = (hist * np.arange(256, dtype=np.int64)).cumsum()
+    n, stot = int(w[-1]), int(s[-1])
+    best_t, best_num, best_den = 0, -1, 1
+    for t in range(1, 256):
+        w0, s0 = int(w[t - 1]), int(s[t - 1])
+        w1 = n - w0
+        if w0 == 0 or w1 == 0:
+            continue
+        d = s0 * w1 - (stot - s0) * w0
+        num, den = d * d, w0 * w1
+        # exact fraction compare: num/den > best_num/best_den
+        if num * best_den > best_num * den:
+            best_t, best_num, best_den = t, num, den
+    return best_t
+
+
+class OtsuStage:
+    """Per-image OTSU ADAPTIVE THRESHOLDING (the classic foreground
+    segmentation rule — blob_count's fixed mean threshold upgraded to the
+    bimodal-optimal split): decode, find the exact integer Otsu bin,
+    emit the threshold and foreground stats.  Pixels never leave the
+    task."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        self._decode = DecodeStage(strict=strict)._decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bts = batch["bytes"]
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        n = batch.num_rows
+        thr = np.zeros(n, np.int64)
+        fg = np.zeros(n, np.int64)
+        share = np.zeros(n, np.int64)
+        for i in range(n):
+            px = np.asarray(self._decode(bts[i].as_py(), fmts[i],
+                                         ws[i], hs[i]))
+            t = _otsu_bin(px)
+            thr[i] = t
+            mask = (px.astype(np.int64) >> 8) >= t
+            fg[i] = int(mask.sum())
+            share[i] = fg[i] * 10000 // px.size
+        return pa.table({"image_id": batch["image_id"],
+                         "otsu_bin": pa.array(thr),
+                         "fg_px": pa.array(fg),
+                         "fg_share_e4": pa.array(share)})
+
+
+def otsu_threshold(images, concurrency=(1, 8), batch_size: int = 128):
+    """images Dataset -> per-image Otsu threshold stats Dataset."""
+    return images.map_batches(
+        OtsuStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -4415,3 +4415,75 @@ class TestTrendingTerms:
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(out, want)
         assert (out.groupby("day").size() <= TRENDING_TOPK).all()
+
+
+class TestOtsu:
+    def test_kernel_planted_bimodal(self):
+        """Two well-separated clusters -> the threshold lands strictly
+        between them; a flat image keeps t=0 (no valid split improves)."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.stages.multimodal import _otsu_bin
+
+        rng = np.random.RandomState(9)
+        lo = rng.randint(10 << 8, 30 << 8, 600)
+        hi = rng.randint(200 << 8, 220 << 8, 400)
+        px = np.concatenate([lo, hi]).astype(np.uint16).reshape(40, 25)
+        t = _otsu_bin(px)
+        # lo bins span [10, 29]: every t in [30, 200] separates perfectly
+        # and identically, so the smallest-tie rule must pick exactly 30
+        assert t == 30
+        flat = np.full((16, 16), 5000, dtype=np.uint16)
+        assert _otsu_bin(flat) == 0
+
+    def test_kernel_matches_float_otsu(self):
+        """Exact-integer argmax agrees with the textbook float Otsu on
+        random images (away from exact ties the two must coincide)."""
+        import numpy as np
+
+        from stac_catalog_builder_ray.stages.multimodal import _otsu_bin
+
+        rng = np.random.RandomState(4)
+        for _ in range(10):
+            px = rng.randint(0, 65536, (32, 32)).astype(np.uint16)
+            hist = np.bincount(px.ravel() >> 8, minlength=256).astype(float)
+            w = hist.cumsum()
+            s = (hist * np.arange(256)).cumsum()
+            n, stot = w[-1], s[-1]
+            best_t, best_v = 0, -1.0
+            for t in range(1, 256):
+                w0, s0 = w[t - 1], s[t - 1]
+                w1 = n - w0
+                if w0 == 0 or w1 == 0:
+                    continue
+                d = s0 * w1 - (stot - s0) * w0
+                v = (d * d) / (w0 * w1)
+                if v > best_v + 1e-6:
+                    best_t, best_v = t, v
+            assert _otsu_bin(px) == best_t
+
+    def test_query_matches_local_decode(self, ray_session):
+        """q_otsu recomputed by local decode on unambiguous image ids."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from stac_catalog_builder_ray.codec.raster import decode_image
+        from stac_catalog_builder_ray.pipelines.geospatial import q_otsu
+        from stac_catalog_builder_ray.pipelines.spatial_catalog import (
+            images_from_documents)
+        from stac_catalog_builder_ray.stages.multimodal import _otsu_bin
+
+        sf = "/root/testdata/sf0.001"
+        imgs = pq.read_table(images_from_documents(sf, "/tmp/scbr-query-cache")) \
+            .to_pandas()
+        imgs = imgs[~imgs.duplicated("image_id", keep=False)]
+        out = q_otsu(sf).set_index("image_id")
+        for _, row in imgs.head(8).iterrows():
+            px = decode_image(bytes(row["bytes"]))
+            px = np.asarray(px[0] if isinstance(px, tuple) else px)
+            t = _otsu_bin(px)
+            got = out.loc[row["image_id"]]
+            assert int(got["otsu_bin"]) == t
+            mask = (px.astype(np.int64) >> 8) >= t
+            assert int(got["fg_px"]) == int(mask.sum())
+            assert int(got["fg_share_e4"]) == int(mask.sum()) * 10000 // px.size
