@@ -93,6 +93,9 @@ GOLDEN = {
     # recompute: test_operators::TestEmbedPca — %.6g pin is stable because
     # the whole path is one deterministic eigh + matmul)
     "embed_pca": ("f21b128b2c0906e4", 500),
+    # exact-integer per-image Otsu threshold (bignum argmax, smallest-tie;
+    # planted bimodal + float-agreement fuzz: test_operators::TestOtsu)
+    "otsu": ("303622c69302304b", 500),
 }
 
 # quantile_sketch is rows-only but NOT pinned here: its compaction history
